@@ -1,0 +1,136 @@
+"""Text column helpers: chunking, tokenization, shingling, stats.
+
+Chunking reproduces the reference's paragraph pipeline
+(``Qdrant/main.py:36-46``): split on a delimiter, trim, drop empties,
+enumerate position within the parent row, filter by minimum length.
+The delimiter is a parameter because the reference's ``"\\n\\n"`` is
+just one instance of the same row-generator shape.
+
+Everything here is a JVM-side expression (split / explode / regexp /
+higher-order functions) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+# token pattern shared with the DuckDB oracle: words, digit runs, or a
+# single non-space symbol (BPE-ish pre-tokenizer shape)
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_PATTERN = r"[^\w\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword language
+# heuristic (lang_id_expr); deliberately small + deterministic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "y", "que", "en", "los", "del"),
+    "de": ("der", "die", "das", "und", "zu", "den", "von", "ist"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "est"),
+    "zh": ("de", "shi", "le", "zai", "you", "he", "wo", "ta"),
+}
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace words, trimmed, empties dropped."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+
+def token_count(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def char_count(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.length(text)
+
+
+def punct_count(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), F.lit(0)))
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Count of word occurrences (not distinct) in the stopword list."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(sw, F.lower(w))))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles joined by single spaces.
+
+    transform over index range keeps this a pure expression:
+    shingle i = words[i..i+n-1] for i in 0 .. len-n.
+    """
+    ws = words(text)
+    cnt = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " ")
+    )
+    # rows with fewer than n words produce one short shingle (the full
+    # text) — keep it, it is still a stable key
+    return F.array_distinct(sh)
+
+
+def paragraph_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    delimiter: str = "\n\n",
+    min_len: int = 50,
+    out_col: str = "chunk_text",
+    index_col: str = "chunk_index",
+) -> DataFrame:
+    """Split → trim → drop empty → posexplode → min-length filter.
+
+    chunk_index counts kept-nonempty paragraphs per parent row *before*
+    the min-length filter, matching the reference's enumerate-then-skip
+    order (``Qdrant/main.py:40-45``: index increments only for paragraphs
+    that pass the emptiness strip, while short ones are skipped after
+    claiming their index — actually in the reference the index is the
+    position among non-empty paragraphs and short paragraphs do consume
+    an index only if non-empty; we reproduce that: enumerate non-empty,
+    then filter by length).
+    """
+    parts = F.filter(
+        F.transform(F.split(F.col(text_col), F.lit(delimiter).cast("string")),
+                    lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    exploded = df.select(
+        *[F.col(c) for c in df.columns],
+        F.posexplode(parts).alias(index_col, out_col),
+    )
+    return exploded.filter(F.length(F.col(out_col)) >= min_len)
+
+
+def lang_id_expr(text: Column | str) -> Column:
+    """Stopword-vote language heuristic: pick the language whose stopword
+    list matches the most word occurrences; ties break alphabetically;
+    zero matches → 'und' (undetermined)."""
+    text = F.col(text) if isinstance(text, str) else text
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_count(text, sw).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    # max by (score, reversed-lang): array_max on struct compares fields
+    # in order; to break score ties toward the alphabetically-first lang
+    # we sort ascending and take the last element with strictly greater
+    # score ordering — simpler: sort by score desc, lang asc via sort_array
+    # on (negated score, lang) then take element 1.
+    keyed = F.transform(
+        scored,
+        lambda s: F.struct(
+            (-s["score"]).alias("neg"), s["lang"].alias("lang"), s["score"].alias("score")
+        ),
+    )
+    best = F.sort_array(keyed)[0]
+    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])

@@ -1,0 +1,51 @@
+"""Test-table loading for the driver's synthetic warehouse.
+
+``/root/testdata/sf*/{name}.parquet`` — TPC-H-ish star schema plus
+``events`` (stream-shaped), ``documents`` (text corpus) and
+``embeddings`` (64-d unit vectors).  See TESTDATA.md.
+
+The only quirk: ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark
+cannot represent.  With ``spark.sql.legacy.parquet.nanosAsLong`` the
+column arrives as BIGINT nanoseconds; we convert to TIMESTAMP_NTZ with
+pure integer arithmetic (``div 1000`` — float division would lose
+precision at 1.7e18) so the value is timezone-independent and matches
+what DuckDB reads (nanos truncated to micros, naive timestamp).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; normalizes events.ts to TIMESTAMP_NTZ."""
+    if name == "events":
+        # settable at runtime; required before the scan's schema inference
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

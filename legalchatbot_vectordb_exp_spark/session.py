@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+The reference runs either against a Qdrant server or an embedded
+in-process store (``Qdrant/main.py`` vs ``Qdrant/main2.py``,
+SURVEY.md §1.4); here the analogous switch is the Spark master
+(local[...] vs a cluster URL).  All scale-relevant defaults are set
+once here so tests, bench and the driver agree:
+
+* AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+* Arrow on (every Pandas-UDF site pays one columnar batch hop)
+* shuffle partitions sized to the local core count (on a real cluster
+  this is overridden to ~2-3x total executor cores)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "legalchatbot-vectordb-exp-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long and convert (io_tables.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,28 @@
+"""Driver-style parity: every registered oracle query must match its
+DuckDB twin at sf0.001 (fast) — the driver repeats this at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES
+from tests.oracle_harness import compare, duckdb_conn
+
+
+@pytest.fixture(scope="module")
+def con(sf_smoke):
+    c = duckdb_conn(sf_smoke)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_oracle_parity(name, spark, sf_smoke, con):
+    df = QUERIES[name](spark, sf_smoke)
+    compare(df, con, ORACLES[name], name)
+
+
+def test_all_queries_return_rows(spark, sf_smoke):
+    for name, fn in QUERIES.items():
+        n = fn(spark, sf_smoke).count()
+        assert n >= 0, name

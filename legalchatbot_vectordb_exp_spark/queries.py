@@ -15,8 +15,6 @@ Cross-engine determinism rules (see FIXTURES.md "Oracle notes"):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -38,39 +36,13 @@ from legalchatbot_vectordb_exp_spark.operators.evaluate import (
     with_recall_mrr,
 )
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
-
-
-def register(name: str, sql: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if sql is not None:
-            ORACLES[name] = sql
-        return fn
-
-    return deco
-
-
-# ---------------------------------------------------------------- SQL helpers
-
-# identical sequential fold as functions.vector.dot (0.0 + x1 + x2 + ...)
-def _sql_dot(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "
-        f"x -> x[1] * x[2])), (acc, x) -> acc + x)"
-    )
-
-
-def _sql_norm(v: str) -> str:
-    return (
-        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform({v}::DOUBLE[], x -> x * x)), (acc, x) -> acc + x))"
-    )
-
+from legalchatbot_vectordb_exp_spark.registry import (
+    ORACLES,
+    QUERIES,
+    register,
+    sql_dot as _sql_dot,
+    sql_norm as _sql_norm,
+)
 
 # ------------------------------------------------------------ vector queries
 
@@ -453,3 +425,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# extension query families register on import (after core definitions)
+from legalchatbot_vectordb_exp_spark import (  # noqa: E402,F401
+    queries_dedup,
+    queries_ann,
+    queries_text,
+    queries_tpch,
+    queries_events,
+)

@@ -1,0 +1,302 @@
+"""Deduplication query family (extension operators E1/E2 — SURVEY.md
+§2.9): the LLM-training-data-pipeline dedup stack.
+
+Scale design notes (all verified on the sf tables, designed for 100 TB):
+
+* every pairwise comparison goes through an **explode → equi-join on a
+  blocking key** (shingle, minhash band, LSH bucket) — never a cross
+  join of the corpus with itself;
+* hot blocking keys are capped by document frequency (a shingle in
+  half the corpus generates O(n²) pairs and zero dedup signal — the
+  frequency cap is part of the operator's semantics on both engines);
+* hashing is md5 hex (bit-identical in Spark and DuckDB) so signatures
+  are portable across engines and runs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from legalchatbot_vectordb_exp_spark.functions.text import word_shingles, words
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.registry import (
+    register,
+    sql_dot,
+    sql_words,
+)
+
+# shingles appearing in more docs than this are dropped from pairing
+# (stopword-shingle suppression; identical on both engines)
+MAX_SHINGLE_DF = 20
+N_MINHASH = 8  # minhash signature length
+MINHASH_BANDS = 4  # bands of 2 rows each
+
+
+def _sql_shingles(text: str, n: int = 3) -> str:
+    """Distinct n-word shingles — mirrors functions.text.word_shingles."""
+    ws = sql_words(text)
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(0, greatest(len({ws}) - {n}, 0)), "
+        f"i -> array_to_string({ws}[i + 1 : i + {n}], ' ')))"
+    )
+
+
+_SHINGLE_CTE = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_shingles('text')}) AS shingle
+      FROM documents
+    ),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {MAX_SHINGLE_DF}
+    ),
+    sh_rare AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+    ),
+    doc_sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh_rare GROUP BY doc_id
+    )
+"""
+
+
+def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) pairs after the document-frequency cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    # blocking-key join: rare is small after the cap → broadcast
+    return sh.join(F.broadcast(rare), "shingle").select("doc_id", "shingle")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql=_SHINGLE_CTE
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh_rare a JOIN sh_rare b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(shared::DOUBLE
+                 / (sa.n_sh + sb.n_sh - shared)::DOUBLE, 6) AS jaccard
+    FROM pairs
+    JOIN doc_sizes sa ON sa.doc_id = doc_a
+    JOIN doc_sizes sb ON sb.doc_id = doc_b
+    WHERE shared::DOUBLE / (sa.n_sh + sb.n_sh - shared)::DOUBLE >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates by exact n-gram Jaccard ≥ 0.2, computed via
+    shingle-key equi-join (shared counts) + per-doc shingle counts —
+    the shuffle is on the shingle key, never a corpus×corpus product."""
+    sh = _spark_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    return jac.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_signature",
+    sql=_SHINGLE_CTE
+    + f"""
+    , hashed AS (
+      SELECT doc_id, h.i AS hash_id,
+             min(md5(h.i || '|' || shingle)) AS minhash
+      FROM sh_rare, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
+      GROUP BY doc_id, h.i
+    )
+    SELECT doc_id, hash_id::BIGINT AS hash_id, minhash
+    FROM hashed
+    """,
+)
+def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: per (doc, hash_id) the lexicographic min of
+    md5(hash_id || shingle) — one groupBy with map-side partial min."""
+    sh = _spark_shingles(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("hash_id"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "hash_id",
+        F.md5(F.concat(F.col("hash_id"), F.lit("|"), F.col("shingle"))).alias(
+            "h"
+        ),
+    )
+    return (
+        hashed.groupBy("doc_id", "hash_id")
+        .agg(F.min("h").alias("minhash"))
+        .select(
+            "doc_id", F.col("hash_id").cast("bigint").alias("hash_id"), "minhash"
+        )
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    sql=_SHINGLE_CTE
+    + f"""
+    , hashed AS (
+      SELECT doc_id, h.i AS hash_id,
+             min(md5(h.i || '|' || shingle)) AS minhash
+      FROM sh_rare, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
+      GROUP BY doc_id, h.i
+    ),
+    bands AS (
+      SELECT doc_id, hash_id // 2 AS band,
+             string_agg(minhash, ',' ORDER BY hash_id) AS band_key
+      FROM hashed GROUP BY doc_id, hash_id // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b FROM cand
+    """,
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature (4 bands × 2
+    rows), join on (band, band_key) — candidates share at
+    least one full band.  The join key is the band hash, so shuffle
+    volume is O(docs × bands), independent of corpus pair count."""
+    sig = q_dedup_minhash_signature(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", (F.col("hash_id") / 2).cast("bigint"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("hash_id", "minhash"))
+                    ),
+                    lambda s: s["minhash"],
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@register(
+    "dedup_simhash",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({sql_words('text')}) AS w FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b.j AS bit_pos,
+             CASE WHEN
+               (strpos('0123456789abcdef',
+                       substr(md5(w), 1 + b.j // 4, 1)) - 1)
+               // CAST(pow(2, 3 - b.j % 4) AS INT) % 2 = 1
+             THEN 1 ELSE -1 END AS v
+      FROM tok, unnest(generate_series(0, 15)) AS b(j)
+    ),
+    agg AS (
+      SELECT doc_id, bit_pos, sum(v) AS s FROM bits GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0
+               THEN CAST(pow(2, bit_pos) AS BIGINT) ELSE 0 END)::BIGINT
+             AS simhash
+    FROM agg GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash from md5 token hashes: per (doc, bit) sum of ±1
+    weighted votes, positive → bit set.  Two partial-aggregated
+    groupBys; token multiplicity counts (standard SimHash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words("text")).alias("w"))
+    j = F.col("j")
+    hex_char = F.substring(F.md5("w"), (j / 4).cast("int") + 1, 1)
+    hex_val = F.instr(F.lit("0123456789abcdef"), hex_char) - 1
+    # bit (3 - j%4) of the hex digit, as ±1 vote
+    bit = (hex_val / F.pow(F.lit(2.0), (3 - j % 4).cast("double")).cast("int")).cast(
+        "int"
+    ) % 2
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+        "w",
+    ).select(
+        "doc_id",
+        F.col("j").alias("bit_pos"),
+        F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)).alias("v"),
+    )
+    agg = bits.groupBy("doc_id", "bit_pos").agg(F.sum("v").alias("s"))
+    return agg.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.pow(F.lit(2.0), F.col("bit_pos").cast("double")).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({sql_dot('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {sql_dot('a.embedding', 'b.embedding')} >= 0.5
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with cosine ≥ 0.5 (unit vectors → dot).
+    Broadcast self-join here; at corpus scale the LSH-bucketed variant
+    (ann_lsh_pairs) provides the same surface sub-quadratically."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from legalchatbot_vectordb_exp_spark.functions.vector import dot
+
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot("va", "vb"))
+        .filter(F.col("cos") >= 0.5)
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))

@@ -1,0 +1,154 @@
+"""Event/time-series query family (extension E6 — SURVEY.md §2.9),
+batch-mode equivalents of the Structured Streaming operators in
+``streaming/`` so the driver's DuckDB oracle can check the windowing
+semantics (the streaming versions share the same expressions).
+
+``events.ts`` arrives as TIMESTAMP_NTZ via io_tables.load_table, so
+every bucket below is timezone-independent on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.registry import register
+
+
+@register(
+    "events_tumbling",
+    sql="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(CAST(sum(value::DECIMAL(18,4)) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — the batch twin of the
+    streaming ``tumbling_counts`` operator (same window expression)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding",
+    sql="""
+    WITH starts AS (
+      SELECT e.*, unnest([
+               time_bucket(INTERVAL 30 MINUTE, ts),
+               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+             ]) AS window_start
+      FROM events e
+    )
+    SELECT window_start, count(*) AS n,
+           round(CAST(sum(value::DECIMAL(18,4)) AS DOUBLE), 2) AS total_value
+    FROM starts
+    GROUP BY window_start
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min step): each event lands in
+    two windows; Spark's window() generates them natively."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@register(
+    "events_sessionize",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag → new-session
+    flag → running count = session id → per-session aggregates.  The
+    streaming twin is ``session_window`` in streaming/events.py."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # microsecond-precision gap: a SECOND-granularity diff would truncate
+    # sub-second gaps and disagree with the oracle's interval comparison
+    prev = F.lag("ts").over(w)
+    gap_us = F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+    ordered = ev.withColumn("_prev", prev).select(
+        "user_id",
+        "ts",
+        F.when(prev.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = ordered.withColumn("session_id", F.sum("is_new").over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "events_dedup",
+    sql="""
+    SELECT user_id, event_type, count(*) AS n_dupes,
+           min(event_id) AS first_event_id
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level dedup accounting (batch twin of streaming
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type))."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_dupes"),
+        F.min("event_id").alias("first_event_id"),
+    )

@@ -1,0 +1,189 @@
+"""Text-analysis query family (extension E5 — SURVEY.md §2.9): the
+per-document statistics a training-data pipeline computes at ingest.
+
+Everything is a single narrow projection over the documents scan —
+no shuffle at all except the distinct-count in ``text_vocab`` — so at
+100 TB these run at IO speed with whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from legalchatbot_vectordb_exp_spark.functions.text import (
+    LANG_STOPWORDS,
+    PUNCT_PATTERN,
+    TOKEN_PATTERN,
+    lang_id_expr,
+    punct_count,
+    stopword_count,
+    token_count,
+    word_shingles,
+    words,
+)
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.registry import register, sql_words
+
+
+@register(
+    "text_stats",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, text, {sql_words('text')} AS ws FROM documents
+    )
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(ws)::BIGINT AS n_words,
+           len(regexp_extract_all(text,
+               '{TOKEN_PATTERN}'))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text,
+               '[^\\w\\s]'))::BIGINT AS n_punct,
+           round(len(list_filter(ws, x -> length(x) >= 6))::DOUBLE
+                 / greatest(len(ws), 1)::DOUBLE, 6) AS long_word_ratio,
+           round(length(text)::DOUBLE
+                 / greatest(len(ws), 1)::DOUBLE, 6) AS chars_per_word
+    FROM w
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics: char/word/token/punct counts
+    plus ratio features — one codegen'd projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    nw = F.greatest(F.size(ws), F.lit(1)).cast("double")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(ws).cast("bigint").alias("n_words"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+        punct_count("text").cast("bigint").alias("n_punct"),
+        F.round(
+            F.size(F.filter(ws, lambda x: F.length(x) >= 6)).cast("double") / nw,
+            6,
+        ).alias("long_word_ratio"),
+        F.round(F.length("text").cast("double") / nw, 6).alias("chars_per_word"),
+    )
+
+
+_LANG_SQL_CASES = "\n      UNION ALL\n".join(
+    f"""      SELECT doc_id, '{lang}' AS lang,
+             len(list_filter({sql_words('text')},
+                 w -> list_contains({list(sw)}, lower(w)))) AS score
+      FROM documents"""
+    for lang, sw in sorted(LANG_STOPWORDS.items())
+)
+
+
+@register(
+    "lang_id",
+    sql=f"""
+    WITH votes AS (
+{_LANG_SQL_CASES}
+    ),
+    best AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rn
+      FROM votes
+    )
+    SELECT doc_id,
+           CASE WHEN score <= 0 THEN 'und' ELSE lang END AS pred_lang
+    FROM best WHERE rn = 1
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language heuristic (n-gram-lite language ID):
+    argmax over per-language stopword hit counts, alphabetic
+    tie-break, zero hits → 'und'."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_expr("text").alias("pred_lang"))
+
+
+@register(
+    "quality_score",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, text, {sql_words('text')} AS ws FROM documents
+    )
+    SELECT doc_id,
+           round(least(len(ws)::DOUBLE / 100.0, 1.0) * 0.5
+                 + (len(list_filter(ws,
+                     w -> list_contains({list(LANG_STOPWORDS['en'])},
+                                        lower(w))))::DOUBLE
+                    / greatest(len(ws), 1)::DOUBLE) * 0.3
+                 + CASE WHEN length(text) BETWEEN 100 AND 5000
+                        THEN 0.2 ELSE 0.0 END, 6) AS quality
+    FROM w
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score: length saturation (0.5 weight)
+    + English-stopword density (0.3) + in-range length bonus (0.2) —
+    the heuristic filter shape used before LLM training ingestion."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    nw = F.greatest(F.size(ws), F.lit(1)).cast("double")
+    quality = (
+        F.least(F.size(ws).cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + (stopword_count("text", LANG_STOPWORDS["en"]).cast("double") / nw) * 0.3
+        + F.when(F.length("text").between(100, 5000), 0.2).otherwise(0.0)
+    )
+    return docs.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+@register(
+    "doc_fingerprint",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len({sql_words('text')}) - 5, 0)),
+               i -> array_to_string(({sql_words('text')})[i + 1 : i + 5], ' '))))
+             AS shingle
+      FROM documents
+    )
+    SELECT doc_id, min(md5(shingle)) AS fingerprint,
+           count(DISTINCT shingle) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: lexicographic min of md5 over 5-word
+    shingles (winnowing-lite content signature) + shingle cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 5)).alias("shingle")
+    )
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.count_distinct(F.col("shingle")).alias("n_shingles"),
+    )
+
+
+@register(
+    "token_vocab",
+    sql=f"""
+    WITH tok AS (
+      SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+      FROM documents
+    )
+    SELECT w, count(*) AS freq
+    FROM tok GROUP BY w
+    HAVING count(*) >= 10
+    """,
+)
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with frequencies (≥10): explode + one
+    partial-aggregated groupBy — the shuffle carries only distinct
+    tokens, not token instances."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0))
+        ).alias("raw")
+    ).select(F.lower("raw").alias("w"))
+    return (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 10)
+    )

@@ -434,4 +434,5 @@ from legalchatbot_vectordb_exp_spark import (  # noqa: E402,F401
     queries_text,
     queries_tpch,
     queries_events,
+    queries_pipeline,
 )

@@ -1,0 +1,104 @@
+"""Pipeline-level queries: multimodal metadata (oracle-checked) and
+the full RAG pipeline composed end-to-end (rows-only — it crosses the
+embed/generate Arrow-UDF sites, which are deterministic here but not
+ANSI-SQL-expressible, so the driver records the weaker check;
+its deterministic sub-operators are each oracle-checked separately).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.ml.embed import embed_text_udf
+from legalchatbot_vectordb_exp_spark.ml.generate import generate_rag_answers
+from legalchatbot_vectordb_exp_spark.multimodal.binary import binary_metadata
+from legalchatbot_vectordb_exp_spark.operators.context import assemble_context
+from legalchatbot_vectordb_exp_spark.operators.evaluate import with_recall_mrr
+from legalchatbot_vectordb_exp_spark.operators.topk import topk_search_batch
+from legalchatbot_vectordb_exp_spark.registry import register
+
+
+@register(
+    "multimodal_meta",
+    sql="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha,
+           CASE WHEN starts_with(upper(substr(hex(encode(text)), 1, 16)),
+                                 '89504E47') THEN 'image/png'
+                ELSE 'application/octet-stream' END AS mime
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (E4): treat the text payload as opaque
+    bytes → byte length + sha-256 + magic-byte mime sniff, all pure
+    JVM expressions (the general multimodal table pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    meta = binary_metadata(binary)
+    return meta.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("sha256").alias("content_sha"),
+        "mime",
+    )
+
+
+@register("rag_end_to_end")  # no oracle: crosses the embed/generate UDFs
+def q_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point-B twin (``Qdrant/main.py:113-133`` →
+    ``Qdrant/llm.py:75-136``): embed queries → batch top-k retrieval →
+    char-budget context assembly → generate → evaluate, one lazy plan.
+    The deterministic hash embedder / extractive generator stand in for
+    the models; every other stage is the oracle-checked operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    embed = embed_text_udf(dim=64)
+
+    corpus = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        "text",
+        embed(F.col("text")).alias("embedding"),
+    )
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("question"),
+        embed(F.col("text")).alias("query_vec"),
+    )
+
+    ranked = topk_search_batch(
+        corpus.select("vec_id", "embedding"),
+        queries.select("query_id", "query_vec"),
+        k=5,
+    )
+    hits = ranked.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "text", "n_chars"),
+        "vec_id",
+    ).select(
+        "query_id",
+        "score",
+        "vec_id",
+        "text",
+        F.col("vec_id").alias("page"),
+        (F.col("n_chars") % 7).alias("chunk_index"),
+    )
+    ctx = assemble_context(hits, budget=800, id_col="vec_id")
+
+    qa = queries.select("query_id", "question").join(ctx, "query_id")
+    answered = generate_rag_answers(
+        qa, question_col="question", context_col="context"
+    )
+    # score the extractive answers against digits present in the context
+    scored = with_recall_mrr(
+        answered.withColumnRenamed("context", "answers"), k=5
+    )
+    return scored.select(
+        "query_id",
+        "predicted_law",
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("mrr_at_k", 6).alias("mrr_at_k"),
+    )

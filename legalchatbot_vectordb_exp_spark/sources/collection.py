@@ -1,0 +1,150 @@
+"""Vector collection = a Parquet table + declared vector properties.
+
+The reference's "collection" is a Qdrant collection created with
+``VectorParams(size, distance)`` and filled via point upserts
+(``Qdrant/VectorDB/Database.py:10-20``, ``Qdrant/main.py:58-78``).
+Here a collection is a warehouse directory of Parquet plus a tiny JSON
+properties sidecar (vector dim + metric), with the invariants the
+reference only implied made explicit and *validated at write time*:
+
+* ``vector`` column is ARRAY<FLOAT/DOUBLE> with ``size(vector) == dim``
+* vectors are L2-normalized when ``metric == "cosine"`` (so search can
+  always score with a dot product)
+* ``id`` is unique — upsert is last-writer-wins on id
+
+Write-time validation is a filter + count on the violating rows — a
+narrow scan, no shuffle.  Upsert without Delta is expressed as
+anti-join + union rewrite (at scale you'd swap the sink for Delta's
+``MERGE INTO`` keyed on id; the logical op is identical).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from legalchatbot_vectordb_exp_spark.functions.vector import l2_norm, l2_normalize
+
+_PROPS_FILE = "_collection.json"
+
+
+class VectorCollection:
+    """DDL/upsert/search-surface for one vector table under a warehouse
+    directory (mirrors the reference Database wrapper's capability set:
+    create/recreate, upsert, catalog listing, top-k search input)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, name: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.name = name
+        self.path = os.path.join(warehouse, name)
+
+    # ------------------------------------------------------------- catalog
+
+    @staticmethod
+    def list_collections(warehouse: str) -> list[str]:
+        """Names of all collections in the warehouse
+        (``Database.get_collections``, ``Qdrant/VectorDB/Database.py:7-8``)."""
+        if not os.path.isdir(warehouse):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(warehouse)
+            if os.path.isfile(os.path.join(warehouse, d, _PROPS_FILE))
+        )
+
+    @property
+    def properties(self) -> dict:
+        with open(os.path.join(self.path, _PROPS_FILE)) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return os.path.isfile(os.path.join(self.path, _PROPS_FILE))
+
+    # ----------------------------------------------------------------- DDL
+
+    def create(
+        self,
+        df: DataFrame,
+        dim: int,
+        metric: str = "cosine",
+        vector_col: str = "vector",
+        id_col: str = "id",
+        normalize: bool = True,
+    ) -> "VectorCollection":
+        """Truncate-and-create (the reference's ``recreate_collection``,
+        ``Qdrant/VectorDB/Database.py:10-14``): overwrite the table,
+        record (dim, metric) properties, validate, optionally normalize."""
+        out = self._validated(df, dim, vector_col, id_col)
+        if normalize and metric == "cosine":
+            out = out.withColumn(vector_col, l2_normalize(vector_col))
+        out.write.mode("overwrite").parquet(self.path)
+        with open(os.path.join(self.path, _PROPS_FILE), "w") as f:
+            json.dump(
+                {
+                    "dim": dim,
+                    "metric": metric,
+                    "vector_col": vector_col,
+                    "id_col": id_col,
+                },
+                f,
+            )
+        return self
+
+    def _validated(
+        self, df: DataFrame, dim: int, vector_col: str, id_col: str
+    ) -> DataFrame:
+        bad = df.filter(
+            F.col(vector_col).isNull() | (F.size(vector_col) != dim)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"collection {self.name}: {bad} rows violate dim={dim}"
+            )
+        dupes = (
+            df.groupBy(id_col).count().filter(F.col("count") > 1).count()
+        )
+        if dupes:
+            raise ValueError(
+                f"collection {self.name}: {dupes} duplicate ids"
+            )
+        return df
+
+    # -------------------------------------------------------------- upsert
+
+    def upsert(self, df: DataFrame) -> "VectorCollection":
+        """Last-writer-wins upsert on id (``Database.upsert``,
+        ``Qdrant/VectorDB/Database.py:16-20``): anti-join existing rows
+        against incoming ids, union, rewrite.  With a Delta sink this
+        becomes ``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+        INSERT`` and the rewrite disappears."""
+        props = self.properties
+        id_col, vector_col = props["id_col"], props["vector_col"]
+        incoming = self._validated(df, props["dim"], vector_col, id_col)
+        if props["metric"] == "cosine":
+            incoming = incoming.withColumn(
+                vector_col, l2_normalize(vector_col)
+            )
+        existing = self.read()
+        merged = existing.join(
+            incoming.select(id_col), on=id_col, how="left_anti"
+        ).unionByName(incoming)
+        # never overwrite the path still being read: stage, then swap
+        import shutil
+
+        staging = self.path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        props_json = json.dumps(props)
+        shutil.rmtree(self.path)
+        os.rename(staging, self.path)
+        with open(os.path.join(self.path, _PROPS_FILE), "w") as f:
+            f.write(props_json)
+        return self
+
+    # ---------------------------------------------------------------- read
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)

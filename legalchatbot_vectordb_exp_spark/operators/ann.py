@@ -1,0 +1,84 @@
+"""Vectorized similarity kernels: blocked matrix-multiply pair search.
+
+The expression-level dot product (functions.vector.dot) is perfect for
+top-k scans — codegen fuses it into the scan — but a *pairwise*
+self-join evaluates the interpreted lambda O(n²) times.  The scalable
+shape is linear algebra: broadcast one side as a dense matrix, stream
+the other side through ``mapInPandas``, and let BLAS do blocks of
+dot products at once (the "blocked broadcast dot-product join",
+SURVEY.md §2.9 E3).
+
+Numerical contract: BLAS summation order differs from the sequential
+fold the DuckDB oracle uses, so the matmul is only a *candidate
+prune* (threshold minus a safety margin); survivors are re-scored
+exactly with the fold expression.  Result values are therefore
+bit-identical to the all-pairs expression plan, at a fraction of the
+cost.
+
+At 100 TB neither side fits in one broadcast: partition both sides
+into row blocks, cross-join the (small) block *pair* index, and run
+this same kernel per block pair — the operator below is that kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from legalchatbot_vectordb_exp_spark.functions.vector import dot
+
+_MARGIN = 1e-6  # prune slack; exact rescore decides the boundary
+
+
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (id_a < id_b) pairs with exact dot ≥ threshold.
+
+    Stage 1 (narrow, Arrow+BLAS): broadcast the full (ids, matrix) to
+    executors; each partition computes its block × matrixᵀ and emits
+    candidate id pairs above (threshold − margin).
+    Stage 2 (tiny): join candidates back to vectors, exact fold
+    rescore, final threshold — bit-identical to the expression plan.
+    """
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    thr = float(threshold) - _MARGIN
+
+    def prune(batches):
+        import pandas as pd
+
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            scores = block @ all_mat.T  # (batch, corpus) in one BLAS call
+            rows_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            bi, ci = np.nonzero(scores >= thr)
+            a = rows_ids[bi]
+            b = all_ids[ci]
+            keep = a < b  # upper triangle only
+            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    cands = emb.select(id_col, vec_col).mapInPandas(
+        prune, schema="id_a long, id_b long"
+    )
+
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", dot("_va", "_vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -127,11 +127,13 @@ def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization with the reference's zero-norm guard
     (``Qdrant/main.py:15-18``)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    nv = l2_normalize("embedding")
-    return emb.select(
+    # stage the normalized vector through a projection so the transform
+    # runs once per row, not once per output expression
+    staged = emb.select("vec_id", l2_normalize("embedding").alias("nv"))
+    return staged.select(
         "vec_id",
-        F.round(l2_norm(nv), 6).alias("unit_norm"),
-        F.round(nv[0], 6).alias("first_component"),
+        F.round(l2_norm("nv"), 6).alias("unit_norm"),
+        F.round(F.col("nv")[0], 6).alias("first_component"),
     )
 
 

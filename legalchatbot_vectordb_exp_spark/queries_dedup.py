@@ -207,6 +207,9 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             ).alias("band_key")
         )
+        # self-joined below: cache so the signature lineage (shingle
+        # explode + md5 fan-out) runs once, not once per join side
+        .cache()
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -287,16 +290,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ 0.5 (unit vectors → dot).
-    Broadcast self-join here; at corpus scale the LSH-bucketed variant
-    (ann_lsh_pairs) provides the same surface sub-quadratically."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    from legalchatbot_vectordb_exp_spark.functions.vector import dot
 
-    pairs = (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", dot("va", "vb"))
-        .filter(F.col("cos") >= 0.5)
-    )
+    Uses the blocked BLAS candidate prune + exact-fold rescore
+    (operators/ann.py) — O(n²) arithmetic stays vectorized inside
+    Arrow batches instead of O(n²) interpreted lambda evaluations;
+    final scores are bit-identical to the expression plan."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from legalchatbot_vectordb_exp_spark.operators.ann import cosine_pairs_blocked
+
+    pairs = cosine_pairs_blocked(emb, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))

@@ -95,9 +95,18 @@ _LANG_SQL_CASES = "\n      UNION ALL\n".join(
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language heuristic (n-gram-lite language ID):
     argmax over per-language stopword hit counts, alphabetic
-    tie-break, zero hits → 'und'."""
+    tie-break, zero hits → 'und'.  Tokenizes once through a staged
+    projection; the five language counters share the word array."""
+    from legalchatbot_vectordb_exp_spark.functions.text import (
+        lang_id_from_words,
+        words,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id_expr("text").alias("pred_lang"))
+    staged = docs.select(
+        "doc_id", F.transform(words("text"), F.lower).alias("wsl")
+    )
+    return staged.select("doc_id", lang_id_from_words("wsl").alias("pred_lang"))
 
 
 @register(

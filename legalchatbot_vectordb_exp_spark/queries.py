@@ -437,4 +437,5 @@ from legalchatbot_vectordb_exp_spark import (  # noqa: E402,F401
     queries_tpch,
     queries_events,
     queries_pipeline,
+    queries_misc,
 )

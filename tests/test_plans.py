@@ -1,0 +1,101 @@
+"""Top-k planner strategy selection + skew operators + bucketed join."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.operators.skew import salted_agg, salted_join
+from legalchatbot_vectordb_exp_spark.plans.topk_planner import plan_topk_search
+
+
+def test_planner_single_query_uses_takeordered(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    plan = plan_topk_search(emb, qvec, k=3)
+    assert plan.strategy == "exact-takeordered"
+    assert plan.result.count() == 3
+
+
+def test_planner_batch_window_vs_pruned(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    small = plan_topk_search(emb, queries, k=3, corpus_rows=500, query_rows=3)
+    assert small.strategy == "exact-window"
+    # simulate big-corpus stats: planner flips to the pruned path + hint
+    big = plan_topk_search(
+        emb, queries, k=3, corpus_rows=10**9, query_rows=100
+    )
+    assert big.strategy == "exact-window-pruned"
+    assert big.hint == "consider-ivf"
+    # both strategies return identical results on the real data
+    a = sorted(map(tuple, small.result.select("query_id", "vec_id", "rank").collect()))
+    b = sorted(map(tuple, big.result.select("query_id", "vec_id", "rank").collect()))
+    assert a == b
+
+
+def test_salted_join_matches_plain_join(spark, sf_smoke):
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_smoke, "customer").select(
+        "c_custkey", "c_name"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, cust, on="o_custkey", n_salts=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_agg_minmax(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events").select("event_type", "value")
+    direct = (
+        ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    )
+    salted = salted_agg(
+        ev,
+        key_cols=["event_type"],
+        aggs={"lo": ("value", "min"), "hi": ("value", "max")},
+        n_salts=4,
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, salted))
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_smoke, tmp_path):
+    """Bucketing both sides on the join key co-locates rows: the join
+    plan has no shuffle exchange on either side.  (Tables go to the
+    session's default warehouse — warehouse.dir is a static conf — and
+    are dropped, files included, in the finally block.)"""
+    orders = load_table(spark, sf_smoke, "orders")
+    li = load_table(spark, sf_smoke, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

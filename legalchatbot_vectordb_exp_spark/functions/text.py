@@ -21,6 +21,25 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 PUNCT_PATTERN = r"[^\w\s]"
 
+# Python str.strip() whitespace (str.isspace() == True): ASCII \s plus
+# the C1/Unicode space characters.  Java regex and RE2 (DuckDB) both
+# accept the \x{...} escapes, so the same class works in both engines.
+PY_SPACE_CLASS = (
+    r"[\s\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}"
+    r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"
+)
+
+
+def py_strip(text: Column | str) -> Column:
+    """Python str.strip() twin: trims *Unicode* whitespace, which Spark's
+    ``trim()`` (ASCII-only) does not — the reference strips with Python
+    semantics (``Qdrant/llm.py:24``), and hypothesis found the \\xa0
+    divergence."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        text, f"^{PY_SPACE_CLASS}+|{PY_SPACE_CLASS}+$", ""
+    )
+
 # tiny per-language stopword lists for the n-gram/stopword language
 # heuristic (lang_id_expr); deliberately small + deterministic
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {

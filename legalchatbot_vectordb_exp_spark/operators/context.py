@@ -41,11 +41,15 @@ def assemble_context(
 
     ``id_col`` (optional) breaks score ties deterministically.
     """
+    from legalchatbot_vectordb_exp_spark.functions.text import py_strip
+
     order = [F.desc(score_col)]
     if id_col:
         order.append(F.col(id_col).asc())
 
-    stripped = hits.withColumn("_txt", F.trim(F.col(text_col))).filter(
+    # Python-strip, not trim(): the reference skips hits that are empty
+    # after str.strip(), which includes Unicode whitespace like \xa0
+    stripped = hits.withColumn("_txt", py_strip(F.col(text_col))).filter(
         F.col("_txt") != ""
     )
 

@@ -42,6 +42,7 @@ from legalchatbot_vectordb_exp_spark.registry import (
     register,
     sql_dot as _sql_dot,
     sql_norm as _sql_norm,
+    sql_py_strip as _sql_py_strip,
 )
 
 # ------------------------------------------------------------ vector queries
@@ -313,7 +314,8 @@ def q_eval_means(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r.rank <= 5
     ),
     stripped AS (
-      SELECT *, trim(text) AS txt FROM hits WHERE trim(text) <> ''
+      SELECT *, {_sql_py_strip('text')} AS txt
+      FROM hits WHERE {_sql_py_strip('text')} <> ''
     ),
     run AS (
       SELECT *,

@@ -22,7 +22,7 @@ DataFrame plans so Catalyst handles pushdown/broadcast:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from legalchatbot_vectordb_exp_spark.functions.vector import dot
 from legalchatbot_vectordb_exp_spark.io_tables import load_table
@@ -158,11 +158,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot("embedding", "cv") + 1e-12 * (-F.col("cid").cast("double")),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.col("cid").asc())
+    # argmax as max_by aggregation: partial-aggregates map-side (the
+    # shuffle carries one row per vector, not one per vector×centroid,
+    # and there is no window sort)
     assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cluster_id"))
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by("cid", "cscore").alias("cluster_id"),
+            F.first("embedding").alias("embedding"),
+        )
     )
 
     qvec = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]

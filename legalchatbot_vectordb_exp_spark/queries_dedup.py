@@ -249,11 +249,17 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash from md5 token hashes: per (doc, bit) sum of ±1
     weighted votes, positive → bit set.  Two partial-aggregated
-    groupBys; token multiplicity counts (standard SimHash)."""
+    groupBys; token multiplicity counts (standard SimHash).
+
+    The md5 is staged per *token* (one hash each), then the 16-way bit
+    explode works on the 4 cached hex chars — not one md5 per
+    (token, bit)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(words("text")).alias("w"))
+    tok = docs.select("doc_id", F.explode(words("text")).alias("w")).select(
+        "doc_id", F.substring(F.md5("w"), 1, 4).alias("hex4")
+    )
     j = F.col("j")
-    hex_char = F.substring(F.md5("w"), (j / 4).cast("int") + 1, 1)
+    hex_char = F.substring(F.col("hex4"), (j / 4).cast("int") + 1, 1)
     hex_val = F.instr(F.lit("0123456789abcdef"), hex_char) - 1
     # bit (3 - j%4) of the hex digit, as ±1 vote
     bit = (hex_val / F.pow(F.lit(2.0), (3 - j % 4).cast("double")).cast("int")).cast(
@@ -262,7 +268,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = tok.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
-        "w",
+        "hex4",
     ).select(
         "doc_id",
         F.col("j").alias("bit_pos"),

@@ -52,3 +52,17 @@ def sql_words(text: str) -> str:
         f"list_filter(regexp_split_to_array(trim({text}), '\\s+'), "
         f"w -> w <> '')"
     )
+
+
+# Python str.strip() twin — mirrors functions.text.py_strip (RE2 takes
+# the same \x{...} escapes as Java regex)
+_PY_SPACE = (
+    r"[\s\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}"
+    r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"
+)
+
+
+def sql_py_strip(expr: str) -> str:
+    return (
+        f"regexp_replace({expr}, '^{_PY_SPACE}+|{_PY_SPACE}+$', '', 'g')"
+    )

@@ -7,8 +7,11 @@ from legalchatbot_vectordb_exp_spark.functions.vector import (
 )
 from legalchatbot_vectordb_exp_spark.functions.text import (
     char_count,
+    lang_id_expr,
+    lang_id_from_words,
     paragraph_chunks,
     punct_count,
+    py_strip,
     stopword_count,
     token_count,
     word_shingles,
@@ -22,8 +25,11 @@ __all__ = [
     "l2_norm",
     "l2_normalize",
     "char_count",
+    "lang_id_expr",
+    "lang_id_from_words",
     "paragraph_chunks",
     "punct_count",
+    "py_strip",
     "stopword_count",
     "token_count",
     "word_shingles",

@@ -128,7 +128,7 @@ def paragraph_chunks(
     """
     parts = F.filter(
         F.transform(F.split(F.col(text_col), F.lit(delimiter).cast("string")),
-                    lambda p: F.trim(p)),
+                    lambda p: py_strip(p)),
         lambda p: p != "",
     )
     exploded = df.select(

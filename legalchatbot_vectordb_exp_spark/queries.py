@@ -143,11 +143,12 @@ def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_chunks",
-    sql="""
+    sql=f"""
     WITH parts AS (
       SELECT doc_id,
              list_filter(list_transform(string_split(text, ' '),
-                                        p -> trim(p)), p -> p <> '') AS ps
+                                        p -> {_sql_py_strip('p')}),
+                         p -> p <> '') AS ps
       FROM documents
     ),
     exploded AS (

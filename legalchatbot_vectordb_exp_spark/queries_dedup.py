@@ -222,6 +222,56 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_groups",
+    sql=_SHINGLE_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + f"""
+    , hashed AS (
+      SELECT doc_id, h.i AS hash_id,
+             min(md5(h.i || '|' || shingle)) AS minhash
+      FROM sh_rare, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
+      GROUP BY doc_id, h.i
+    ),
+    bands AS (
+      SELECT doc_id, hash_id // 2 AS band,
+             string_agg(minhash, ',' ORDER BY hash_id) AS band_key
+      FROM hashed GROUP BY doc_id, hash_id // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    undirected AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach AS (
+      SELECT a AS node, a AS comp FROM undirected
+      UNION
+      SELECT u.a, r.comp FROM reach r JOIN undirected u ON u.b = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS group_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups: MinHash-LSH candidate pairs → connected
+    components (iterative min-label propagation; oracle: recursive
+    CTE transitive closure) → group representative = min doc_id.
+    The keep-one dedup decision is then ``doc_id == group_id``."""
+    from legalchatbot_vectordb_exp_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )
+
+
+@register(
     "dedup_simhash",
     sql=f"""
     WITH tok AS (

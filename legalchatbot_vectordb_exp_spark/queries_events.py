@@ -135,6 +135,50 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_RUN = {"n": 0}
+
+
+@register("events_streaming_live")  # rows-only: stateful streaming
+def q_events_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension E6 live: the actual Structured Streaming tumbling
+    aggregation (streaming/events.py) executed with an availableNow
+    trigger over the events table staged as a multi-file stream source.
+    Append mode emits only watermark-finalized windows, so this is
+    registered rows-only; the window semantics themselves are
+    oracle-checked via the batch twin ``events_tumbling``."""
+    import tempfile
+
+    from legalchatbot_vectordb_exp_spark.streaming.events import (
+        read_event_stream,
+        tumbling_counts,
+    )
+
+    staging = tempfile.mkdtemp(prefix="events_stream_")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(staging)
+
+    _STREAM_RUN["n"] += 1
+    name = f"events_streaming_live_{_STREAM_RUN['n']}"
+    stream = read_event_stream(spark, staging, max_files_per_trigger=2)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
+    )
+
+
 @register(
     "events_dedup",
     sql="""

@@ -441,4 +441,5 @@ from legalchatbot_vectordb_exp_spark import (  # noqa: E402,F401
     queries_events,
     queries_pipeline,
     queries_misc,
+    queries_analytics,
 )

@@ -1,0 +1,175 @@
+"""Analytics query family: as-of join, vector centroids, exact
+percentiles, pivot, int8 vector quantization — the remaining
+general-engine surfaces a 100 TB training-data warehouse uses.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.operators.asof import asof_join
+from legalchatbot_vectordb_exp_spark.registry import register
+
+
+@register(
+    "asof_join_events",
+    sql="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    errors AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           e.event_id AS right_event_id
+    FROM purchases p ASOF LEFT JOIN errors e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively): each purchase event
+    paired with the user's latest error at-or-before it.  Union-merge
+    window implementation (operators/asof.py) vs DuckDB's native
+    ASOF JOIN as the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, errors, on="user_id", ts="ts", payload_cols=["event_id"]
+    )
+    return out.select("event_id", "user_id", "right_event_id")
+
+
+@register(
+    "label_centroids",
+    sql="""
+    WITH comp AS (
+      SELECT label, u.i AS pos, e.embedding[u.i]::DOUBLE AS x
+      FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS u(i)
+    )
+    SELECT label, pos::BIGINT AS pos,
+           round(avg(x), 6) AS centroid_component,
+           count(*) AS n
+    FROM comp GROUP BY label, pos
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components: posexplode the vectors, average
+    per (label, position).  At scale this is the k-means update step —
+    one partial-aggregated shuffle keyed (label, pos), no vectors ever
+    collected."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return comp.groupBy("label", "pos").agg(
+        F.round(F.avg("x"), 6).alias("centroid_component"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "value_percentiles",
+    sql="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``).  At 100 TB the drop-in is
+    ``percentile_approx`` (t-digest, mergeable, one pass) — exact kept
+    here because the oracle hash-matches values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "events_pivot",
+    sql="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'view') AS view,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'signup') AS signup
+    FROM events GROUP BY user_id
+    """,
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts to one column per type.  Pivot values are
+    declared (not discovered) so the plan is a single pass — the
+    two-phase auto-discover variant needs an extra distinct scan."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "error", "signup"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "vector_quantize_int8",
+    sql="""
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+             x -> CAST(greatest(least(floor(x * 127.0), 127.0), -127.0)
+                  AS BIGINT)) AS qvec,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(embedding::DOUBLE[],
+               x -> abs(x - CAST(greatest(least(floor(x * 127.0), 127.0),
+                                          -127.0) AS BIGINT) / 127.0))),
+             (a, x) -> a + x), 6) AS l1_error
+    FROM embeddings
+    """,
+)
+def q_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of unit vectors (×127, floor, clamp)
+    plus the reconstruction L1 error — 4x storage reduction for the
+    100 TB embedding store; floor keeps the mapping deterministic
+    across engines (round() would differ on half-way cases)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = lambda x: F.greatest(  # noqa: E731
+        F.least(F.floor(x * 127.0), F.lit(127.0)), F.lit(-127.0)
+    ).cast("bigint")
+    staged = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    return staged.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: q(x)).alias("qvec"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.col("v"), lambda x: F.abs(x - q(x).cast("double") / 127.0)
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("l1_error"),
+    )

@@ -62,19 +62,26 @@ _SHINGLE_CTE = f"""
 
 
 def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) pairs after the document-frequency cap."""
+    """(doc_id, shingle) pairs after the document-frequency cap.
+
+    The cap is applied as a broadcast ANTI join against the *hot* set
+    (df > cap): hot shingles are by construction few (59 at sf0.1 vs
+    ~250k rare ones), so the broadcast is tiny — the inverse join
+    (broadcasting the rare majority) would ship the whole vocabulary
+    to every executor."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
     )
-    rare = (
+    hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("shingle")
     )
-    # blocking-key join: rare is small after the cap → broadcast
-    return sh.join(F.broadcast(rare), "shingle").select("doc_id", "shingle")
+    return sh.join(F.broadcast(hot), "shingle", "left_anti").select(
+        "doc_id", "shingle"
+    )
 
 
 @register(

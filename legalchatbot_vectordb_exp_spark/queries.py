@@ -442,4 +442,5 @@ from legalchatbot_vectordb_exp_spark import (  # noqa: E402,F401
     queries_pipeline,
     queries_misc,
     queries_analytics,
+    queries_functions,
 )

@@ -30,20 +30,27 @@ def connected_components(
     """edges(src, dst) → (node, component) with component = min node id
     reachable.  Nodes = all endpoints; isolated nodes don't appear in
     edges and so keep label = self implicitly (callers union them)."""
+    # materialize the (usually expensive) edge lineage once — every
+    # propagation round joins against adj, and without this each round
+    # would re-run candidate generation upstream
+    edges = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
+
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        edges.select(F.col("s").alias("node"))
+        .unionByName(edges.select(F.col("d").alias("node")))
         .distinct()
     )
     labels = nodes.withColumn("component", F.col("node"))
 
     # undirected adjacency, plus self-loops so a node retains its label
     adj = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(F.col("s").alias("a"), F.col("d").alias("b"))
+        .unionByName(edges.select(F.col("d").alias("a"), F.col("s").alias("b")))
         .unionByName(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
         # each node adopts min(label of neighbors ∪ self)

@@ -24,7 +24,7 @@ import json
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from legalchatbot_vectordb_exp_spark.functions.vector import l2_norm, l2_normalize
 
@@ -148,3 +148,95 @@ class VectorCollection:
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+    # ------------------------------------------------------------- IVF mode
+
+    def create_ivf(
+        self,
+        df: DataFrame,
+        dim: int,
+        n_clusters: int = 16,
+        vector_col: str = "vector",
+        id_col: str = "id",
+    ) -> "VectorCollection":
+        """Create the collection *partitioned by nearest-centroid id* —
+        the IVF storage layout: at 100 TB a probe query reads only
+        nprobe/n_clusters of the data via parquet partition pruning.
+
+        Centroids are n_clusters deterministic sample rows (every
+        ceil(n/k)-th by id); a k-means refinement would slot in here
+        without changing the layout.  Centroid vectors are stored in
+        the properties sidecar so probing needs no table scan.
+        """
+        from legalchatbot_vectordb_exp_spark.functions.vector import dot
+
+        out = self._validated(df, dim, vector_col, id_col)
+        out = out.withColumn(vector_col, l2_normalize(vector_col))
+
+        n = out.count()
+        step = max(n // n_clusters, 1)
+        centroid_rows = (
+            out.select(id_col, vector_col)
+            .withColumn("_rn", F.row_number().over(Window.orderBy(id_col)))
+            .filter((F.col("_rn") - 1) % step == 0)
+            .limit(n_clusters)
+            .collect()
+        )
+        centroids = [(i, list(map(float, r[1]))) for i, r in enumerate(centroid_rows)]
+
+        # nearest centroid per row: fold over the (small) centroid list
+        best = None
+        for cid, cvec in centroids:
+            clit = F.array(*[F.lit(x) for x in cvec])
+            score = dot(F.col(vector_col), clit)
+            cur = F.struct(score.alias("s"), F.lit(cid).alias("cid"))
+            best = cur if best is None else F.when(
+                cur["s"] > best["s"], cur
+            ).otherwise(best)
+        assigned = out.withColumn("cluster_id", best["cid"])
+
+        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            self.path
+        )
+        with open(os.path.join(self.path, _PROPS_FILE), "w") as f:
+            json.dump(
+                {
+                    "dim": dim,
+                    "metric": "cosine",
+                    "vector_col": vector_col,
+                    "id_col": id_col,
+                    "layout": "ivf",
+                    "centroids": centroids,
+                },
+                f,
+            )
+        return self
+
+    def search_ivf(
+        self, query_vec: list[float], k: int = 5, nprobe: int = 2
+    ) -> DataFrame:
+        """Probe the nprobe nearest centroids only: the cluster_id
+        filter prunes parquet partitions before any IO happens."""
+        import math
+
+        from legalchatbot_vectordb_exp_spark.operators.topk import topk_search
+
+        props = self.properties
+        qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+        q = [x / qn for x in query_vec]
+        scored = sorted(
+            (
+                (sum(a * b for a, b in zip(q, cvec)), cid)
+                for cid, cvec in props["centroids"]
+            ),
+            reverse=True,
+        )
+        probe_ids = [cid for _, cid in scored[:nprobe]]
+        pruned = self.read().filter(F.col("cluster_id").isin(probe_ids))
+        return topk_search(
+            pruned,
+            q,
+            k=k,
+            vec_col=props["vector_col"],
+            id_col=props["id_col"],
+        )

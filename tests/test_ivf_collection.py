@@ -1,0 +1,83 @@
+"""IVF-partitioned vector collection: layout, partition pruning in the
+scan plan, and probe-search recall vs exact search."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.operators.topk import topk_search
+from legalchatbot_vectordb_exp_spark.sources.collection import VectorCollection
+
+
+def build(spark, sf_smoke, tmp_path, n_clusters=8):
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+    )
+    c = VectorCollection(spark, str(tmp_path), "ivf_demo")
+    c.create_ivf(emb, dim=64, n_clusters=n_clusters)
+    return c, emb
+
+
+def test_ivf_layout_partitions_on_disk(spark, sf_smoke, tmp_path):
+    c, _ = build(spark, sf_smoke, tmp_path)
+    parts = [d for d in os.listdir(c.path) if d.startswith("cluster_id=")]
+    assert len(parts) >= 2  # data actually spread over clusters
+    props = c.properties
+    assert props["layout"] == "ivf" and len(props["centroids"]) == 8
+    # every row landed in exactly one cluster; nothing lost
+    assert c.read().count() == 500
+
+
+def test_ivf_probe_prunes_partitions(spark, sf_smoke, tmp_path):
+    c, emb = build(spark, sf_smoke, tmp_path)
+    qvec = [float(x) for x in emb.filter(F.col("id") == "42").head()[1]]
+    pruned = c.read().filter(F.col("cluster_id").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    # the probe scan reads only the probed clusters
+    total = c.read().count()
+    probed = pruned.count()
+    assert 0 < probed < total
+
+
+def test_ivf_search_contains_self_and_approximates_exact(
+    spark, sf_smoke, tmp_path
+):
+    c, emb = build(spark, sf_smoke, tmp_path)
+    qvec = [float(x) for x in emb.filter(F.col("id") == "42").head()[1]]
+
+    ivf_top = c.search_ivf(qvec, k=5, nprobe=3).collect()
+    ids_ivf = [r.id for r in ivf_top]
+    assert ids_ivf[0] == "42"  # self is always in its own probed cell
+
+    exact_top = topk_search(
+        c.read(), ivf_top and qvec, k=5, vec_col="vector", id_col="id"
+    ).collect()
+    ids_exact = [r.id for r in exact_top]
+    overlap = len(set(ids_ivf) & set(ids_exact))
+    # the test embeddings are RANDOM unit vectors — no cluster
+    # structure, IVF's worst case — so expected recall is only
+    # ~nprobe/nlist; assert the guaranteed part (self) plus sanity
+    assert overlap >= 1, (ids_ivf, ids_exact)
+
+
+def test_ivf_full_probe_equals_exact(spark, sf_smoke, tmp_path):
+    """nprobe = n_clusters degenerates to exact search — same results."""
+    c, emb = build(spark, sf_smoke, tmp_path, n_clusters=4)
+    qvec = [float(x) for x in emb.filter(F.col("id") == "7").head()[1]]
+    ivf_all = c.search_ivf(qvec, k=5, nprobe=4).select(
+        "id", F.round("score", 6).alias("score")
+    ).collect()
+    # search_ivf re-normalizes the query (reference behavior); do the
+    # same here so scores agree beyond float noise
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qvec))
+    exact = topk_search(
+        c.read(), [x / qn for x in qvec], k=5, vec_col="vector", id_col="id"
+    ).select("id", F.round("score", 6).alias("score")).collect()
+    assert sorted(map(tuple, ivf_all)) == sorted(map(tuple, exact))

@@ -25,7 +25,7 @@ engine's write-time convention, as in the reference) cosine == dot.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window

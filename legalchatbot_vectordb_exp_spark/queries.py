@@ -16,7 +16,7 @@ Cross-engine determinism rules (see FIXTURES.md "Oracle notes"):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from legalchatbot_vectordb_exp_spark.io_tables import load_table
 from legalchatbot_vectordb_exp_spark.functions.vector import (
@@ -31,8 +31,6 @@ from legalchatbot_vectordb_exp_spark.operators.topk import (
 )
 from legalchatbot_vectordb_exp_spark.operators.context import assemble_context
 from legalchatbot_vectordb_exp_spark.operators.evaluate import (
-    extract_numbers,
-    mean_metrics,
     with_recall_mrr,
 )
 

@@ -8,9 +8,15 @@ DataFrame plans so Catalyst handles pushdown/broadcast:
 * **random-hyperplane LSH** — bucket = sign bits of dot products with
   a fixed set of hyperplanes; near vectors collide with high
   probability; candidate generation is an equi-join on the bucket key.
-  Hyperplanes here are 8 deterministic corpus vectors (vec_id 0..7) so
-  the oracle can reproduce them; in production they'd be seeded
-  gaussians broadcast to executors.
+  Hyperplanes are **data-independent deterministic Rademacher planes**:
+  component (p, j) is ±1 from the parity of ``md5(p || '_' || j)`` —
+  reproducible bit-for-bit in any engine with md5 (the DuckDB oracle
+  builds the identical planes).  Data-independence is the scale story:
+  an earlier draft used corpus vectors 0..7 as planes, and on a 10×
+  stress corpus whose lead vectors were near-parallel the hash
+  collapsed to 2 buckets → 100 M candidate pairs from 20 k vectors;
+  the md5 planes keep the same corpus at 256 balanced buckets → 1 M
+  pairs, and their quality cannot drift with data distribution.
 
 * **IVF (inverted-file) pruning** — assign every vector to its nearest
   centroid; a query probes only the closest ``nprobe`` centroids.  On
@@ -29,14 +35,22 @@ from legalchatbot_vectordb_exp_spark.io_tables import load_table
 from legalchatbot_vectordb_exp_spark.registry import register, sql_dot
 
 N_PLANES = 8
+DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
 IVF_MOD = 64  # centroids = vec_id % 64 == 0 (deterministic pseudo-kmeans)
 NPROBE = 2
 
 
+# Rademacher plane component (p, j) = +1 if the first hex digit of
+# md5("p_j") is 0..7 else -1 — identical construction in Spark and
+# DuckDB, so bucket ids agree bit-for-bit.
 _BUCKET_CTE = f"""
     WITH planes AS (
-      SELECT vec_id AS plane_id, embedding AS pv
-      FROM embeddings WHERE vec_id < {N_PLANES}
+      SELECT pid AS plane_id,
+             list_transform(range({DIM}), j ->
+               CASE WHEN substr(md5(concat(CAST(pid AS VARCHAR), '_',
+                                           CAST(j AS VARCHAR))), 1, 1) <= '7'
+                    THEN 1.0 ELSE -1.0 END) AS pv
+      FROM (SELECT unnest(range({N_PLANES})) AS pid)
     ),
     sig AS (
       SELECT e.vec_id,
@@ -49,11 +63,34 @@ _BUCKET_CTE = f"""
 """
 
 
+def _spark_planes(spark: SparkSession) -> DataFrame:
+    """Deterministic md5-Rademacher hyperplanes (see module docstring)."""
+    return spark.range(N_PLANES).select(
+        F.col("id").cast("int").alias("plane_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("id").cast("string"),
+                            F.lit("_"),
+                            j.cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                <= "7",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ).alias("pv"),
+    )
+
+
 def _spark_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = emb.filter(F.col("vec_id") < N_PLANES).select(
-        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pv")
-    )
+    planes = _spark_planes(spark)
     return (
         emb.select("vec_id", "embedding")
         .join(F.broadcast(planes), how="cross")
@@ -95,21 +132,24 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs (same bucket) with exact cosine verification
     — the sub-quadratic near-dup/similarity-join surface: shuffle is on
-    the bucket key, pair count bounded by bucket occupancy."""
+    the bucket key, pair count bounded by bucket occupancy.  Pair
+    scoring goes through the vectorized bit-exact kernel
+    (operators/ann.exact_pair_scores): at dense bucket occupancy the
+    interpreted per-pair fold was the bottleneck (416 s → seconds on
+    the 10× stress corpus)."""
+    from legalchatbot_vectordb_exp_spark.operators.ann import exact_pair_scores
+
     buckets = _spark_buckets(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    withv = buckets.join(emb, "vec_id")
-    a = withv.select(
-        F.col("vec_id").alias("id_a"), "bucket", F.col("embedding").alias("va")
-    )
-    b = withv.select(
-        F.col("vec_id").alias("id_b"), "bucket", F.col("embedding").alias("vb")
-    )
-    return (
+    a = buckets.select(F.col("vec_id").alias("id_a"), "bucket")
+    b = buckets.select(F.col("vec_id").alias("id_b"), "bucket")
+    cands = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot("va", "vb"), 6).alias("cos"))
+        .select("id_a", "id_b")
     )
+    scored = exact_pair_scores(cands, emb)
+    return scored.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
 @register(

@@ -16,7 +16,7 @@ Scale design notes (all verified on the sf tables, designed for 100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from legalchatbot_vectordb_exp_spark.functions.text import word_shingles, words
 from legalchatbot_vectordb_exp_spark.io_tables import load_table

@@ -13,9 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from legalchatbot_vectordb_exp_spark.functions.text import (
     LANG_STOPWORDS,
-    PUNCT_PATTERN,
     TOKEN_PATTERN,
-    lang_id_expr,
     punct_count,
     stopword_count,
     token_count,

@@ -72,7 +72,8 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
-    )
+    ).cache()  # read by both the hot-set agg and the anti join — the
+    # shingle HOF expression is the expensive part, evaluate it once
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -132,6 +133,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with columns h0..h{N-1} = min md5(i || shingle).
+
+    The N hashes are N *aggregate columns* over the un-exploded shingle
+    rows, not an N-way row fan-out: the min is partial-aggregated
+    map-side, so the shuffle carries one N-column row per document
+    instead of docs × N × shingles hashed rows."""
+    sh = _spark_shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))
+            ).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+
+
 @register(
     "dedup_minhash_signature",
     sql=_SHINGLE_CTE
@@ -148,25 +167,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: per (doc, hash_id) the lexicographic min of
-    md5(hash_id || shingle) — one groupBy with map-side partial min."""
-    sh = _spark_shingles(spark, sf_dir)
-    hashed = sh.select(
+    md5(hash_id || shingle), unpivoted from the wide map-side-combined
+    aggregate (_signature_wide) — the explode happens *after* the agg,
+    on docs × N tiny rows."""
+    wide = _signature_wide(spark, sf_dir)
+    return wide.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("hash_id"),
-        "shingle",
+        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(N_MINHASH)])),
     ).select(
-        "doc_id",
-        "hash_id",
-        F.md5(F.concat(F.col("hash_id"), F.lit("|"), F.col("shingle"))).alias(
-            "h"
-        ),
-    )
-    return (
-        hashed.groupBy("doc_id", "hash_id")
-        .agg(F.min("h").alias("minhash"))
-        .select(
-            "doc_id", F.col("hash_id").cast("bigint").alias("hash_id"), "minhash"
-        )
+        F.col("doc_id"),
+        F.col("pos").cast("bigint").alias("hash_id"),
+        F.col("col").alias("minhash"),
     )
 
 
@@ -198,24 +209,32 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature (4 bands × 2
     rows), join on (band, band_key) — candidates share at
     least one full band.  The join key is the band hash, so shuffle
-    volume is O(docs × bands), independent of corpus pair count."""
-    sig = q_dedup_minhash_signature(spark, sf_dir)
-    bands = (
-        sig.withColumn("band", (F.col("hash_id") / 2).cast("bigint"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("hash_id", "minhash"))
-                    ),
-                    lambda s: s["minhash"],
-                ),
+    volume is O(docs × bands), independent of corpus pair count.
+    Band keys concat adjacent columns of the wide signature directly —
+    no second groupBy after the signature aggregate."""
+    wide = _signature_wide(spark, sf_dir)
+    rows_per_band = N_MINHASH // MINHASH_BANDS
+    band_keys = F.array(
+        *[
+            F.concat_ws(
                 ",",
-            ).alias("band_key")
+                *[
+                    F.col(f"h{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = (
+        wide.select("doc_id", F.posexplode(band_keys))
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("band"),
+            F.col("col").alias("band_key"),
         )
         # self-joined below: cache so the signature lineage (shingle
-        # explode + md5 fan-out) runs once, not once per join side
+        # explode + md5) runs once, not once per join side
         .cache()
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")

@@ -156,14 +156,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: lexicographic min of md5 over 5-word
-    shingles (winnowing-lite content signature) + shingle cardinality."""
+    shingles (winnowing-lite content signature) + shingle cardinality.
+
+    word_shingles is already distinct, so min-md5 and the distinct
+    count are *array* expressions over the un-exploded shingle array:
+    a narrow single-pass projection — no explode, no shuffle (the
+    explode + groupBy(doc_id) formulation re-shuffled every shingle
+    only to regroup rows that started on the same line)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles("text", 5)).alias("shingle")
-    )
-    return sh.groupBy("doc_id").agg(
-        F.min(F.md5("shingle")).alias("fingerprint"),
-        F.count_distinct(F.col("shingle")).alias("n_shingles"),
+    staged = docs.select("doc_id", word_shingles("text", 5).alias("sh"))
+    return staged.select(
+        "doc_id",
+        F.array_min(F.transform(F.col("sh"), F.md5)).alias("fingerprint"),
+        F.size("sh").cast("bigint").alias("n_shingles"),
     )
 
 

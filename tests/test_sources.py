@@ -92,3 +92,41 @@ def test_chunk_dump_format(spark, tmp_path):
     content = open(os.path.join(path, files[0])).read()
     assert "[Page 1 | Chunk 0]\nhello\n" in content
     assert content.index("Chunk 0]\nhello") < content.index("Chunk 1]\nworld")
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    from legalchatbot_vectordb_exp_spark.sources.jsonl import (
+        DOCUMENTS_SCHEMA,
+        quarantine_corrupt,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "en", "web", 10),
+            (2, "gamma", "de", "book", 5),
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, shards=2)
+    back = read_jsonl(spark, out)
+    clean, corrupt = quarantine_corrupt(back)
+    assert corrupt.count() == 0
+    assert sorted(tuple(r) for r in clean.collect()) == sorted(
+        tuple(r) for r in docs.collect()
+    )
+
+    # inject a corrupt shard: one bad line, one good line.  Drop the
+    # cached first read: Spark's cache is keyed on the logical plan, so
+    # an identical re-read after the files changed would serve the
+    # stale cached rows.
+    back.unpersist()
+    bad = tmp_path / "docs_jsonl" / "zz-bad.json"
+    bad.write_text('{"doc_id": 3, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n{not json\n')
+    back2 = read_jsonl(spark, out)
+    clean2, corrupt2 = quarantine_corrupt(back2)
+    assert clean2.count() == 3
+    assert corrupt2.count() == 1
+    assert "{not json" in corrupt2.collect()[0][0]

@@ -37,6 +37,17 @@ def connected_components(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).localCheckpoint(eager=True)
 
+    # size the iteration's parallelism to the EDGE set, not the session
+    # default: after LSH banding the edge list is orders smaller than
+    # the corpus, and running ~10 tiny jobs at 32 shuffle partitions
+    # each is pure scheduling overhead.  ~1M edges per partition, capped
+    # at the session's configured parallelism for genuinely big graphs.
+    sess_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    parts = max(1, min(sess_parts, edges.count() // 1_000_000 + 1))
+    edges = edges.repartition(parts)
+
     nodes = (
         edges.select(F.col("s").alias("node"))
         .unionByName(edges.select(F.col("d").alias("node")))

@@ -184,45 +184,69 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search: assign vectors to nearest deterministic centroid,
     probe the query's top-2 centroids, exact top-5 within the probed
     cells.  The cluster assignment is the partition key at scale —
-    probing becomes parquet partition pruning."""
+    probing becomes parquet partition pruning.
+
+    The coarse quantizer (centroid set) lives driver-side, as in any
+    real IVF index — nlist rows are metadata-scale.  Assignment is a
+    narrow mapInPandas kernel folding dims column-sequentially per
+    centroid (bit-identical to the aggregate(zip_with(...)) expression
+    and the DuckDB oracle), so the whole query plan is scan → narrow
+    assignment → probe filter → TakeOrderedAndProject: **zero
+    shuffles** (the previous cross-join + max_by groupBy shuffled
+    vectors × centroids scored rows)."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centroids = emb.filter(F.col("vec_id") % IVF_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    crows = (
+        emb.filter(F.col("vec_id") % IVF_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    # nearest centroid per vector; tiny deterministic penalty breaks
-    # exact-dot ties toward the smaller cid (mirrors the oracle arg_max)
-    scored = (
-        emb.join(F.broadcast(centroids), how="cross")
-        .withColumn(
-            "cscore",
-            dot("embedding", "cv") + 1e-12 * (-F.col("cid").cast("double")),
-        )
-    )
-    # argmax as max_by aggregation: partial-aggregates map-side (the
-    # shuffle carries one row per vector, not one per vector×centroid,
-    # and there is no window sort)
-    assign = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max_by("cid", "cscore").alias("cluster_id"),
-            F.first("embedding").alias("embedding"),
-        )
+    cids = [int(r[0]) for r in crows]
+    cmat = [list(map(float, r[1])) for r in crows]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).head()[1]]
+
+    def seq_dot(a, b):  # sequential fold — same IEEE order as the oracle
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    probe = set(
+        cid
+        for _, cid in sorted(
+            ((-seq_dot(qvec, cv), cid) for cid, cv in zip(cids, cmat))
+        )[:NPROBE]
     )
 
-    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    def assign(batches):
+        import pandas as pd
 
-    probe = (
-        centroids.withColumn("qs", dot("cv", qlit))
-        .orderBy(F.desc("qs"), F.col("cid").asc())
-        .limit(NPROBE)
-        .select("cid")
+        C = np.array(cmat, dtype=np.float64)  # nlist × dim
+        penal = 1e-12 * (-np.array(cids, dtype=np.float64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            scores = np.zeros((len(pdf), C.shape[0]))
+            for j in range(C.shape[1]):  # sequential across dims
+                scores = scores + E[:, j, None] * C[None, :, j]
+            best = np.argmax(scores + penal[None, :], axis=1)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster_id": [cids[i] for i in best],
+                }
+            )
+            yield out[out["cluster_id"].isin(probe)]
+
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    probed = emb.mapInPandas(
+        assign, schema="vec_id long, embedding array<double>, cluster_id long"
     )
     return (
-        assign.join(
-            F.broadcast(probe), assign.cluster_id == probe.cid
-        )
-        .withColumn("score", dot("embedding", qlit))
+        probed.withColumn("score", dot("embedding", qlit))
         .orderBy(F.desc("score"), F.col("vec_id").asc())
         .limit(5)
         .select("vec_id", F.round("score", 6).alias("score"))

@@ -382,3 +382,62 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = cosine_pairs_blocked(emb, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@register(
+    "dedup_keep_one",
+    sql=_SHINGLE_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + f"""
+    , hashed AS (
+      SELECT doc_id, h.i AS hash_id,
+             min(md5(h.i || '|' || shingle)) AS minhash
+      FROM sh_rare, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
+      GROUP BY doc_id, h.i
+    ),
+    bands AS (
+      SELECT doc_id, hash_id // 2 AS band,
+             string_agg(minhash, ',' ORDER BY hash_id) AS band_key
+      FROM hashed GROUP BY doc_id, hash_id // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    undirected AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    reach AS (
+      SELECT a AS node, a AS comp FROM undirected
+      UNION
+      SELECT u.a, r.comp FROM reach r JOIN undirected u ON u.b = r.node
+    ),
+    groups AS (
+      SELECT node AS doc_id, min(comp) AS group_id
+      FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           coalesce(g.group_id, d.doc_id) AS group_id,
+           d.doc_id = coalesce(g.group_id, d.doc_id) AS kept
+    FROM documents d LEFT JOIN groups g USING (doc_id)
+    """,
+)
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized dedup *decision* that completes E2: every
+    document tagged with its duplicate-group representative and a
+    ``kept`` flag (representative = min doc_id; singletons keep
+    themselves).  The group map — tiny after LSH banding — broadcasts
+    against the full corpus, so the big side never shuffles; at 100 TB
+    this is the same broadcast-hash-join shape, with the group map
+    spilling to a shuffle join only past ~GB group counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    groups = q_dedup_groups(spark, sf_dir)
+    joined = docs.join(F.broadcast(groups), "doc_id", "left")
+    gid = F.coalesce(F.col("group_id"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        gid.alias("group_id"),
+        (F.col("doc_id") == gid).alias("kept"),
+    )

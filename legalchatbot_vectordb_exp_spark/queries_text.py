@@ -93,18 +93,50 @@ _LANG_SQL_CASES = "\n      UNION ALL\n".join(
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language heuristic (n-gram-lite language ID):
     argmax over per-language stopword hit counts, alphabetic
-    tie-break, zero hits → 'und'.  Tokenizes once through a staged
-    projection; the five language counters share the word array."""
-    from legalchatbot_vectordb_exp_spark.functions.text import (
-        lang_id_from_words,
-        words,
-    )
+    tie-break, zero hits → 'und'.
 
-    docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id", F.transform(words("text"), F.lower).alias("wsl")
-    )
-    return staged.select("doc_id", lang_id_from_words("wsl").alias("pred_lang"))
+    Computed in an exact Arrow kernel (mapInPandas): the votes are
+    integer set-membership counts, so there is no float-order concern —
+    the kernel replicates the expression semantics literally (split on
+    ASCII ``\\s+`` like Java regex, lowercase, multiplicity-counting
+    membership, ``(-score, lang)`` tie-break).  This removes the five
+    interpreted per-language HOF passes over every word array — the
+    dominant linear constant of the text family in the 10× stress
+    sweep.  The expression form stays available as
+    functions.text.lang_id_from_words for composition."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lang_sets = [
+        (lang, frozenset(sw)) for lang, sw in sorted(LANG_STOPWORDS.items())
+    ]
+
+    def kernel(batches):
+        import re
+
+        import pandas as pd
+
+        # Java regex \s is ASCII-only; Python's is Unicode unless
+        # re.ASCII — match the expression plan (and the DuckDB oracle's
+        # regexp_split_to_array '\s+') exactly
+        space = re.compile(r"\s+", re.ASCII)
+
+        def pred(text) -> str:
+            # no Python .strip(): it is Unicode-aware (would eat NBSP
+            # and friends that Java's trim/\s+ keep); empty tokens from
+            # leading/trailing ASCII whitespace are dropped by the filter
+            ws = [w.lower() for w in space.split(text or "") if w]
+            best_lang, best_score = "und", 0
+            for lang, sw in lang_sets:
+                score = sum(1 for w in ws if w in sw)
+                if score > best_score:  # ties keep the earlier (asc) lang
+                    best_lang, best_score = lang, score
+            return best_lang
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pred_lang": pdf["text"].map(pred)}
+            )
+
+    return docs.mapInPandas(kernel, schema="doc_id long, pred_lang string")
 
 
 @register(

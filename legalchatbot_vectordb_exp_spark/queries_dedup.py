@@ -330,9 +330,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    sql=f"""
+_SIMHASH_CTE = f"""
     WITH tok AS (
       SELECT doc_id, unnest({sql_words('text')}) AS w FROM documents
     ),
@@ -347,25 +345,20 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT doc_id, bit_pos, sum(v) AS s FROM bits GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0
+                 THEN CAST(pow(2, bit_pos) AS BIGINT) ELSE 0 END)::BIGINT
+               AS simhash
+      FROM agg GROUP BY doc_id
     )
-    SELECT doc_id,
-           sum(CASE WHEN s > 0
-               THEN CAST(pow(2, bit_pos) AS BIGINT) ELSE 0 END)::BIGINT
-             AS simhash
-    FROM agg GROUP BY doc_id
-    """,
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash from md5 token hashes: per (doc, bit) sum of ±1
-    weighted votes, positive → bit set; token multiplicity counts
-    (standard SimHash).
+"""
 
-    The md5 is staged per *token* (one hash each); the 16 bit votes
-    are 16 integer **aggregate columns** over the un-exploded token
-    rows (same wide map-side-combine shape as the minhash signature):
-    one shuffle carrying a 16-int row per doc, versus the previous
-    16-way bit explode + two groupBys shuffling tokens × 16 rows.
-    10× stress corpus: 12.6 s → ~2 s."""
+
+def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash, one md5 per token, 16 bit
+    votes as wide map-side-combined aggregate columns."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(words("text")).alias("w")).select(
         "doc_id", F.substring(F.md5("w"), 1, 4).alias("hex4")
@@ -385,8 +378,88 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(16):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    return agg.select(
-        "doc_id", simhash.cast("bigint").alias("simhash")
+    return agg.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    sql=_SIMHASH_CTE + "SELECT doc_id, simhash FROM sim",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash from md5 token hashes: per (doc, bit) sum of ±1
+    weighted votes, positive → bit set; token multiplicity counts
+    (standard SimHash).
+
+    The md5 is staged per *token* (one hash each); the 16 bit votes
+    are 16 integer **aggregate columns** over the un-exploded token
+    rows (same wide map-side-combine shape as the minhash signature):
+    one shuffle carrying a 16-int row per doc, versus the previous
+    16-way bit explode + two groupBys shuffling tokens × 16 rows.
+    10× stress corpus: 12.6 s → ~2 s."""
+    return _spark_simhash(spark, sf_dir)
+
+
+SIMHASH_BANDS = 2  # bands of 8 bits each over the 16-bit signature
+SIMHASH_MAX_HAMMING = 1  # pigeonhole: ≤1 differing bit → one band exact
+
+
+@register(
+    "dedup_simhash_pairs",
+    sql=_SIMHASH_CTE
+    + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup *pairs* — the step that makes the signature a
+    dedup operator: candidates collide on at least one 8-bit band
+    (pigeonhole guarantees every pair at hamming ≤ 1 shares a band),
+    then exact ``bit_count(simhash XOR simhash) ≤ 1`` verification.
+
+    Shuffle is on the (band_id, band_value) key — never a corpus self
+    cross join; the DuckDB oracle *is* the quadratic formulation, which
+    is exactly the point of the banding rewrite.  Each band row carries
+    its signature so verification needs no join back to the signature
+    table.  At a production 64-bit simhash the same shape runs 4 bands
+    × 16 bits for hamming ≤ 3."""
+    sim = _spark_simhash(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    ).cache()  # self-joined: signature lineage runs once
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band",
+        "band_val",
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).cast("bigint")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

@@ -96,6 +96,56 @@ def decode_image_stub(
     )
 
 
+RESIZED_SCHEMA = (
+    "id string, width int, height int, content binary, n_bytes int"
+)
+
+
+def resize_image_stub(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Image resize shape: binary in → binary out with target dims.
+
+    STUB KERNEL: the "resized" payload is the input bytes resampled by
+    fixed-stride byte decimation to a deterministic size proportional
+    to ``width × height`` (PIL absent) — preserving the production
+    contract that output size is a function of the *target* dims, not
+    the input.  Binary flows Arrow-batched both directions; swapping in
+    ``PIL.Image.resize`` changes only the kernel body.
+    """
+    target = max(1, (width * height) // 256)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[bytes] = []
+            for content in pdf[content_col]:
+                data = bytes(content) if content is not None else b""
+                if not data:
+                    out.append(b"")
+                    continue
+                stride = max(1, len(data) // target)
+                out.append(data[::stride][:target])
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype(str),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "content": out,
+                    "n_bytes": pd.Series(
+                        [len(b) for b in out], dtype="int32"
+                    ),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = "id string, frame_index int, frame binary"
 
 

@@ -57,3 +57,24 @@ def test_frame_sample_explodes_binary(spark):
     assert len(bytes(out[0].frame)) == 1024
     total = sum(len(bytes(r.frame)) for r in out)
     assert total == 2560
+
+
+def test_resize_image_stub_binary_roundtrip(spark):
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        resize_image_stub,
+    )
+
+    df = make_binary_df(spark)
+    out = resize_image_stub(df, width=32, height=32)
+    rows = {r.id: r for r in out.collect()}
+    assert set(rows) == {"p1", "j1", "t1"}
+    for r in rows.values():
+        assert (r.width, r.height) == (32, 32)
+        assert isinstance(r.content, (bytes, bytearray))
+        assert r.n_bytes == len(r.content)
+        # output size bounded by the target-dim budget, not input size
+        assert 0 < r.n_bytes <= max(1, (32 * 32) // 256)
+    # deterministic
+    again = {r.id: bytes(r.content) for r in
+             resize_image_stub(df, width=32, height=32).collect()}
+    assert {k: bytes(v.content) for k, v in rows.items()} == again

@@ -251,3 +251,137 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", F.round("score", 6).alias("score"))
     )
+
+
+N_BATCH_QUERIES = 8
+
+
+@register(
+    "ann_ivf_topk_batch",
+    sql=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id % {IVF_MOD} = 0
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             arg_max(c.cid, {sql_dot('e.embedding', 'c.cv')}
+                            + 1e-12 * (-c.cid)) AS cluster_id
+      FROM embeddings e CROSS JOIN centroids c
+      GROUP BY e.vec_id, e.embedding
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id <= {N_BATCH_QUERIES}
+    ),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_dot('q.qv', 'c.cv')} DESC, c.cid ASC) AS rn
+        FROM queries q CROSS JOIN centroids c)
+      WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id,
+             {sql_dot('a.embedding', 'q.qv')} AS score
+      FROM assign a
+      JOIN probe p ON a.cluster_id = p.cid
+      JOIN queries q ON q.query_id = p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_ann_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-query IVF search — the 100 TB ANN *batch* path.
+
+    The coarse quantizer stays driver-side (nlist rows are metadata):
+    each query's top-``nprobe`` cells are chosen on the driver, and the
+    (query_id, cluster_id, query_vector) probe frame **broadcasts** to
+    the corpus.  The corpus never shuffles: scan → narrow bit-exact
+    assignment kernel filtered to the union of probed cells (on an
+    IVF-partitioned table this filter is parquet partition pruning —
+    see VectorCollection.create_ivf) → broadcast-hash join on
+    cluster_id → per-query window rank.  The single shuffle carries
+    only the scored candidates of the probed cells (~queries ×
+    cells/nlist of the corpus), independent of total corpus size."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    crows = (
+        emb.filter(F.col("vec_id") % IVF_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cids = [int(r[0]) for r in crows]
+    cmat = [list(map(float, r[1])) for r in crows]
+    qrows = (
+        emb.filter(F.col("vec_id") <= N_BATCH_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    def seq_dot(a, b):  # sequential fold — same IEEE order as the oracle
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    probe_rows = []
+    for qr in qrows:
+        qid, qv = int(qr[0]), [float(x) for x in qr[1]]
+        top = sorted(
+            ((-seq_dot(qv, cv), cid) for cid, cv in zip(cids, cmat))
+        )[:NPROBE]
+        probe_rows.extend((qid, cid, qv) for _, cid in top)
+    probe_cells = set(cid for _, cid, _ in probe_rows)
+
+    def assign(batches):
+        import pandas as pd
+
+        C = np.array(cmat, dtype=np.float64)  # nlist × dim
+        penal = 1e-12 * (-np.array(cids, dtype=np.float64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            scores = np.zeros((len(pdf), C.shape[0]))
+            for j in range(C.shape[1]):  # sequential across dims
+                scores = scores + E[:, j, None] * C[None, :, j]
+            best = np.argmax(scores + penal[None, :], axis=1)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster_id": [cids[i] for i in best],
+                }
+            )
+            yield out[out["cluster_id"].isin(probe_cells)]
+
+    probed = emb.mapInPandas(
+        assign, schema="vec_id long, embedding array<double>, cluster_id long"
+    )
+    qdf = spark.createDataFrame(
+        probe_rows, "query_id long, cluster_id long, qv array<double>"
+    )
+    scored = probed.join(F.broadcast(qdf), "cluster_id").withColumn(
+        "score", dot("embedding", "qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"))
+    )

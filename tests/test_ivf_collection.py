@@ -81,3 +81,49 @@ def test_ivf_full_probe_equals_exact(spark, sf_smoke, tmp_path):
         c.read(), [x / qn for x in qvec], k=5, vec_col="vector", id_col="id"
     ).select("id", F.round("score", 6).alias("score")).collect()
     assert sorted(map(tuple, ivf_all)) == sorted(map(tuple, exact))
+
+
+def test_ivf_upsert_rewrites_only_affected_partitions(
+    spark, sf_smoke, tmp_path
+):
+    c, emb = build(spark, sf_smoke, tmp_path)
+    before = c.read()
+    n_before = before.count()
+
+    # pick an existing row and re-aim its vector at a *different*
+    # centroid's vector (forces a cluster move), plus one brand-new id
+    props = c.properties
+    old_row = before.filter(F.col("id") == "42").head()
+    old_cell = old_row["cluster_id"]
+    target_cell, target_vec = next(
+        (cid, v) for cid, v in props["centroids"] if cid != old_cell
+    )
+    new_rows = spark.createDataFrame(
+        [("42", [float(x) for x in target_vec]),
+         ("new-1", [float(x) for x in target_vec])],
+        "id string, vector array<double>",
+    )
+
+    # mtimes of partitions that should NOT be touched
+    untouched = {
+        d: os.path.getmtime(os.path.join(c.path, d))
+        for d in os.listdir(c.path)
+        if d.startswith("cluster_id=")
+        and d not in (f"cluster_id={old_cell}", f"cluster_id={target_cell}")
+    }
+    assert untouched  # test is vacuous if every partition is affected
+
+    c.upsert_ivf(new_rows)
+    after = c.read()
+
+    assert after.count() == n_before + 1  # one update + one insert
+    moved = after.filter(F.col("id") == "42").collect()
+    assert len(moved) == 1  # no stale copy left in the old cell
+    assert moved[0]["cluster_id"] == target_cell
+    got_new = after.filter(F.col("id") == "new-1").collect()
+    assert len(got_new) == 1 and got_new[0]["cluster_id"] == target_cell
+
+    for d, mtime in untouched.items():
+        assert os.path.getmtime(os.path.join(c.path, d)) == mtime, (
+            f"partition {d} was rewritten but should not have been"
+        )

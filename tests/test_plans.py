@@ -99,3 +99,30 @@ def test_bucketed_join_avoids_shuffle(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_batch_plan_broadcasts_probe_frame(spark, sf_smoke):
+    """ann_ivf_topk_batch: the probe frame must broadcast (BHJ) and the
+    only exchange in the plan is the per-query window rank — the corpus
+    side never shuffles before the join."""
+    from legalchatbot_vectordb_exp_spark.queries_ann import (
+        q_ann_ivf_topk_batch,
+    )
+
+    df = q_ann_ivf_topk_batch(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, plan
+
+
+def test_simhash_pairs_plan_no_cartesian(spark, sf_smoke):
+    from legalchatbot_vectordb_exp_spark.queries_dedup import (
+        q_dedup_simhash_pairs,
+    )
+
+    df = q_dedup_simhash_pairs(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

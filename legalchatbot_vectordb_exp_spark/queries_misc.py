@@ -124,6 +124,44 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sales_cube",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(CAST(sum(l_extendedprice::DECIMAL(18,4)) AS DOUBLE), 2)
+             AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE aggregation — all 2^k grouping sets including the
+    cross margins ROLLUP lacks; still one pass over the scan (the
+    grouping-set expansion happens before the single shuffle, and the
+    partial aggregate combines map-side exactly as a plain groupBy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@register(
     "set_operators",
     sql="""
     WITH big_buyers AS (

@@ -135,9 +135,9 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector_quantize_int8",
     sql="""
     SELECT vec_id,
-           list_transform(embedding::DOUBLE[],
+           array_to_string(list_transform(embedding::DOUBLE[],
              x -> CAST(greatest(least(floor(x * 127.0), 127.0), -127.0)
-                  AS BIGINT)) AS qvec,
+                  AS BIGINT)), ',') AS qvec,
            round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(embedding::DOUBLE[],
                x -> abs(x - CAST(greatest(least(floor(x * 127.0), 127.0),
@@ -150,7 +150,10 @@ def q_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8 quantization of unit vectors (×127, floor, clamp)
     plus the reconstruction L1 error — 4x storage reduction for the
     100 TB embedding store; floor keeps the mapping deterministic
-    across engines (round() would differ on half-way cases)."""
+    across engines (round() would differ on half-way cases).
+
+    ``qvec`` is emitted as a comma-joined string on both sides: the
+    driver's canonicalizer can't sort frames with list cells."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = lambda x: F.greatest(  # noqa: E731
         F.least(F.floor(x * 127.0), F.lit(127.0)), F.lit(-127.0)
@@ -161,7 +164,9 @@ def q_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return staged.select(
         "vec_id",
-        F.transform(F.col("v"), lambda x: q(x)).alias("qvec"),
+        F.concat_ws(
+            ",", F.transform(F.col("v"), lambda x: q(x).cast("string"))
+        ).alias("qvec"),
         F.round(
             F.aggregate(
                 F.transform(

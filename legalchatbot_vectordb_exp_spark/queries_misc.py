@@ -66,13 +66,21 @@ def q_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
            value::VARCHAR AS value_str,
            CAST(NULL AS VARCHAR) IS NULL AS has_default,
            '' AS predicted_law,
-           (regexp_extract_all(props, '[0-9]+'))[1:2] AS first_two
+           coalesce(
+             array_to_string(
+               (regexp_extract_all(props, '[0-9]+'))[1:2], ','), '')
+             AS first_two
     FROM events WHERE user_id = 1
     """,
 )
 def q_cast_and_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String cast (#13), add-column-with-default (#14,
-    ``Qdrant/llm.py:89-91``), and top-k slice (#22) in one projection."""
+    ``Qdrant/llm.py:89-91``), and top-k slice (#22) in one projection.
+
+    ``first_two`` is emitted as a comma-joined string (not an array) on
+    both the Spark and DuckDB sides: the driver's canonicalizer sorts
+    the pandas frame over all columns and list cells are unhashable.
+    """
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.filter(F.col("user_id") == 1)
@@ -82,8 +90,15 @@ def q_cast_and_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("string").alias("value_str"),
             F.lit(True).alias("has_default"),
             "predicted_law",
-            F.slice(
-                F.regexp_extract_all("props", F.lit("[0-9]+"), F.lit(0)), 1, 2
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.regexp_extract_all(
+                        "props", F.lit("[0-9]+"), F.lit(0)
+                    ),
+                    1,
+                    2,
+                ),
             ).alias("first_two"),
         )
     )

@@ -26,3 +26,18 @@ def test_all_queries_return_rows(spark, sf_smoke):
     for name, fn in QUERIES.items():
         n = fn(spark, sf_smoke).count()
         assert n >= 0, name
+
+
+def test_no_nested_columns_in_oracle_queries(spark, sf_smoke):
+    """The driver's canonicalizer sorts a pandas frame over all columns
+    and dies on unhashable list/dict cells — every oracle-checked query
+    must emit only scalar columns (arrays stringified via concat_ws)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    nested = []
+    for name in sorted(ORACLES.keys()):
+        df = QUERIES[name](spark, sf_smoke)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                nested.append((name, f.name, f.dataType.simpleString()))
+    assert not nested, f"oracle queries with nested output columns: {nested}"

@@ -16,8 +16,9 @@ bit-identical to the all-pairs expression plan, at a fraction of the
 cost.
 
 At 100 TB neither side fits in one broadcast: partition both sides
-into row blocks, cross-join the (small) block *pair* index, and run
-this same kernel per block pair — the operator below is that kernel.
+into row blocks, equi-join the (tiny) block *pair* index, and run
+this same kernel per block pair — ``cosine_pairs_blocked`` below is
+that formulation; nothing corpus-sized ever touches the driver.
 """
 
 from __future__ import annotations
@@ -87,42 +88,101 @@ def cosine_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All (id_a < id_b) pairs with exact dot ≥ threshold.
+    """All (id_a < id_b) pairs with exact dot ≥ threshold — block-pair
+    matrix multiply, **no driver materialization of the corpus**.
 
-    Stage 1 (narrow, Arrow+BLAS): broadcast the full (ids, matrix) to
-    executors; each partition computes its block × matrixᵀ and emits
-    candidate id pairs above (threshold − margin).
+    Stage 1 (candidate prune):
+      1. every row gets a deterministic block id ``xxhash64(id) % B``;
+      2. one groupBy packs each block into a single (ids, matrix) row
+         — B rows total, each ~corpus/B vectors;
+      3. the B·(B+1)/2 block-pair index (a tiny driver-built frame,
+         metadata-scale by construction) equi-joins the packed block
+         table twice, so each executor task receives exactly one
+         (block_a, block_b) cell;
+      4. per cell, one BLAS matmul emits candidate id pairs above
+         (threshold − margin), upper triangle only.
     Stage 2 (tiny): join candidates back to vectors, exact fold
     rescore, final threshold — bit-identical to the expression plan.
+
+    Scale: shuffle volume is corpus × B rows (each block replicated to
+    its B pair cells); compute is the inherent O(n²/B·B) = O(n²) flops
+    but fully inside BLAS.  Size ``n_blocks`` so one block
+    (corpus/B × dim × 8 bytes) fits comfortably in an executor task
+    (~hundreds of MB); for truly huge corpora prefer the sub-quadratic
+    LSH/IVF candidate paths + ``exact_pair_scores``.
     """
     spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
     thr = float(threshold) - _MARGIN
+
+    packed = (
+        emb.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+        )
+        .groupBy("_blk")
+        .agg(
+            F.collect_list("_id").alias("_ids"),
+            F.collect_list("_vec").alias("_vecs"),
+        )
+    )
+    # B(B+1)/2 rows of pure metadata — the only driver-built input.
+    pair_idx = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "ba long, bb long",
+    )
+    cells = (
+        pair_idx.join(
+            packed.select(
+                F.col("_blk").alias("ba"),
+                F.col("_ids").alias("ids_a"),
+                F.col("_vecs").alias("vecs_a"),
+            ),
+            "ba",
+        )
+        .join(
+            packed.select(
+                F.col("_blk").alias("bb"),
+                F.col("_ids").alias("ids_b"),
+                F.col("_vecs").alias("vecs_b"),
+            ),
+            "bb",
+        )
+        # one cell per task: the matmul is the unit of work
+        .repartition(n_blocks * (n_blocks + 1) // 2, "ba", "bb")
+    )
 
     def prune(batches):
         import pandas as pd
 
-        all_ids, all_mat = b_ids.value, b_mat.value
         for pdf in batches:
-            if not len(pdf):
-                continue
-            block = np.array(list(pdf[vec_col]), dtype=np.float64)
-            scores = block @ all_mat.T  # (batch, corpus) in one BLAS call
-            rows_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            bi, ci = np.nonzero(scores >= thr)
-            a = rows_ids[bi]
-            b = all_ids[ci]
-            keep = a < b  # upper triangle only
-            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+            outs_a, outs_b = [], []
+            for r in pdf.itertuples(index=False):
+                ids_a = np.asarray(r.ids_a, dtype=np.int64)
+                ids_b = np.asarray(r.ids_b, dtype=np.int64)
+                mat_a = np.array(list(r.vecs_a), dtype=np.float64)
+                mat_b = np.array(list(r.vecs_b), dtype=np.float64)
+                scores = mat_a @ mat_b.T  # one BLAS call per cell
+                ai, bi = np.nonzero(scores >= thr)
+                a, b = ids_a[ai], ids_b[bi]
+                if r.ba == r.bb:
+                    keep = a < b  # upper triangle within a block
+                    a, b = a[keep], b[keep]
+                else:
+                    a, b = np.minimum(a, b), np.maximum(a, b)
+                outs_a.append(a)
+                outs_b.append(b)
+            if outs_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(outs_a),
+                        "id_b": np.concatenate(outs_b),
+                    }
+                )
 
-    cands = emb.select(id_col, vec_col).mapInPandas(
-        prune, schema="id_a long, id_b long"
-    )
+    cands = cells.mapInPandas(prune, schema="id_a long, id_b long")
 
     rescored = exact_pair_scores(cands, emb, id_col=id_col, vec_col=vec_col)
     return rescored.filter(F.col("cos") >= threshold).select(

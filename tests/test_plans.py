@@ -126,3 +126,76 @@ def test_simhash_pairs_plan_no_cartesian(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_pairs_blocked_no_driver_collect(spark, sf_smoke):
+    """The block-pair pair search must never materialize the corpus on
+    the driver: building the plan with DataFrame.collect() poisoned
+    must succeed (VERDICT r01 flagged the old collect+broadcast shape)."""
+    from pyspark.sql import DataFrame
+
+    from legalchatbot_vectordb_exp_spark.operators.ann import (
+        cosine_pairs_blocked,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    orig = DataFrame.collect
+
+    def poisoned(self):
+        raise AssertionError("driver collect() during plan construction")
+
+    DataFrame.collect = poisoned
+    try:
+        pairs = cosine_pairs_blocked(emb, threshold=0.5, n_blocks=4)
+    finally:
+        DataFrame.collect = orig
+    # evaluating the lazy plan is allowed — only construction is pinned
+    assert pairs.columns == ["id_a", "id_b", "cos"]
+    rows = pairs.collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.cos >= 0.5
+
+
+def test_cosine_pairs_blocked_matches_bruteforce(spark, sf_smoke):
+    """Block-pair result is bit-identical to the O(n²) expression plan
+    regardless of block count."""
+    from legalchatbot_vectordb_exp_spark.operators.ann import (
+        cosine_pairs_blocked,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.5)
+    )
+    expect = sorted(map(tuple, brute.collect()))
+    for nb in (1, 3, 8):
+        got = sorted(
+            map(
+                tuple,
+                cosine_pairs_blocked(
+                    emb, threshold=0.5, n_blocks=nb
+                ).collect(),
+            )
+        )
+        assert got == expect, f"n_blocks={nb}"

@@ -122,6 +122,7 @@ def connected_components(
         .distinct()
     ).localCheckpoint(eager=True)
 
+    changed = -1
     for _ in range(max_iter):
         # each node adopts min(label of neighbors ∪ self).  The node's
         # previous label rides along in the same aggregate via its
@@ -145,4 +146,12 @@ def connected_components(
         labels = new_labels.select("node", "component")
         if changed == 0:
             break
+    if changed != 0:
+        # labels are provably wrong for components whose diameter
+        # exceeds max_iter — refuse to return them silently
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter "
+            "or use strategy='local' for chain-shaped graphs"
+        )
     return labels

@@ -69,7 +69,22 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over n_salts tasks:
     big rows get a random-but-deterministic salt, the small side is
-    replicated once per salt value, join key becomes (on, salt)."""
+    replicated once per salt value, join key becomes (on, salt).
+
+    Only join types where unmatched *small*-side rows never surface are
+    result-equivalent to the direct join: with ``right``/``full`` the
+    replicated small side would emit one unmatched outer row per salt.
+    """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi",
+        "anti", "left_anti", "leftanti", "cross",
+    }
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not result-equivalent under "
+            f"small-side replication (allowed: {sorted(allowed)})"
+        )
     big_s = big.withColumn(
         "_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

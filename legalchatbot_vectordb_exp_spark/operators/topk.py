@@ -93,7 +93,7 @@ def topk_search_batch(
     )
 
     if prune_per_partition:
-        scored = _partition_heap_prune(scored, query_id_col, k)
+        scored = _partition_heap_prune(scored, query_id_col, k, id_col)
 
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.col(id_col).asc()
@@ -104,10 +104,16 @@ def topk_search_batch(
     )
 
 
-def _partition_heap_prune(scored: DataFrame, query_id_col: str, k: int) -> DataFrame:
+def _partition_heap_prune(
+    scored: DataFrame, query_id_col: str, k: int, id_col: str
+) -> DataFrame:
     """Keep only the k best rows per query within each input partition
     (Arrow-batched; narrow) so the subsequent shuffle moves
-    O(k * partitions * queries) rows instead of the full cross product."""
+    O(k * partitions * queries) rows instead of the full cross product.
+
+    The local cut uses the same total order as the final window rank —
+    (score desc, id asc), stable sort — so rows tied at the k boundary
+    survive or drop exactly as the unpruned plan would rank them."""
     schema = scored.schema
 
     def prune(batches):
@@ -119,7 +125,11 @@ def _partition_heap_prune(scored: DataFrame, query_id_col: str, k: int) -> DataF
             # fold each Arrow batch into a running per-query top-k so
             # partition memory stays O(k * queries), not O(partition)
             acc = (
-                cand.sort_values("score", ascending=False)
+                cand.sort_values(
+                    ["score", id_col],
+                    ascending=[False, True],
+                    kind="stable",
+                )
                 .groupby(query_id_col, sort=False)
                 .head(k)
                 .reset_index(drop=True)

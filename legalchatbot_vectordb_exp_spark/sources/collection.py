@@ -132,16 +132,24 @@ class VectorCollection:
         merged = existing.join(
             incoming.select(id_col), on=id_col, how="left_anti"
         ).unionByName(incoming)
-        # never overwrite the path still being read: stage, then swap
+        # Never overwrite the path still being read: stage (data AND
+        # props, so staging is a complete collection), rename the live
+        # dir aside, promote staging, then drop the old dir.  A crash
+        # between the two renames leaves both full copies on disk —
+        # recoverable — instead of the old rmtree-before-rename shape
+        # that could destroy the collection outright.
         import shutil
 
         staging = self.path + ".staging"
         merged.write.mode("overwrite").parquet(staging)
-        props_json = json.dumps(props)
-        shutil.rmtree(self.path)
+        with open(os.path.join(staging, _PROPS_FILE), "w") as f:
+            json.dump(props, f)
+        old = self.path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.path, old)
         os.rename(staging, self.path)
-        with open(os.path.join(self.path, _PROPS_FILE), "w") as f:
-            f.write(props_json)
+        shutil.rmtree(old)
         return self
 
     # ---------------------------------------------------------------- read

@@ -199,3 +199,29 @@ def test_cosine_pairs_blocked_matches_bruteforce(spark, sf_smoke):
             )
         )
         assert got == expect, f"n_blocks={nb}"
+
+
+def test_heap_prune_tie_break_matches_unpruned(spark):
+    """Duplicate vectors give bit-identical scores; the per-partition
+    prune must keep the same rows the final (score desc, id asc) rank
+    would select (ADVICE r01: unstable score-only sort dropped ties)."""
+    from legalchatbot_vectordb_exp_spark.operators.topk import (
+        topk_search_batch,
+    )
+
+    # 12 corpus rows, only 3 distinct vectors → heavy ties at every k
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [0.5, 2.0])],
+        "query_id long, query_vec array<double>",
+    )
+    kw = dict(corpus=corpus, queries=queries, k=2)
+    plain = topk_search_batch(prune_per_partition=False, **kw)
+    pruned = topk_search_batch(prune_per_partition=True, **kw)
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df.select("query_id", "vec_id", "score", "rank").collect())
+    )
+    assert key(plain) == key(pruned)

@@ -470,4 +470,5 @@ from legalchatbot_vectordb_exp_spark import (  # noqa: E402,F401
     queries_misc,
     queries_analytics,
     queries_functions,
+    queries_roundtrip,
 )

@@ -1,0 +1,134 @@
+"""Oracle-reachable round-trip queries for the source/sink/DDL surface.
+
+SURVEY.md §2 rows #2/#3 (CSV source/sink), #5 (vector-store upsert),
+#6 (collection DDL) and #7 (catalog listing) were pytest-only in round
+1 — nothing driver-visible proved the written bytes read back intact.
+These two queries close that: each performs the real side-effecting
+write under a scratch directory, returns the *read-back* DataFrame,
+and pairs it with a DuckDB oracle that derives the same result purely
+relationally from the base parquet tables.  If the sink mangled
+anything (quoting, encoding, merge order), the hash check fails.
+
+Scratch location: ``$SPARK_GRAFT_TMP`` or ``/tmp`` — never the
+read-only testdata/reference trees.  Paths embed the sf tag so
+concurrent runs at different scale factors don't collide.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.registry import register
+from legalchatbot_vectordb_exp_spark.sources.collection import VectorCollection
+from legalchatbot_vectordb_exp_spark.sources.csvio import (
+    read_cases_csv,
+    write_cases_csv,
+)
+
+
+def _scratch(sf_dir: str, leaf: str) -> str:
+    base = os.environ.get("SPARK_GRAFT_TMP", "/tmp")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(base, "spark_graft_roundtrip", f"{tag}_{leaf}")
+
+
+@register(
+    "csv_roundtrip",
+    sql="""
+    SELECT doc_id, lang, source,
+           length(text) AS text_len,
+           sha256(text) AS text_sha
+    FROM documents
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round trip (#2/#3, ``Qdrant/main.py:118``,
+    ``Qdrant/llm.py:135``): write the documents table as a headered CSV
+    (quoted/escaped — narratives contain newlines, the reason the
+    reference reads with ``multiLine``-style pandas semantics), read it
+    back with an explicit schema, and emit a content digest per row.
+    The oracle never touches the CSV: any corruption in the round trip
+    (quoting, escaping, encoding, newline handling) breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    path = _scratch(sf_dir, "csv_docs")
+    write_cases_csv(docs, path)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    back = read_cases_csv(spark, path, schema=schema)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("text_len"),
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+@register(
+    "collection_roundtrip",
+    sql="""
+    SELECT vec_id, label,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS v0
+    FROM embeddings WHERE vec_id < 350
+    UNION ALL
+    SELECT vec_id, label + 1000 AS label,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS v0
+    FROM embeddings WHERE vec_id >= 350
+    """,
+)
+def q_collection_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection DDL + upsert + catalog + read-back (#5/#6/#7,
+    ``Qdrant/VectorDB/Database.py:7-20``, ``Qdrant/main.py:58-78``):
+    create the collection from vec_id < 400 (truncate-and-create), then
+    upsert vec_id >= 350 with a shifted label — the 350–399 overlap
+    proves last-writer-wins, 400+ proves insert.  The returned frame is
+    read from the swapped-in parquet, so the oracle's relational merge
+    only matches if DDL, validation, the staged swap, and the sidecar
+    props all survived.  metric='dot' keeps stored vectors bit-identical
+    to the source (no re-normalization between engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    warehouse = _scratch(sf_dir, "collections")
+    name = "emb_roundtrip"
+    coll = VectorCollection(spark, warehouse, name)
+
+    dim = len(emb.select("embedding").head()[0])
+    base = emb.filter(F.col("vec_id") < 400).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    coll.create(base, dim=dim, metric="dot", id_col="id", normalize=False)
+
+    upserted = emb.filter(F.col("vec_id") >= 350).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        (F.col("label") + 1000).alias("label"),
+    )
+    coll.upsert(upserted)
+
+    if name not in VectorCollection.list_collections(warehouse):
+        raise RuntimeError("catalog listing lost the collection")
+
+    return coll.read().select(
+        F.col("id").alias("vec_id"),
+        "label",
+        F.round(F.col("vector")[0].cast("double"), 6).alias("v0"),
+    )

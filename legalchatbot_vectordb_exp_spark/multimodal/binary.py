@@ -8,17 +8,23 @@ this module generalizes it: a multimodal table is
 bytes; no serialization surprises) and modality-specific work happens
 in Arrow-batched ``mapInPandas`` operators.
 
-The decode/feature kernels themselves need codec libraries that are
-not in this container, so they are STUBS with real Spark plumbing:
-exact schemas, batch iteration, deterministic fake outputs (sized by
-the real byte content) — swapping in PIL/ffmpeg later changes only the
-kernel body, not the plan.
+Codec status is split honestly:
+
+* **REAL decode** — uncompressed formats are parsed byte-for-byte in
+  pure NumPy: BMP (24/32-bit uncompressed), PPM (binary P6) and WAV
+  (PCM16) in ``decode_image`` / ``resize_image`` / ``decode_audio``.
+  These process actual pixels/samples end-to-end.
+* **STUB kernels** — compressed codecs (JPEG/PNG/MP4) need libraries
+  absent from this container; ``*_stub`` variants keep the production
+  Spark plumbing (Arrow batches, typed schemas) with deterministic
+  fake outputs.  Swapping in PIL/ffmpeg changes only the kernel body.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -31,6 +37,9 @@ _MAGIC = [
     ("25504446", "application/pdf"),
     ("494433", "audio/mpeg"),
     ("1A45DFA3", "video/webm"),
+    ("424D", "image/bmp"),
+    ("50360A", "image/x-portable-pixmap"),
+    ("52494646", "audio/x-wav"),
 ]
 
 
@@ -55,9 +64,254 @@ def binary_metadata(
     )
 
 
+# ---------------------------------------------------------------------
+# REAL codecs: pure-NumPy decode of uncompressed formats.  No external
+# codec library — the byte layouts below are published file-format
+# specs (BMP BITMAPINFOHEADER, netpbm P6, RIFF/WAVE PCM).
+
+
+def _decode_bmp(data: bytes):
+    """Uncompressed 24/32-bit BMP → (H, W, 3) uint8 RGB, else None."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    pix_off = int.from_bytes(data[10:14], "little")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    height = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3 if bpp == 24 else width * 4
+    need = pix_off + stride * height
+    if len(data) < need:
+        return None
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * height, offset=pix_off
+    ).reshape(height, stride)
+    px = rows[:, : width * nch].reshape(height, width, nch)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, [2, 1, 0]].copy()  # BGR(A) → RGB, alpha dropped
+
+
+def _decode_ppm(data: bytes):
+    """Binary netpbm P6 (maxval ≤ 255) → (H, W, 3) uint8 RGB, else None."""
+    if not data.startswith(b"P6"):
+        return None
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(data):
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # header comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if not data[start:pos].isdigit():
+            return None
+        fields.append(int(data[start:pos]))
+    if len(fields) < 3 or pos >= len(data):
+        return None
+    width, height, maxval = fields
+    if maxval > 255 or width <= 0 or height <= 0:
+        return None
+    pos += 1  # the single whitespace after maxval
+    need = width * height * 3
+    if len(data) - pos < need:
+        return None
+    return (
+        np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+        .reshape(height, width, 3)
+        .copy()
+    )
+
+
+def decode_pixels(data: bytes):
+    """Dispatch over the REAL decoders; None for unknown/corrupt bytes."""
+    if not data:
+        return None
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    if data[:2] == b"P6":
+        return _decode_ppm(data)
+    return None
+
+
+def encode_ppm(px: "np.ndarray") -> bytes:
+    """(H, W, 3) uint8 → binary P6 bytes (the inverse of _decode_ppm)."""
+    h, w = px.shape[0], px.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def _decode_wav(data: bytes):
+    """RIFF/WAVE PCM16 → (sample_rate, n_channels, int16 samples), else
+    None.  Walks the chunk list, so extra chunks (LIST, fact) are fine."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, rate, nch, bits, frames = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = int.from_bytes(body[0:2], "little")
+            nch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or bits != 16 or nch == 0:
+                return None
+        elif cid == b"data":
+            frames = np.frombuffer(
+                body, dtype="<i2", count=len(body) // 2
+            )
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or frames is None:
+        return None
+    if nch > 1:
+        frames = frames[: len(frames) - len(frames) % nch].reshape(-1, nch)
+    return rate, nch, frames
+
+
 IMAGE_FEATURES_SCHEMA = (
     "id string, width int, height int, n_channels int, mean_intensity double"
 )
+
+DECODED_IMAGE_SCHEMA = (
+    "id string, decoded boolean, width int, height int, n_channels int, "
+    "mean_intensity double"
+)
+
+
+def decode_image(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL image decode → features, as mapInPandas.
+
+    BMP (24/32-bit uncompressed) and binary PPM bytes are decoded to
+    actual pixels in pure NumPy; ``mean_intensity`` is the mean over
+    every channel value.  Bytes the decoders don't recognize come back
+    ``decoded=false`` with null features — no fake numbers."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(content) if content is not None else b""
+                px = decode_pixels(data)
+                if px is None:
+                    rows.append((str(rid), False, None, None, None, None))
+                else:
+                    rows.append(
+                        (
+                            str(rid),
+                            True,
+                            px.shape[1],
+                            px.shape[0],
+                            px.shape[2],
+                            float(px.mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "decoded", "width", "height", "n_channels",
+                    "mean_intensity",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel, schema=DECODED_IMAGE_SCHEMA
+    )
+
+
+def resize_image(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL image resize: decode (BMP/PPM) → nearest-neighbor resample
+    in NumPy → re-encode as binary PPM.  Unrecognized bytes come back
+    ``decoded=false`` with null content."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(content) if content is not None else b""
+                px = decode_pixels(data)
+                if px is None:
+                    rows.append((str(rid), False, None, None, None))
+                    continue
+                h, w = px.shape[0], px.shape[1]
+                yi = (np.arange(height) * h) // height
+                xi = (np.arange(width) * w) // width
+                out = px[yi][:, xi]
+                rows.append(
+                    (str(rid), True, width, height, encode_ppm(out))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "decoded", "width", "height", "content"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        schema=(
+            "id string, decoded boolean, width int, height int, "
+            "content binary"
+        ),
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "id string, decoded boolean, sample_rate int, n_channels int, "
+    "n_samples int, duration_s double, rms double"
+)
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL audio decode: RIFF/WAVE PCM16 bytes → actual samples in
+    pure NumPy; rms is computed over the real waveform.  Non-WAV bytes
+    come back ``decoded=false`` with null features."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(content) if content is not None else b""
+                wav = _decode_wav(data)
+                if wav is None:
+                    rows.append(
+                        (str(rid), False, None, None, None, None, None)
+                    )
+                    continue
+                rate, nch, frames = wav
+                n = frames.shape[0]
+                samples = frames.astype(np.float64)
+                rms = float(np.sqrt((samples**2).mean())) if n else 0.0
+                rows.append(
+                    (str(rid), True, rate, nch, n, n / rate, rms)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "decoded", "sample_rate", "n_channels",
+                    "n_samples", "duration_s", "rms",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel, schema=AUDIO_FEATURES_SCHEMA
+    )
 
 
 def decode_image_stub(

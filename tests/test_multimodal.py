@@ -78,3 +78,157 @@ def test_resize_image_stub_binary_roundtrip(spark):
     again = {r.id: bytes(r.content) for r in
              resize_image_stub(df, width=32, height=32).collect()}
     assert {k: bytes(v.content) for k, v in rows.items()} == again
+
+
+# --------------------------------------------------------------- real codecs
+
+
+def _bmp_bytes(px_rgb_rows):
+    """Hand-assemble a 24-bit uncompressed BMP (bottom-up) from
+    [[(r,g,b), ...], ...] rows, top row first."""
+    h = len(px_rgb_rows)
+    w = len(px_rgb_rows[0])
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(px_rgb_rows):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)  # BGR
+        body += line + b"\x00" * (stride - len(line))
+    pix_off = 54
+    header = (
+        b"BM"
+        + (pix_off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + pix_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body
+
+
+def _ppm_bytes(px_rgb_rows):
+    h, w = len(px_rgb_rows), len(px_rgb_rows[0])
+    body = b"".join(
+        bytes(c) for row in px_rgb_rows for c in row
+    )
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def _wav_bytes(samples, rate=8000, nch=1):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+PX = [
+    [(255, 0, 0), (0, 255, 0)],
+    [(0, 0, 255), (10, 20, 30)],
+]  # 2x2, mean over all channel values = (255*3 + 10+20+30) / 12
+
+
+def test_decode_image_real_pixels(spark):
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import decode_image
+
+    df = spark.createDataFrame(
+        [
+            ("bmp", bytearray(_bmp_bytes(PX))),
+            ("ppm", bytearray(_ppm_bytes(PX))),
+            ("junk", bytearray(b"not an image")),
+        ],
+        ["id", "content"],
+    )
+    rows = {r.id: r for r in decode_image(df).collect()}
+    expected_mean = (255 * 3 + 10 + 20 + 30) / 12
+    for rid in ("bmp", "ppm"):
+        r = rows[rid]
+        assert r.decoded
+        assert (r.width, r.height, r.n_channels) == (2, 2, 3)
+        assert abs(r.mean_intensity - expected_mean) < 1e-12, rid
+    assert rows["junk"].decoded is False
+    assert rows["junk"].width is None
+
+
+def test_bmp_and_ppm_decode_identical_pixels():
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        decode_pixels,
+    )
+
+    a = decode_pixels(_bmp_bytes(PX))
+    b = decode_pixels(_ppm_bytes(PX))
+    assert a is not None and b is not None
+    assert np.array_equal(a, b)
+    assert a[0, 0].tolist() == [255, 0, 0]  # top-left pixel round-trips
+    assert a[1, 1].tolist() == [10, 20, 30]
+
+
+def test_resize_image_real_nearest_neighbor(spark):
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        decode_pixels,
+        resize_image,
+    )
+
+    df = spark.createDataFrame(
+        [("im", bytearray(_ppm_bytes(PX)))], ["id", "content"]
+    )
+    rows = {r.id: r for r in resize_image(df, width=4, height=4).collect()}
+    r = rows["im"]
+    assert r.decoded and (r.width, r.height) == (4, 4)
+    out = decode_pixels(bytes(r.content))
+    assert out.shape == (4, 4, 3)
+    # nearest-neighbor: each source pixel becomes a 2x2 block
+    src = np.array(
+        [[PX[0][0], PX[0][1]], [PX[1][0], PX[1][1]]], dtype=np.uint8
+    )
+    assert np.array_equal(out, src.repeat(2, axis=0).repeat(2, axis=1))
+
+
+def test_decode_audio_real_samples(spark):
+    import math
+
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import decode_audio
+
+    samples = [0, 1000, -1000, 500, -500, 250]
+    df = spark.createDataFrame(
+        [
+            ("w", bytearray(_wav_bytes(samples, rate=8000))),
+            ("x", bytearray(b"RIFFnope")),
+        ],
+        ["id", "content"],
+    )
+    rows = {r.id: r for r in decode_audio(df).collect()}
+    r = rows["w"]
+    assert r.decoded
+    assert r.sample_rate == 8000 and r.n_channels == 1
+    assert r.n_samples == len(samples)
+    assert abs(r.duration_s - len(samples) / 8000) < 1e-12
+    expect_rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert abs(r.rms - expect_rms) < 1e-9
+    assert rows["x"].decoded is False
+
+
+def test_decode_audio_stereo_wav(spark):
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import decode_audio
+
+    # interleaved L/R: 4 frames of 2 channels
+    inter = [100, -100, 200, -200, 300, -300, 400, -400]
+    df = spark.createDataFrame(
+        [("s", bytearray(_wav_bytes(inter, rate=4000, nch=2)))],
+        ["id", "content"],
+    )
+    r = decode_audio(df).collect()[0]
+    assert r.decoded and r.n_channels == 2
+    assert r.n_samples == 4  # frames, not interleaved values
+    assert abs(r.duration_s - 4 / 4000) < 1e-12

@@ -137,18 +137,32 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching (entity-resolution shape).  At
-    scale the pair source would be a blocking key (first letter,
-    soundex, length band), not a full self-join."""
+    """Edit-distance fuzzy matching (entity-resolution shape) with a
+    length-band blocking key, so the pair source is an equi-join, not
+    an unconditioned self-join.
+
+    Soundness: levenshtein(a,b) ≤ 4 implies |len(a)−len(b)| ≤ 4, so
+    with band = floor(len/5) the bands of any qualifying pair differ
+    by at most 1.  One side keeps its band, the other explodes to
+    {band−1, band, band+1}; a qualifying pair matches on exactly one
+    key (no dedup needed) and the exact levenshtein filter decides.
+    Result-identical to the full self-join; candidate count drops from
+    n² to the band-bucket products."""
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    band = F.floor(F.length("n_name") / 5)
     a = nation.select(
-        F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a")
+        F.col("n_nationkey").alias("ka"),
+        F.col("n_name").alias("name_a"),
+        band.alias("blk"),
     )
     b = nation.select(
-        F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b")
+        F.col("n_nationkey").alias("kb"),
+        F.col("n_name").alias("name_b"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("blk"),
     )
     return (
-        a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+        a.join(F.broadcast(b), "blk")
+        .filter(F.col("ka") < F.col("kb"))
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter(F.col("dist") <= 4)
         .select("name_a", "name_b", "dist")

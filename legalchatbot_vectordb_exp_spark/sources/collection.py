@@ -166,15 +166,23 @@ class VectorCollection:
         n_clusters: int = 16,
         vector_col: str = "vector",
         id_col: str = "id",
+        kmeans_iters: int = 0,
     ) -> "VectorCollection":
         """Create the collection *partitioned by nearest-centroid id* —
         the IVF storage layout: at 100 TB a probe query reads only
         nprobe/n_clusters of the data via parquet partition pruning.
 
-        Centroids are n_clusters deterministic sample rows (every
-        ceil(n/k)-th by id); a k-means refinement would slot in here
-        without changing the layout.  Centroid vectors are stored in
-        the properties sidecar so probing needs no table scan.
+        Seed centroids are n_clusters deterministic sample rows (every
+        ceil(n/k)-th by id).  ``kmeans_iters`` > 0 runs that many
+        spherical-Lloyd refinement rounds before the final assignment:
+        assign → per-cluster per-component mean as a *wide aggregate*
+        (dim avg columns, map-side partial agg — one shuffle of
+        n_clusters × dim cells, never the vectors) → re-normalize.
+        Only the n_clusters × dim centroid matrix touches the driver.
+        Off by default: float averaging order makes refined centroids
+        run-to-run nondeterministic, which oracle-hashed queries can't
+        tolerate.  Centroid vectors are stored in the properties
+        sidecar so probing needs no table scan.
         """
         from legalchatbot_vectordb_exp_spark.functions.vector import dot
 
@@ -191,6 +199,9 @@ class VectorCollection:
             .collect()
         )
         centroids = [(i, list(map(float, r[1]))) for i, r in enumerate(centroid_rows)]
+
+        for _ in range(kmeans_iters):
+            centroids = self._lloyd_round(out, centroids, dim, vector_col)
 
         assigned = self._assign_clusters(out, centroids, vector_col)
 
@@ -210,6 +221,29 @@ class VectorCollection:
                 f,
             )
         return self
+
+    def _lloyd_round(
+        self, df: DataFrame, centroids, dim: int, vector_col: str
+    ):
+        """One spherical k-means round: assign every row to its nearest
+        centroid, average each cluster component-wise, re-normalize to
+        the unit sphere.  Empty clusters keep their previous centroid.
+        The aggregate is dim wide avg columns (map-side combine), so
+        the shuffle carries one dim-wide row per cluster."""
+        import math
+
+        assigned = self._assign_clusters(df, centroids, vector_col)
+        comps = [
+            F.avg(F.col(vector_col)[i].cast("double")).alias(f"_c{i}")
+            for i in range(dim)
+        ]
+        stats = assigned.groupBy("cluster_id").agg(*comps).collect()
+        refined = dict(centroids)
+        for r in stats:
+            vec = [float(r[f"_c{i}"]) for i in range(dim)]
+            norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            refined[r["cluster_id"]] = [x / norm for x in vec]
+        return sorted(refined.items())
 
     @staticmethod
     def _assign_clusters(

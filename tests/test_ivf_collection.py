@@ -127,3 +127,43 @@ def test_ivf_upsert_rewrites_only_affected_partitions(
         assert os.path.getmtime(os.path.join(c.path, d)) == mtime, (
             f"partition {d} was rewritten but should not have been"
         )
+
+
+def test_ivf_kmeans_refinement_improves_recall(spark, tmp_path):
+    """Lloyd refinement at fixed nprobe: on a corpus with real cluster
+    structure, refined centroids beat the deterministic seed sample.
+    (The sf fixtures are random unit vectors — IVF's worst case — so
+    this test builds a clustered corpus.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 16)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for i in range(400):
+        p = centers[i % 8] + 0.15 * rng.randn(16)
+        pts.append(p / np.linalg.norm(p))
+    pts = np.array(pts)
+    df = spark.createDataFrame(
+        [(f"{i:04d}", [float(x) for x in pts[i]]) for i in range(400)],
+        "id string, vector array<double>",
+    )
+
+    def recall(name, kmeans_iters):
+        c = VectorCollection(spark, str(tmp_path), name)
+        c.create_ivf(
+            df, dim=16, n_clusters=8, kmeans_iters=kmeans_iters
+        )
+        hit = tot = 0
+        for qi in range(0, 400, 80):
+            q = pts[qi]
+            exact = set(np.argsort(-(pts @ q))[:5])
+            got = c.search_ivf([float(x) for x in q], k=5, nprobe=1)
+            hit += len({int(r.id) for r in got.collect()} & exact)
+            tot += 5
+        return hit / tot
+
+    seed = recall("ivf_seed", 0)
+    refined = recall("ivf_refined", 2)
+    assert refined > seed, (seed, refined)
+    assert refined >= 0.9, refined

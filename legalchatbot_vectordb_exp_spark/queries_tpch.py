@@ -210,3 +210,175 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return has_late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "shipping_priority",
+    sql="""
+    SELECT l_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact/dim joins → grouped revenue →
+    global top-10.  The customer filter is pushed to the (broadcast)
+    dim scan, the two date predicates to the fact scans; the LIMIT
+    rides a TakeOrderedAndProject over the aggregate, with l_orderkey
+    as the deterministic tie-break."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            broadcast(
+                orders.filter(F.col("o_orderdate") < cutoff).select(
+                    "o_orderkey", "o_custkey", "o_orderdate"
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            broadcast(
+                cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+                    "c_custkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("orderdate"))
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "customer_order_distribution",
+    sql="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join preserving order-less customers →
+    per-customer count → distribution over counts.  Two aggregations,
+    but the second one's input is one row per customer — the heavy
+    shuffle happens once, on the join key."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    sql="""
+    WITH part_avg AS (
+      SELECT l_partkey, avg(CAST(l_quantity AS DECIMAL(18,4))) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_small,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                      AS DOUBLE) / 7.0, 2) AS avg_weekly
+    FROM lineitem l JOIN part_avg p ON l.l_partkey = p.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,4)) < 0.5 * p.avg_qty
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-key aggregate joined back to the fact
+    table (the relational rewrite of a correlated scalar subquery).
+    The per-part average is DECIMAL so the below-half-average predicate
+    is exact in both engines (quantities are integral; the boundary is
+    on a coarse 1/(2·count) grid that decimal rounding can't cross).
+    No broadcast hint: the per-key frame is part-table-sized, so AQE
+    picks broadcast at bench scale while the plan stays a co-keyed
+    shuffle join at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = (
+        li.groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.avg(_dec("l_quantity")).alias("avg_qty"))
+    )
+    joined = li.join(part_avg, li.l_partkey == part_avg.p_key).filter(
+        _dec("l_quantity") < F.lit(0.5) * F.col("avg_qty")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.round(
+            F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2
+        ).alias("avg_weekly"),
+    )
+
+
+@register(
+    "idle_high_balance_customers",
+    sql="""
+    WITH avg_bal AS (
+      SELECT avg(CAST(c_acctbal AS DECIMAL(18,4))) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment AS segment,
+           count(*) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+                      AS DOUBLE), 2) AS total_bal
+    FROM customer, avg_bal
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (the 1-row average
+    frame cross-joined in — Spark broadcasts it) + NOT EXISTS anti
+    join against a filtered fact, grouped.  The acctbal comparison is
+    DECIMAL-exact on both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(_dec("c_acctbal")).alias("ab")
+    )
+    urgent = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        cust.join(broadcast(avg_bal))
+        .filter(_dec("c_acctbal") > F.col("ab"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias(
+                "total_bal"
+            ),
+        )
+    )

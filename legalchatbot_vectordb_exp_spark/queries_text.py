@@ -231,3 +231,101 @@ def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 10)
     )
+
+
+@register(
+    "bm25_rank",
+    sql="""
+    WITH tf AS (
+      SELECT doc_id, t AS tok, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+            FROM documents)
+      WHERE t <> '' GROUP BY doc_id, t
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl
+           FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+              FROM dl),
+    df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf
+           WHERE tok IN ('vector', 'stream', 'merge') GROUP BY tok),
+    contrib AS (
+      SELECT f.doc_id, f.tok,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+      FROM tf f
+      JOIN df d ON f.tok = d.tok
+      JOIN dl l ON f.doc_id = l.doc_id, stats s
+    )
+    SELECT doc_id,
+           round(coalesce(max(CASE WHEN tok = 'vector' THEN c END), 0)
+               + coalesce(max(CASE WHEN tok = 'stream' THEN c END), 0)
+               + coalesce(max(CASE WHEN tok = 'merge' THEN c END), 0),
+                 6) AS bm25
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query
+    — the lexical scorer a legal-RAG engine runs beside cosine
+    retrieval (hybrid search).
+
+    Plan shape: tf = one (doc, token)-keyed aggregate; dl rides a
+    doc-keyed aggregate of tf (co-partitioned — no extra fact
+    shuffle); corpus stats and the query-term df frame are 1-row /
+    3-row broadcasts.  Determinism across engines: every input to the
+    float math derives from exact integer counts (tf, df, N; avgdl is
+    an exact integer-sum mean), the per-term contributions are summed
+    in a FIXED order (explicit per-term pivot columns, not an
+    order-free SUM), and the result is rounded to 6 dp."""
+    k1, b = 1.2, 0.75
+    terms = ["vector", "stream", "merge"]
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower("text"), "[^a-z0-9]+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_t = (
+        tf.filter(F.col("tok").isin(terms))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    contrib = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("tok") == t, F.col("c"))), F.lit(0.0)
+        )
+        for t in terms
+    ]
+    total = per_term[0] + per_term[1] + per_term[2]
+    return contrib.groupBy("doc_id").agg(
+        F.round(total, 6).alias("bm25")
+    )

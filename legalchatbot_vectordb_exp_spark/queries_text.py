@@ -279,9 +279,18 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer-sum mean), the per-term contributions are summed
     in a FIXED order (explicit per-term pivot columns, not an
     order-free SUM), and the result is rounded to 6 dp."""
-    k1, b = 1.2, 0.75
-    terms = ["vector", "stream", "merge"]
     docs = load_table(spark, sf_dir, "documents")
+    return _bm25_scores(docs, ["vector", "stream", "merge"])
+
+
+def _bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, bm25 round-6) for docs matching ≥1 query term — the
+    scoring core shared by ``bm25_rank`` and ``hybrid_rrf``."""
     tf = (
         docs.select(
             "doc_id",
@@ -325,7 +334,133 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for t in terms
     ]
-    total = per_term[0] + per_term[1] + per_term[2]
+    total = per_term[0]  # left-fold in list order: fixed across engines
+    for col in per_term[1:]:
+        total = total + col
     return contrib.groupBy("doc_id").agg(
         F.round(total, 6).alias("bm25")
+    )
+
+
+@register(
+    "hybrid_rrf",
+    sql="""
+    WITH tf AS (
+      SELECT doc_id, t AS tok, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+            FROM documents)
+      WHERE t <> '' GROUP BY doc_id, t
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl
+           FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+              FROM dl),
+    df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf
+           WHERE tok IN ('vector', 'stream', 'merge') GROUP BY tok),
+    contrib AS (
+      SELECT f.doc_id, f.tok,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+      FROM tf f
+      JOIN df d ON f.tok = d.tok
+      JOIN dl l ON f.doc_id = l.doc_id, stats s
+    ),
+    bm AS (
+      SELECT doc_id,
+             round(coalesce(max(CASE WHEN tok = 'vector' THEN c END), 0)
+                 + coalesce(max(CASE WHEN tok = 'stream' THEN c END), 0)
+                 + coalesce(max(CASE WHEN tok = 'merge' THEN c END), 0),
+                   6) AS bm25
+      FROM contrib GROUP BY doc_id
+    ),
+    bm_top AS (SELECT doc_id, bm25 FROM bm
+               ORDER BY bm25 DESC, doc_id LIMIT 100),
+    bm_rank AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                         AS r_bm
+                FROM bm_top),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos_top AS (
+      SELECT e.vec_id AS doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_zip(e.embedding::DOUBLE[],
+                                       q.qv::DOUBLE[]),
+                 x -> x[1] * x[2])), (acc, x) -> acc + x) AS s
+      FROM embeddings e, q
+      ORDER BY s DESC, e.vec_id LIMIT 100
+    ),
+    cos_rank AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY s DESC, doc_id)
+                          AS r_cos
+                 FROM cos_top),
+    fused AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + b.r_bm), 0)
+               + coalesce(1.0 / (60 + c.r_cos), 0) AS rrf
+      FROM bm_rank b FULL JOIN cos_rank c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, round(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and cosine (dense) top-100
+    lists fused by reciprocal-rank fusion, rrf = Σ 1/(60 + rank).
+
+    This is the production shape for "legal chatbot" search — lexical
+    recall for statute numbers, dense recall for paraphrase — and it
+    is *fully* rank-based after the per-retriever top-100 cuts, so the
+    fused score is exact integer-derived arithmetic on both engines.
+    Plan: each retriever ends in TakeOrderedAndProject (global top-100,
+    no full sort); the 100-row lists fuse via full outer join; the
+    final top-20 is again take-ordered."""
+    from legalchatbot_vectordb_exp_spark.functions.vector import dot
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    bm_top = (
+        _bm25_scores(docs, ["vector", "stream", "merge"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(100)
+    )
+    w_bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_rank = bm_top.select(
+        "doc_id", F.row_number().over(w_bm).alias("r_bm")
+    )
+
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cos_top = (
+        emb.join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            dot(F.col("embedding"), F.col("qv")).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(100)
+    )
+    w_cos = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    cos_rank = cos_top.select(
+        "doc_id", F.row_number().over(w_cos).alias("r_cos")
+    )
+
+    fused = (
+        bm_rank.join(cos_rank, "doc_id", "full")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("rrf", 6).alias("rrf"))
     )

@@ -225,3 +225,36 @@ def test_heap_prune_tie_break_matches_unpruned(spark):
         map(tuple, df.select("query_id", "vec_id", "score", "rank").collect())
     )
     assert key(plain) == key(pruned)
+
+
+def test_shipping_priority_plan_pushdown_and_takeordered(spark, sf_smoke):
+    """Q3 shape: date predicates reach the parquet scans; the top-10 is
+    TakeOrderedAndProject over the aggregate, not a global sort."""
+    from legalchatbot_vectordb_exp_spark.queries import QUERIES
+
+    df = QUERIES["shipping_priority"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters:" in plan and "l_shipdate" in plan
+
+
+def test_hybrid_rrf_plan_take_ordered_not_full_sort(spark, sf_smoke):
+    """Both retriever top-100 cuts and the final top-20 must be
+    take-ordered (per-partition heaps), never a global Sort+Limit."""
+    from legalchatbot_vectordb_exp_spark.queries import QUERIES
+
+    df = QUERIES["hybrid_rrf"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_plan_broadcasts_stats_no_cartesian(spark, sf_smoke):
+    """The 1-row stats and 3-row df frames must broadcast; the fact
+    (tf) side must never cartesian-join."""
+    from legalchatbot_vectordb_exp_spark.queries import QUERIES
+
+    df = QUERIES["bm25_rank"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -178,3 +178,48 @@ def q_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("l1_error"),
     )
+
+
+@register(
+    "interval_join_events",
+    sql="""
+    SELECT l.event_id AS click_id,
+           count(*) AS n_purchases,
+           round(CAST(sum(CAST(r.value AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS purchase_value
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL 5 MINUTE
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    GROUP BY l.event_id
+    """,
+)
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: purchases within 5 minutes after each
+    click by the same user — time-bucket blocking
+    (operators/interval.py) turns the would-be per-key nested loop
+    into an equi-join on (user, bucket) with an exact integer-micros
+    residual predicate."""
+    from legalchatbot_vectordb_exp_spark.operators.interval import (
+        interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join(
+        clicks, purchases, on="user_id", lower_s=0, upper_s=300,
+        bounds="(]",
+    )
+    return joined.groupBy(F.col("event_id").alias("click_id")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(
+            F.sum(F.col("r_value").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("purchase_value"),
+    )

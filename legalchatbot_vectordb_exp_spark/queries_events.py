@@ -215,3 +215,87 @@ def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dupes"),
         F.min("event_id").alias("first_event_id"),
     )
+
+
+@register(
+    "events_stream_join_live",
+    sql="""
+    SELECT l.event_id AS click_id,
+           count(*) AS n_purchases,
+           round(CAST(sum(CAST(r.value AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS purchase_value
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL 5 MINUTE
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    GROUP BY l.event_id
+    """,
+)
+def q_events_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stream-stream interval join (E6): clicks and purchases run
+    as two watermarked file-source streams through
+    ``stream_interval_join``; the joined pairs land in a memory sink
+    and the final per-click rollup happens in batch on that result.
+
+    Unlike the windowed live query this one IS oracle-checked: the
+    whole input is staged as one availableNow trigger (single
+    microbatch — the watermark never advances mid-run, so no pair can
+    be dropped as late) and a stream-stream inner join emits exactly
+    the batch join's row set.  Same oracle SQL as
+    ``interval_join_events``."""
+    import tempfile
+
+    from legalchatbot_vectordb_exp_spark.streaming.events import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        stream_interval_join,
+    )
+
+    staging = tempfile.mkdtemp(prefix="events_ssj_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(staging)
+
+    stream = read_event_stream(spark, staging, max_files_per_trigger=64)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = stream_interval_join(
+        clicks, purchases, on="user_id", lower="0 seconds",
+        upper="5 minutes", watermark="48 hours",
+    )
+
+    _STREAM_RUN["n"] += 1
+    name = f"events_stream_join_live_{_STREAM_RUN['n']}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(F.col("l_event_id").alias("click_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("r_value").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("purchase_value"),
+        )
+    )

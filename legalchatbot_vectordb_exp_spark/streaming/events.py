@@ -98,3 +98,35 @@ def streaming_sessions(
             "n_events",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    lower: str = "0 seconds",
+    upper: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within
+    ``(left.ts + lower, left.ts + upper]`` of a same-key left row —
+    the streaming twin of ``operators/interval.py``.
+
+    Both sides are watermarked and the join condition carries explicit
+    time bounds, so Spark can evict join state once the watermark
+    passes ``upper`` — state is O(events in the join window), not
+    O(stream history).  Left columns come back prefixed ``l_``, right
+    columns ``r_``.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns]
+    )
+    r = right.withWatermark("ts", watermark).select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    )
+    cond = (
+        (F.col(f"l_{on}") == F.col(f"r_{on}"))
+        & (F.col("r_ts") > F.col("l_ts") + F.expr(f"INTERVAL {lower}"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")

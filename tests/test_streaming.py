@@ -98,3 +98,48 @@ def test_streaming_sessions_produce_rows(spark, event_dir):
     for r in rows:
         assert r.session_end >= r.session_start
         assert r.n_events >= 1
+
+
+def test_stream_interval_join_matches_batch(spark, event_dir):
+    """Stream-stream interval join over a single availableNow batch
+    emits exactly the batch interval_join row set."""
+    from legalchatbot_vectordb_exp_spark.operators.interval import (
+        interval_join,
+    )
+    from legalchatbot_vectordb_exp_spark.streaming.events import (
+        stream_interval_join,
+    )
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=64)
+    clicks_s = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch_s = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    got = run_to_completion(
+        stream_interval_join(
+            clicks_s, purch_s, on="user_id", upper="5 minutes",
+            watermark="48 hours",
+        ),
+        "append",
+        "t_ssj",
+        spark,
+    )
+    batch = spark.read.parquet(event_dir)
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = batch.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    expect = interval_join(
+        clicks, purch, on="user_id", lower_s=0, upper_s=300, bounds="(]"
+    )
+    got_pairs = sorted(
+        (r.l_event_id, r.r_event_id) for r in got.collect()
+    )
+    exp_pairs = sorted(
+        (r.event_id, r.r_event_id) for r in expect.collect()
+    )
+    assert got_pairs == exp_pairs and len(got_pairs) > 0

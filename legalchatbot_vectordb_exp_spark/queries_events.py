@@ -254,17 +254,37 @@ def q_events_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     staging = tempfile.mkdtemp(prefix="events_ssj_")
+    # stage only the columns the two join sides consume (no props)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.col("ts").cast("timestamp").alias("ts"),
         "user_id",
         "event_type",
         "value",
-        "props",
     )
     ev.repartition(4).write.mode("overwrite").parquet(staging)
 
-    stream = read_event_stream(spark, staging, max_files_per_trigger=64)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    narrow = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = read_event_stream(
+        spark, staging, max_files_per_trigger=64, schema=narrow
+    )
     clicks = stream.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )

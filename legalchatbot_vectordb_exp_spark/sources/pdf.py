@@ -7,11 +7,16 @@ The extractor parallelizes per *file*; page-level parallelism inside
 one huge file would need a custom splitter (not needed at the
 reference's 327-page scale, noted for completeness).
 
-PyMuPDF (``fitz``) is not installed in this container, so extraction
-is pluggable: with ``fitz`` importable it is used; otherwise a
-deterministic fallback treats the binary payload as UTF-8 text with
-form-feed (``\\f``) page breaks — which keeps the Spark plumbing
-(binary scan, Arrow batching, schema) real and testable.
+Extraction is tiered:
+
+1. PyMuPDF (``fitz``) when importable — the reference's extractor;
+2. otherwise REAL pure-Python decode via ``sources/pdf_lite.py``
+   (FlateDecode + ToUnicode CMaps): on the reference's own 327-page
+   Thai PDF it recovers a character stream whitespace-equivalently
+   identical to the committed PyMuPDF golden dump for every page
+   (pinned in tests/test_pdf_lite.py);
+3. non-PDF bytes fall back to UTF-8 text with form-feed page breaks
+   (kept for synthetic fixtures).
 """
 
 from __future__ import annotations
@@ -25,16 +30,22 @@ PAGE_SCHEMA = "path string, page int, text string"
 
 
 def _extract_pages(content: bytes) -> list[str]:
-    """Per-file page texts; PyMuPDF when available, else the
-    deterministic form-feed fallback (clearly a stand-in, not a PDF
-    parser)."""
+    """Per-file page texts: PyMuPDF → pure-Python PDF decode →
+    UTF-8/form-feed fallback for non-PDF bytes."""
     try:
         import fitz  # PyMuPDF — absent in this container
 
         with fitz.open(stream=content, filetype="pdf") as doc:
             return [page.get_text() for page in doc]
     except ImportError:
-        return content.decode("utf-8", errors="replace").split("\f")
+        pass
+    if content.startswith(b"%PDF"):
+        from legalchatbot_vectordb_exp_spark.sources.pdf_lite import (
+            extract_page_texts,
+        )
+
+        return extract_page_texts(content)
+    return content.decode("utf-8", errors="replace").split("\f")
 
 
 def read_pdf_pages(spark: SparkSession, path_glob: str) -> DataFrame:

@@ -471,4 +471,5 @@ from legalchatbot_vectordb_exp_spark import (  # noqa: E402,F401
     queries_analytics,
     queries_functions,
     queries_roundtrip,
+    queries_udtf,
 )

@@ -223,3 +223,34 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("r_value").cast("decimal(18,4)")).cast("double"), 2
         ).alias("purchase_value"),
     )
+
+
+@register(
+    "stats_moments",
+    sql="""
+    SELECT event_type,
+           count(*) AS n,
+           round(stddev_samp(value), 6) AS sd,
+           round(var_samp(value), 6) AS variance,
+           round(corr(value, user_id::DOUBLE), 6) AS corr_vu,
+           round(covar_samp(value, user_id::DOUBLE), 6) AS covar_vu
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates per group: sample
+    stddev/variance and Pearson correlation/covariance between value
+    and user id.  Both engines use single-pass co-moment updates whose
+    merged results agree to well under the round-6 display precision
+    (verified at sf0.001/0.01); skewness is deliberately absent —
+    Spark computes population g1, DuckDB the bias-corrected sample
+    form, a definition (not precision) mismatch."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("variance"),
+        F.round(F.corr("value", u), 6).alias("corr_vu"),
+        F.round(F.covar_samp("value", u), 6).alias("covar_vu"),
+    )

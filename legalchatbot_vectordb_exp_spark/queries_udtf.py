@@ -6,9 +6,11 @@ expressions can't express the generator.
 The reference has no UDTF (its row generation, paragraph split #8, is
 covered by posexplode in ``doc_chunks``); this module exercises the
 registration surface itself with semantics the DuckDB oracle can
-replicate relationally.  UDTFs are row-at-a-time Python — fine for
-the API demo, but the expression twin (``functions/text.py``
-``word_shingles``) is the hot-path form.
+replicate relationally.  Evaluation is Arrow-batched
+(``spark.sql.execution.pythonUDTF.arrow.enabled`` → the plan node is
+``ArrowEvalPythonUDTF``, not the row-pickling ``BatchEvalPythonUDTF``);
+the expression twin (``functions/text.py`` ``word_shingles``) remains
+the hot-path form.
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ from legalchatbot_vectordb_exp_spark.registry import register, sql_words
       FROM w, unnest(generate_series(0, len(ws) - 3)) AS t(i)
     )
     SELECT shingle, count(*) AS n
-    FROM sh GROUP BY shingle HAVING count(*) >= 20
+    FROM sh GROUP BY shingle HAVING count(*) >= 5
     """,
 )
 def q_udtf_shingle_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,6 +42,8 @@ def q_udtf_shingle_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's ``words()`` exactly (ASCII ``\\s+``, empties dropped)
     so the relational DuckDB twin hash-matches."""
     from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
 
     @udtf(returnType="shingle string")
     class ShingleUDTF:
@@ -62,6 +66,6 @@ def q_udtf_shingle_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT s.shingle, count(*) AS n
         FROM udtf_docs, LATERAL doc_shingles(text, 3) s
-        GROUP BY s.shingle HAVING count(*) >= 20
+        GROUP BY s.shingle HAVING count(*) >= 5
         """
     )

@@ -23,7 +23,7 @@ from legalchatbot_vectordb_exp_spark.session import get_spark  # noqa: E402
 
 # live streaming queries execute on construction; the audit only needs
 # the batch plans
-SKIP = {"events_streaming_live"}
+SKIP = {"events_streaming_live", "events_stream_join_live"}
 
 
 def main() -> None:

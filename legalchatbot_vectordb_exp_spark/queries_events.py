@@ -298,14 +298,27 @@ def q_events_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _STREAM_RUN["n"] += 1
     name = f"events_stream_join_live_{_STREAM_RUN['n']}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # stream-stream join state stores are created one per shuffle
+    # partition AT QUERY START and each pays fixed setup cost; size
+    # them to this stream's key cardinality instead of the batch
+    # session default (32 → 8 cuts the live run ~3×).  At production
+    # throughput this knob scales UP with stream volume.  The batch
+    # rollup below runs after the conf is restored.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8))
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .groupBy(F.col("l_event_id").alias("click_id"))

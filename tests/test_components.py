@@ -61,3 +61,18 @@ def test_auto_strategy_small_graph(spark):
         for r in connected_components(df).collect()
     }
     assert got == _reference_components(GRAPHS["cliques"])
+
+
+def test_iterative_raises_on_non_convergence(spark):
+    """A chain graph of diameter > max_iter must raise, not silently
+    return wrong labels (ADVICE r01)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain, max_iter=2, strategy="iterative")
+    # and with enough rounds the same graph converges to one component
+    ok = connected_components(chain, max_iter=20, strategy="iterative")
+    assert {r.component for r in ok.collect()} == {0}

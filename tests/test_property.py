@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -133,3 +135,56 @@ def test_recall_mrr_matches_reference(spark, cases, k):
         exp_recall, exp_rr = ref_eval(a, p, k)
         assert abs(got[i][0] - exp_recall) < 1e-12, (a, p, k)
         assert abs(got[i][1] - exp_rr) < 1e-12, (a, p, k)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs_words=st.lists(
+        st.lists(st.sampled_from(["law", "court", "tax", "deed", "case"]),
+                 min_size=0, max_size=12),
+        min_size=1, max_size=12,
+    )
+)
+def test_bm25_matches_python_reference(spark, docs_words):
+    """_bm25_scores vs an independent Python BM25 (k1=1.2, b=0.75,
+    idf = ln(1 + (N - df + .5)/(df + .5)), fixed term order)."""
+    import math
+
+    from legalchatbot_vectordb_exp_spark.queries_text import _bm25_scores
+
+    terms = ["law", "tax", "deed"]
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in _bm25_scores(df, terms).collect()}
+
+    # independent reference
+    tf = [
+        {w: ws.count(w) for w in set(ws)} for ws in docs_words
+    ]
+    n_docs = sum(1 for ws in docs_words if ws)  # docs with >=1 token
+    dls = [len(ws) for ws in docs_words if ws]
+    avgdl = sum(dls) / len(dls) if dls else 1.0
+    df_t = {
+        t: sum(1 for d in tf if t in d) for t in terms
+    }
+    expect = {}
+    for i, d in enumerate(tf):
+        if not docs_words[i]:
+            continue
+        score = 0.0
+        for t in terms:
+            if t not in d:
+                continue
+            idf = math.log(
+                1 + (n_docs - df_t[t] + 0.5) / (df_t[t] + 0.5)
+            )
+            f = d[t]
+            dl = len(docs_words[i])
+            score += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        if any(t in d for t in terms):
+            expect[i] = round(score, 6)
+    assert got == pytest.approx(expect, abs=2e-6)

@@ -330,6 +330,80 @@ class VectorCollection:
         shutil.rmtree(staging)
         return self
 
+    def compact_ivf(
+        self,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+    ) -> dict:
+        """Small-file compaction — the maintenance pass a continuously
+        upserted store needs: every partition-scoped upsert rewrites
+        its cells into fresh files, and at streaming cadence a hot
+        cell accumulates hundreds of small parquet files whose
+        open/footer overhead eventually dominates probe reads.
+
+        Per cluster partition holding >= ``min_files`` data files,
+        rewrite the cell into ``ceil(cell_bytes / target_file_bytes)``
+        files (task-level decision from directory metadata only — no
+        table scan to plan) using the same staged write + directory
+        rename swap as ``upsert_ivf``, so readers never see a partial
+        cell.  Returns ``{cells_compacted, files_before, files_after}``.
+        """
+        import math
+        import shutil
+
+        props = self.properties
+        if props.get("layout") != "ivf":
+            raise ValueError(f"collection {self.name} is not IVF-partitioned")
+
+        def data_files(d: str) -> list[str]:
+            return [
+                f for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+
+        cells = []
+        files_before = files_after = 0
+        for part in sorted(os.listdir(self.path)):
+            if not part.startswith("cluster_id="):
+                continue
+            pdir = os.path.join(self.path, part)
+            files = data_files(pdir)
+            files_before += len(files)
+            if len(files) < min_files:
+                files_after += len(files)
+                continue
+            cells.append((part, pdir, files))
+
+        compacted = 0
+        for part, pdir, files in cells:
+            cell_bytes = sum(
+                os.path.getsize(os.path.join(pdir, f)) for f in files
+            )
+            n_out = max(1, math.ceil(cell_bytes / target_file_bytes))
+            if n_out >= len(files):  # already at/under target shape
+                files_after += len(files)
+                continue
+            staging = pdir + ".compact"
+            (
+                self.spark.read.parquet(pdir)
+                .coalesce(n_out)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            old = pdir + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(pdir, old)
+            os.rename(staging, pdir)
+            shutil.rmtree(old)
+            files_after += len(data_files(pdir))
+            compacted += 1
+        return {
+            "cells_compacted": compacted,
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+
     def search_ivf(
         self, query_vec: list[float], k: int = 5, nprobe: int = 2
     ) -> DataFrame:

@@ -167,3 +167,33 @@ def test_ivf_kmeans_refinement_improves_recall(spark, tmp_path):
     refined = recall("ivf_refined", 2)
     assert refined > seed, (seed, refined)
     assert refined >= 0.9, refined
+
+
+def test_ivf_compaction_merges_small_files(spark, sf_smoke, tmp_path):
+    """Repeated partition-scoped upserts fragment cells into small
+    files; compact_ivf rewrites fragmented cells in place without
+    changing the row set or breaking partition pruning."""
+    c, emb = build(spark, sf_smoke, tmp_path)
+    props = c.properties
+    target_cell, target_vec = props["centroids"][0]
+    # 4 upserts into the same cell → the cell holds several files
+    for i in range(4):
+        rows = spark.createDataFrame(
+            [(f"frag-{i}-{j}", [float(x) for x in target_vec])
+             for j in range(3)],
+            "id string, vector array<double>",
+        )
+        c.upsert_ivf(rows)
+    before_rows = sorted(r["id"] for r in c.read().collect())
+
+    stats = c.compact_ivf(min_files=2)
+    assert stats["cells_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+
+    after = c.read()
+    assert sorted(r["id"] for r in after.collect()) == before_rows
+    # pruning still works on the compacted layout
+    pruned = after.filter(F.col("cluster_id") == target_cell)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert pruned.count() > 0

@@ -254,3 +254,44 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("value", u), 6).alias("corr_vu"),
         F.round(F.covar_samp("value", u), 6).alias("covar_vu"),
     )
+
+
+@register(
+    "approx_agg_guard",
+    sql="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           true AS hll_within_5pct,
+           true AS tdigest_p50_within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_agg_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB drop-ins for exact distinct/percentile are the
+    mergeable sketches (HLL++ ``approx_count_distinct``, t-digest
+    ``percentile_approx``) — but sketch values differ between engines,
+    so they can't be hash-compared directly.  This query makes the
+    accuracy CONTRACT the oracle-checkable result: Spark computes both
+    exact and sketch per group and emits whether the sketch landed
+    inside its documented error band (booleans + the exact count).
+    A sketch regression (or a parameter change that breaks the band)
+    flips a boolean and fails the hash check."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("hll_users"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("p50_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("hll_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("p50_approx") - F.col("p50"))
+            <= 0.10 * F.abs(F.col("p50"))
+        ).alias("tdigest_p50_within_10pct"),
+    )

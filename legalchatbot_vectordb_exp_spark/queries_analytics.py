@@ -295,3 +295,130 @@ def q_approx_agg_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.10 * F.abs(F.col("p50"))
         ).alias("tdigest_p50_within_10pct"),
     )
+
+
+@register(
+    "stratified_sample",
+    sql="""
+    WITH s AS (
+      SELECT o_orderpriority, o_totalprice,
+             substr(md5(o_orderkey::VARCHAR), 1, 8) AS h
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_sampled,
+           round(CAST(sum(o_totalprice::DECIMAL(18,4)) AS DOUBLE), 2)
+             AS sum_sampled
+    FROM s
+    WHERE h < CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN '80000000' ELSE '19999999' END
+    GROUP BY o_orderpriority
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep ~50% of '1-URGENT'
+    orders and ~10% of every other stratum by thresholding the first
+    8 hex chars of md5(key) — the reproducible, cluster-order-
+    independent alternative to ``sampleBy`` (whose RNG draw depends on
+    partition layout and so can't be oracle-checked).
+
+    Scale shape: the hash filter is a pure per-row predicate evaluated
+    in the scan stage — no shuffle, no state, works identically on a
+    1000-executor cluster; sampled rows then feed a normal map-side-
+    combining aggregate.  Rates are exact in expectation and the
+    selection is stable under repartitioning, retries, and engine
+    changes (md5 is bit-identical everywhere)."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8)
+    thr = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.lit("80000000")
+    ).otherwise(F.lit("19999999"))
+    return (
+        o.filter(h < thr)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_sampled"),
+        )
+    )
+
+
+@register(
+    "snapshot_diff",
+    sql="""
+    WITH old AS (
+      SELECT o_custkey AS custkey, count(*) AS n,
+             sum(o_totalprice::DECIMAL(18,4)) AS total
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    new AS (
+      SELECT o_custkey AS custkey, count(*) AS n,
+             sum(o_totalprice::DECIMAL(18,4)) AS total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT coalesce(o.custkey, n.custkey) AS custkey,
+           CASE WHEN o.custkey IS NULL THEN 'insert'
+                WHEN n.custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           coalesce(n.n, 0) AS new_n,
+           round(CAST(coalesce(n.total, 0) AS DOUBLE), 2) AS new_total
+    FROM old o FULL OUTER JOIN new n ON o.custkey = n.custkey
+    WHERE o.custkey IS NULL OR n.custkey IS NULL
+       OR o.n <> n.n OR o.total <> n.total
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: two per-customer activity snapshots
+    (order count + DECIMAL revenue before/after a cutoff) full-outer
+    joined on the key and classified insert / delete / update — the
+    change feed a warehouse emits when reconciling dataset versions.
+
+    Scale shape: both snapshots are first shrunk by a map-side-
+    combining groupBy on the same key the join uses, so the full outer
+    join is key-co-partitioned (one shuffle each side, no broadcast
+    needed at any scale); classification and the changed-row filter
+    are projection-level.  Unchanged keys are dropped, which is what
+    keeps the emitted feed proportional to churn, not corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+
+    def snap(pred):
+        return (
+            o.filter(pred)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias(
+                    "total"
+                ),
+            )
+        )
+
+    old = snap(F.col("o_orderdate") < cutoff).alias("o")
+    new = snap(F.col("o_orderdate") >= cutoff).alias("n")
+    joined = old.join(new, F.col("o.custkey") == F.col("n.custkey"), "full")
+    return joined.filter(
+        F.col("o.custkey").isNull()
+        | F.col("n.custkey").isNull()
+        | (F.col("o.n") != F.col("n.n"))
+        | (F.col("o.total") != F.col("n.total"))
+    ).select(
+        F.coalesce(F.col("o.custkey"), F.col("n.custkey")).alias("custkey"),
+        F.when(F.col("o.custkey").isNull(), "insert")
+        .when(F.col("n.custkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.coalesce(F.col("n.n"), F.lit(0)).alias("new_n"),
+        F.round(
+            F.coalesce(F.col("n.total"), F.lit(0)).cast("double"), 2
+        ).alias("new_total"),
+    )

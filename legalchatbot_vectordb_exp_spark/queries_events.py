@@ -332,3 +332,135 @@ def q_events_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_value"),
         )
     )
+
+
+@register(
+    "events_unpivot",
+    sql="""
+    WITH wide AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS clicks,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+             count(*) FILTER (WHERE event_type = 'error') AS errors
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'clicks' AS metric, clicks AS n FROM wide
+    UNION ALL
+    SELECT user_id, 'purchases' AS metric, purchases AS n FROM wide
+    UNION ALL
+    SELECT user_id, 'errors' AS metric, errors AS n FROM wide
+    """,
+)
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (the inverse of ``events_pivot``): one
+    grouped pass builds the wide per-user metric row (conditional
+    counts combine map-side), then ``DataFrame.unpivot`` melts the
+    metric columns without any further shuffle — the melt is a
+    projection-level row generator, so at 100 TB it adds zero exchange
+    on top of the aggregation that produced the wide frame."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "purchases"
+        ),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+    )
+    return wide.unpivot(
+        ["user_id"], ["clicks", "purchases", "errors"], "metric", "n"
+    )
+
+
+@register(
+    "time_gapfill",
+    sql="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, min(ts)) AS lo,
+             time_bucket(INTERVAL 1 HOUR, max(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(
+               (SELECT lo FROM b), (SELECT hi FROM b),
+               INTERVAL 1 HOUR)) AS bucket
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             event_type,
+             count(*) AS n_raw,
+             round(CAST(sum(value::DECIMAL(18,4)) AS DOUBLE)
+                   / count(*), 6) AS avg_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type,
+           h.bucket,
+           coalesce(y.n_raw, 0) AS n,
+           last_value(y.avg_v IGNORE NULLS) OVER (
+             PARTITION BY t.event_type ORDER BY h.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_locf
+    FROM hours h
+    CROSS JOIN types t
+    LEFT JOIN hourly y
+      ON y.bucket = h.bucket AND y.event_type = t.event_type
+    """,
+)
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill: a dense (hour x event_type) grid with
+    zero-filled counts and last-observation-carried-forward averages —
+    the `time_bucket_gapfill` / `locf` operator of time-series stores,
+    composed from built-ins.
+
+    Scale shape: the grid is metadata-sized (time-range/granularity x
+    type cardinality); bounds and the type dimension derive from the
+    hourly aggregate, never from raw facts, so every branch is shrunk
+    by the same map-side-combining groupBy (the single-expression form
+    re-scans the pruned fact columns per branch; a production pipeline
+    materializes the grid-sized ``hourly`` frame once and the grid
+    branches become free).  The hourly aggregate broadcasts into the
+    grid join (the preserved grid side never shuffles); LOCF is one
+    window over the *grid-sized* frame.
+    The avg is DECIMAL-sum / count, rounded before LOCF, so the
+    carried value is bit-identical on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    # window() (not date_trunc) for the bucket: date_trunc returns
+    # session-tz TIMESTAMP even for NTZ input, which would shift every
+    # bucket in a non-UTC driver session; window() preserves NTZ.
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_v"),
+    ).select(F.col("w.start").alias("bucket"), "event_type", "n_raw", "avg_v")
+    # Bounds AND the type dimension both derive from the hourly
+    # aggregate (identical subplan → Spark reuses the one shuffle
+    # exchange, so the fact table is scanned once, not three times);
+    # bucket is already NTZ and hour-aligned, and sequence() over NTZ
+    # bounds stays NTZ.
+    bounds = hourly.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias(
+            "bucket"
+        )
+    )
+    types = hourly.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    filled = grid.join(F.broadcast(hourly), ["bucket", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_raw", F.lit(0)).alias("n"),
+        F.last("avg_v", ignorenulls=True).over(w).alias("avg_value_locf"),
+    )

@@ -464,3 +464,62 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", F.round("rrf", 6).alias("rrf"))
     )
+
+
+@register(
+    "pii_redact",
+    sql="""
+    WITH src AS (
+      SELECT c_custkey,
+             'Contact ' || c_name || ' at '
+               || lower(replace(c_name, '#', '.'))
+               || '@corp.example ref ' || c_custkey::VARCHAR AS msg
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               msg, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             '[0-9]{3,}', '<NUM>', 'g') AS redacted,
+           len(regexp_extract_all(
+             msg, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+           len(regexp_extract_all(msg, '[0-9]{3,}')) AS n_nums
+    FROM src
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrubbing pass every training-data pipeline
+    runs before corpus release: mask email-shaped tokens first, then
+    long digit runs, and report per-row hit counts for audit.
+
+    The input message is constructed deterministically from customer
+    rows (the synthetic documents table contains no digits, so the
+    redactor would be untested against real hits otherwise).  Both
+    regexes are RE2/Java-compatible; replacement is pure projection —
+    no shuffle, whole-stage codegen, linear at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    num_re = "[0-9]{3,}"
+    msg = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@corp.example ref "),
+        F.col("c_custkey").cast("string"),
+    )
+    src = c.select("c_custkey", msg.alias("msg"))
+    return src.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace("msg", email_re, "<EMAIL>"),
+            num_re,
+            "<NUM>",
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("msg", F.lit(email_re), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("msg", F.lit(num_re), F.lit(0)))
+        .cast("long")
+        .alias("n_nums"),
+    )

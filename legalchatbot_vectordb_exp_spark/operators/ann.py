@@ -103,8 +103,14 @@ def cosine_pairs_blocked(
          (block_a, block_b) cell;
       4. per cell, one BLAS matmul emits candidate id pairs above
          (threshold − margin), upper triangle only.
-    Stage 2 (tiny): join candidates back to vectors, exact fold
-    rescore, final threshold — bit-identical to the expression plan.
+    Stage 2 (in-kernel): the surviving pairs are re-scored inside the
+    same task with the column-sequential fold (``acc += a[:, j] *
+    b[:, j]`` in index order over the candidate subset) — the exact
+    IEEE op sequence of ``exact_pair_scores`` and the DuckDB oracle,
+    so final values are bit-identical to the expression plan.  Doing
+    it in-kernel (both matrices are already in memory) removes the
+    join-back-to-vectors stage, which cost more than the whole prune
+    at small scale and re-read the corpus at large scale.
 
     Scale: shuffle volume is corpus × B rows (each block replicated to
     its B pair cells); compute is the inherent O(n²/B·B) = O(n²) flops
@@ -154,11 +160,13 @@ def cosine_pairs_blocked(
         .repartition(n_blocks * (n_blocks + 1) // 2, "ba", "bb")
     )
 
+    final_thr = float(threshold)
+
     def prune(batches):
         import pandas as pd
 
         for pdf in batches:
-            outs_a, outs_b = [], []
+            outs_a, outs_b, outs_c = [], [], []
             for r in pdf.itertuples(index=False):
                 ids_a = np.asarray(r.ids_a, dtype=np.int64)
                 ids_b = np.asarray(r.ids_b, dtype=np.int64)
@@ -170,21 +178,33 @@ def cosine_pairs_blocked(
                 if r.ba == r.bb:
                     keep = a < b  # upper triangle within a block
                     a, b = a[keep], b[keep]
+                    ai, bi = ai[keep], bi[keep]
                 else:
-                    a, b = np.minimum(a, b), np.maximum(a, b)
-                outs_a.append(a)
-                outs_b.append(b)
+                    flip = a > b
+                    a, b = (
+                        np.where(flip, b, a),
+                        np.where(flip, a, b),
+                    )
+                # exact rescore of the candidate subset, same
+                # column-sequential fold as exact_pair_scores / the
+                # DuckDB oracle (pair order does not affect values)
+                ca, cb = mat_a[ai], mat_b[bi]
+                acc = np.zeros(len(ca), dtype=np.float64)
+                for j in range(ca.shape[1]):
+                    acc = acc + ca[:, j] * cb[:, j]
+                keep = acc >= final_thr
+                outs_a.append(a[keep])
+                outs_b.append(b[keep])
+                outs_c.append(acc[keep])
             if outs_a:
                 yield pd.DataFrame(
                     {
                         "id_a": np.concatenate(outs_a),
                         "id_b": np.concatenate(outs_b),
+                        "cos": np.concatenate(outs_c),
                     }
                 )
 
-    cands = cells.mapInPandas(prune, schema="id_a long, id_b long")
-
-    rescored = exact_pair_scores(cands, emb, id_col=id_col, vec_col=vec_col)
-    return rescored.filter(F.col("cos") >= threshold).select(
-        "id_a", "id_b", "cos"
-    )
+    return cells.mapInPandas(
+        prune, schema="id_a long, id_b long, cos double"
+    ).select("id_a", "id_b", "cos")

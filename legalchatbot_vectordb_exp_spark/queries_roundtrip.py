@@ -132,3 +132,77 @@ def q_collection_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(F.col("vector")[0].cast("double"), 6).alias("v0"),
     )
+
+
+@register(
+    "bucketed_join_equivalence",
+    sql="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(CAST(sum(o_totalprice::DECIMAL(18,4)) AS DOUBLE), 2)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (co-located) join: both sides written with
+    ``bucketBy(8, <join key>)`` into a catalog database, read back, and
+    joined on the bucket key — at rest this is THE technique that makes
+    repeated big-big joins affordable at 100 TB: matching bucket counts
+    on the join key mean the shuffle exchange is eliminated on both
+    sides every time the tables are joined, forever (the exchange is
+    paid once, at write time).  ``test_plans.py`` pins the plan shape:
+    with broadcast off, the join runs as a SortMergeJoin with NO
+    exchange under it — the only exchange in the query belongs to the
+    final aggregate.  The oracle computes the same join relationally
+    from the raw parquet, so bucket routing or read-back corruption
+    breaks the hash."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    db = f"buckets_{tag}"
+    loc = _scratch(sf_dir, "buckets_db")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    # a fresh session's in-memory catalog doesn't know tables a prior
+    # run left on disk, so overwrite would act as CREATE and refuse the
+    # existing location — drop both layers explicitly
+    import shutil
+
+    for t in ("orders_b", "customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        shutil.rmtree(os.path.join(loc, t), ignore_errors=True)
+    (
+        orders.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(f"{db}.orders_b")
+    )
+    (
+        customer.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(f"{db}.customer_b")
+    )
+    ob = spark.table(f"{db}.orders_b")
+    cb = spark.table(f"{db}.customer_b").filter(F.col("c_acctbal") > 0)
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )

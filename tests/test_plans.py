@@ -258,3 +258,24 @@ def test_bm25_plan_broadcasts_stats_no_cartesian(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_no_exchange_under_join(spark, sf_smoke):
+    """Both sides bucketed by the join key: with broadcast disabled the
+    join must run as a SortMergeJoin with no shuffle exchange under it
+    — the only ShuffleExchange in the plan belongs to the final
+    aggregate.  This is the write-once/join-forever contract bucketing
+    buys at 100 TB."""
+    from legalchatbot_vectordb_exp_spark.queries import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["bucketed_join_equivalence"](spark, sf_smoke)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    # the bucketed scans feed the join exchange-free, so the one and
+    # only hashpartitioning exchange in the plan is the aggregate's
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -102,3 +102,82 @@ def q_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("recall_at_k", 6).alias("recall_at_k"),
         F.round("mrr_at_k", 6).alias("mrr_at_k"),
     )
+
+
+@register(
+    "multimodal_decode",
+    sql="""
+    SELECT vec_id,
+           true AS decoded,
+           'image/x-portable-pixmap' AS mime,
+           4 AS width, 4 AS height, 3 AS n_channels,
+           round(
+             list_aggregate(
+               list_transform(
+                 embedding[1:48],
+                 x -> floor((least(greatest(x::DOUBLE, -0.5), 0.5) + 0.5)
+                            * 255)),
+               'sum') / 48.0, 6) AS mean_intensity
+    FROM embeddings
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end image decode (E4): each embeddings row is packed
+    into an actual binary P6 PPM (4x4 RGB, pixel = quantized embedding
+    component) and pushed through the engine's pure-NumPy decoder
+    (``multimodal/binary.py: decode_pixels``).  The oracle recomputes
+    the expected dimensions and mean pixel intensity *relationally*
+    from the same quantization formula — so a decoder regression
+    (stride, row order, channel order, header parse) breaks the hash
+    against numbers DuckDB derives without ever seeing the bytes.
+    The mime column additionally pins the JVM-side magic-byte sniff on
+    real PPM bytes.
+
+    Scale shape: encode and decode are narrow Arrow projections over
+    the binary column — no shuffle, scan-speed linear; identical to
+    how a real multimodal corpus (binaryFile source) flows."""
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        decode_image,
+        encode_ppm,
+        sniff_mime,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(list(vec)[:48], dtype=np.float64)
+                q = np.floor((np.clip(v, -0.5, 0.5) + 0.5) * 255.0)
+                px = q.astype(np.uint8).reshape(4, 4, 3)
+                ids.append(vid)
+                blobs.append(encode_ppm(px))
+            yield pd.DataFrame({"vec_id": ids, "content": blobs})
+
+    binary = emb.mapInPandas(encode, schema="vec_id long, content binary")
+    mimes = binary.select(
+        "vec_id", sniff_mime("content").alias("mime")
+    )
+    decoded = decode_image(binary, id_col="vec_id").select(
+        F.col("id").cast("long").alias("vec_id"),
+        "decoded",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+    return decoded.join(mimes, "vec_id").select(
+        "vec_id",
+        "decoded",
+        "mime",
+        "width",
+        "height",
+        "n_channels",
+        "mean_intensity",
+    )

@@ -549,3 +549,96 @@ def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         gid.alias("group_id"),
         (F.col("doc_id") == gid).alias("kept"),
     )
+
+
+def _curation_oracle() -> str:
+    """Build the corpus_curation oracle on top of the registered
+    dedup_keep_one SQL (embedded as a derived table — DuckDB accepts a
+    full WITH RECURSIVE query as a subquery)."""
+    from legalchatbot_vectordb_exp_spark.functions.text import LANG_STOPWORDS
+    from legalchatbot_vectordb_exp_spark.registry import ORACLES
+
+    en = list(LANG_STOPWORDS["en"])
+    return f"""
+    WITH keepers AS (
+      SELECT doc_id FROM ({ORACLES["dedup_keep_one"]}) k WHERE kept
+    ),
+    w AS (
+      SELECT doc_id, text, lang, {sql_words('text')} AS ws FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, len(ws) AS n_tokens,
+             least(len(ws)::DOUBLE / 100.0, 1.0) * 0.5
+             + (len(list_filter(ws, x -> list_contains({en},
+                                         lower(x))))::DOUBLE
+                / greatest(len(ws), 1)::DOUBLE) * 0.3
+             + CASE WHEN length(text) BETWEEN 100 AND 5000
+                    THEN 0.2 ELSE 0.0 END AS q
+      FROM w
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens, round(s.q, 6) AS quality
+    FROM scored s JOIN keepers USING (doc_id)
+    WHERE s.q >= 0.45
+      AND s.lang IN ('en', 'fr', 'es', 'de')
+      AND substr(md5(s.doc_id::VARCHAR), 1, 8) < 'c0000000'
+    """
+
+
+@register("corpus_curation", sql=_curation_oracle())
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation pipeline composed end-to-end as ONE
+    lazy plan: quality scoring -> quality floor -> language allowlist
+    -> MinHash near-dup keep-one -> deterministic token-budget
+    downsample.  Each stage is an already-oracle-checked operator;
+    this query pins their *composition* (filter interaction, join
+    keys, sample-after-dedup ordering) against a single relational
+    oracle built from the same fragments.
+
+    Scale shape: quality/lang/sample are scan-stage predicates and
+    projections (no shuffle); the near-dup decision rides the banded
+    MinHash + connected-components lineage (`dedup_groups` — shuffles
+    are signature-agg and band-join keyed, never corpus x corpus), and
+    its group map broadcasts back against the corpus.  Order matters
+    and is the cheap order: the corpus is thinned by the scan-stage
+    predicates before anything shuffles."""
+    from legalchatbot_vectordb_exp_spark.functions.text import (
+        LANG_STOPWORDS,
+        stopword_count,
+        words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    ws = words("text")
+    nw = F.greatest(F.size(ws), F.lit(1)).cast("double")
+    quality = (
+        F.least(F.size(ws).cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + (
+            stopword_count("text", LANG_STOPWORDS["en"]).cast("double") / nw
+        )
+        * 0.3
+        + F.when(F.length("text").between(100, 5000), 0.2).otherwise(0.0)
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(ws).cast("long").alias("n_tokens"),
+        quality.alias("q"),
+    )
+    filtered = scored.filter(
+        (F.col("q") >= 0.45)
+        & F.col("lang").isin("en", "fr", "es", "de")
+        & (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+            < "c0000000"
+        )
+    )
+    keepers = (
+        q_dedup_keep_one(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("doc_id")
+    )
+    return filtered.join(keepers, "doc_id").select(
+        "doc_id", "lang", "n_tokens", F.round("q", 6).alias("quality")
+    )

@@ -49,3 +49,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Guarantee kernel parallelism before a CPU-heavy per-row stage.
+
+    A parquet scan parallelizes per row group; a small file written as a
+    single row group (every ``/root/testdata`` table) arrives as ONE
+    partition, so an explode + per-token hash kernel would run on one
+    core of 32.  At production scale (many files / row groups) the scan
+    is already parallel and this is a **no-op** — we only pay the
+    (tiny) repartition shuffle when the upstream partitioning is
+    narrower than the cluster, so the helper never introduces a
+    full-data shuffle on a 100 TB input.
+    """
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)

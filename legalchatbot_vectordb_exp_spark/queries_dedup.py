@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from legalchatbot_vectordb_exp_spark.functions.text import word_shingles, words
-from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.io_tables import load_table, spread
 from legalchatbot_vectordb_exp_spark.registry import (
     register,
     sql_dot,
@@ -69,7 +69,7 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~250k rare ones), so the broadcast is tiny — the inverse join
     (broadcasting the rare majority) would ship the whole vocabulary
     to every executor."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
     ).cache()  # read by both the hot-set agg and the anti join — the
@@ -359,17 +359,20 @@ _SIMHASH_CTE = f"""
 def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — 16-bit SimHash, one md5 per token, 16 bit
     votes as wide map-side-combined aggregate columns."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # one md5 + one hex→int conv per token; vote j is then a single
+    # shift-and-mask.  Bit (3 - j%4) of hex digit j//4 is bit (15 - j)
+    # of the 16-bit value, so the 16 vote expressions share the conv.
     tok = docs.select("doc_id", F.explode(words("text")).alias("w")).select(
-        "doc_id", F.substring(F.md5("w"), 1, 4).alias("hex4")
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10)
+        .cast("int")
+        .alias("hv"),
     )
 
     def vote(j: int):
-        # bit (3 - j%4) of hex digit j//4, as a ±1 vote
-        hex_char = F.substring(F.col("hex4"), j // 4 + 1, 1)
-        hex_val = F.instr(F.lit("0123456789abcdef"), hex_char) - 1
-        bit = F.shiftright(hex_val, 3 - j % 4).bitwiseAND(F.lit(1))
-        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+        bit = F.shiftright(F.col("hv"), 15 - j).bitwiseAND(F.lit(1))
+        return bit * 2 - F.lit(1)  # {0,1} -> {-1,+1}
 
     agg = tok.groupBy("doc_id").agg(
         *[F.sum(vote(j)).alias(f"s{j}") for j in range(16)]

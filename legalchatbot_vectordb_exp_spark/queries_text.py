@@ -20,7 +20,7 @@ from legalchatbot_vectordb_exp_spark.functions.text import (
     word_shingles,
     words,
 )
-from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.io_tables import load_table, spread
 from legalchatbot_vectordb_exp_spark.registry import register, sql_words
 
 
@@ -194,8 +194,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     count are *array* expressions over the un-exploded shingle array:
     a narrow single-pass projection — no explode, no shuffle (the
     explode + groupBy(doc_id) formulation re-shuffled every shingle
-    only to regroup rows that started on the same line)."""
-    docs = load_table(spark, sf_dir, "documents")
+    only to regroup rows that started on the same line).
+
+    ``spread`` parallelizes the per-doc shingle+md5 kernel when the
+    scan arrives as a single row group (the testdata shape); on a
+    many-file 100 TB input it is a no-op."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     staged = docs.select("doc_id", word_shingles("text", 5).alias("sh"))
     return staged.select(
         "doc_id",

@@ -473,4 +473,5 @@ from legalchatbot_vectordb_exp_spark import (  # noqa: E402,F401
     queries_roundtrip,
     queries_udtf,
     queries_curation,
+    queries_training,
 )

@@ -1,0 +1,197 @@
+"""Training-set preparation operators: deterministic splits,
+concat-and-chunk sequence packing, and benchmark decontamination —
+the last mile between a curated corpus and a tokenizer.
+
+Scale notes:
+
+* ``hash_split`` is a scan-stage projection (md5 bucket → label);
+* ``sequence_packing`` windows WITHIN a hash shard: the corpus-wide
+  running token offset that makes packing inherently sequential is
+  broken into ``N_PACK_SHARDS`` independent offsets, so the window
+  sort is per-shard (embarrassingly parallel, bounded partition size)
+  instead of a single global sort — the standard concat-and-chunk
+  used by LLM data pipelines, sharded;
+* ``decontamination`` equi-joins train×benchmark on the shingle key
+  (never a cross join); the benchmark side is small by construction
+  and broadcast.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from legalchatbot_vectordb_exp_spark.functions.text import word_shingles, words
+from legalchatbot_vectordb_exp_spark.io_tables import load_table, spread
+from legalchatbot_vectordb_exp_spark.registry import register, sql_words
+
+SEQ_LEN = 512  # tokens per packed training sequence
+N_PACK_SHARDS = 16
+
+# deterministic pseudo-benchmark subset: ~1 doc in 47
+BENCH_MOD = 47
+CONTAM_NGRAM = 3  # shingle width for the overlap check
+CONTAM_MIN_SHARED = 2  # shared shingles to flag contamination
+
+
+@register(
+    "hash_split",
+    sql="""
+    SELECT doc_id,
+           CASE
+             WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  < 3865470566 THEN 'train'        -- floor(0.90 * 2^32)
+             WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  < 4080218931 THEN 'val'          -- floor(0.95 * 2^32)
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by md5 bucket — stable
+    under corpus growth (a document's split never changes when other
+    documents are added, unlike row_number() % k).  Scan-stage only."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    split = (
+        F.when(hv < int(0.90 * 2**32), "train")
+        .when(hv < int(0.95 * 2**32), "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+@register(
+    "sequence_packing",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+               % {N_PACK_SHARDS} AS shard,
+             len({sql_words('text')})::BIGINT AS n_toks
+      FROM documents
+      WHERE len({sql_words('text')}) > 0
+    ),
+    off AS (
+      SELECT doc_id, shard, n_toks,
+             sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_toks
+               AS tok_start
+      FROM toks
+    )
+    SELECT doc_id, shard,
+           shard * 1000000 + tok_start // {SEQ_LEN} AS first_seq,
+           shard * 1000000 + (tok_start + n_toks - 1) // {SEQ_LEN}
+             AS last_seq,
+           n_toks
+    FROM off
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each hash shard,
+    documents are concatenated in doc_id order and cut into fixed
+    {SEQ_LEN}-token sequences; each document reports the first and
+    last sequence it lands in (straddling the cut is allowed — the
+    standard LLM packing that wastes zero tokens to padding).
+
+    The running token offset — the inherently sequential part of
+    packing — is a window cum-sum PARTITIONED BY the shard, so there
+    is no global sort: {N_PACK_SHARDS} independent, bounded windows
+    (at 100 TB, raise the shard count so each shard's token stream
+    stays executor-sized).
+
+    NOTE: DuckDB ``hash()`` ≠ Spark ``xxhash64`` — the shard id must
+    be portable, so it derives from md5 hex (bit-identical in both
+    engines) rather than either engine's native hash.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_toks = F.size(words("text")).cast("bigint")
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(N_PACK_SHARDS),
+    )
+    toks = docs.select(
+        "doc_id", shard.alias("shard"), n_toks.alias("n_toks")
+    ).filter(F.col("n_toks") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = toks.withColumn(
+        "tok_start", F.sum("n_toks").over(w) - F.col("n_toks")
+    )
+    return off.select(
+        "doc_id",
+        "shard",
+        (
+            F.col("shard") * 1000000
+            + F.floor(F.col("tok_start") / SEQ_LEN)
+        ).alias("first_seq"),
+        (
+            F.col("shard") * 1000000
+            + F.floor((F.col("tok_start") + F.col("n_toks") - 1) / SEQ_LEN)
+        ).alias("last_seq"),
+        "n_toks",
+    )
+
+
+_SH = (
+    f"list_distinct(list_transform("
+    f"generate_series(0, greatest(len({sql_words('text')}) - {CONTAM_NGRAM},"
+    f" 0)), i -> array_to_string("
+    f"({sql_words('text')})[i + 1 : i + {CONTAM_NGRAM}], ' ')))"
+)
+
+
+@register(
+    "decontamination",
+    sql=f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, unnest({_SH}) AS shingle
+      FROM documents WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    train AS (
+      SELECT doc_id AS train_id, unnest({_SH}) AS shingle
+      FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+    )
+    SELECT t.train_id, b.bench_id, count(*)::BIGINT AS n_shared
+    FROM train t JOIN bench b USING (shingle)
+    GROUP BY 1, 2
+    HAVING count(*) >= {CONTAM_MIN_SHARED}
+    """,
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing ≥2
+    distinct 3-gram shingles with any benchmark document (here a
+    deterministic 1-in-47 pseudo-benchmark subset of the corpus; a
+    production pass uses the real eval suites and wider 8–13-gram
+    windows — same plan shape, different constants).
+
+    The benchmark shingle set is small by construction (eval suites
+    are thousands of documents, not billions) and is **broadcast**;
+    the training side streams through the scan and the only shuffle
+    is the (train_id, bench_id) count aggregation — at 100 TB this is
+    the same shape as a bloom-filter-style contamination pass."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = lambda side: side.select(  # noqa: E731
+        "doc_id",
+        F.explode(word_shingles("text", CONTAM_NGRAM)).alias("shingle"),
+    )
+    bench = sh(docs.filter(F.col("doc_id") % BENCH_MOD == 0)).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train = sh(docs.filter(F.col("doc_id") % BENCH_MOD != 0)).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )

@@ -279,3 +279,57 @@ def test_bucketed_join_no_exchange_under_join(spark, sf_smoke):
     # the bucketed scans feed the join exchange-free, so the one and
     # only hashpartitioning exchange in the plan is the aggregate's
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_curation_scan_stage_queries_no_shuffle(spark, sf_smoke):
+    """text_normalize and repetition_score are pure projections: no
+    exchange of any kind in the executed plan."""
+    from legalchatbot_vectordb_exp_spark.queries import QUERIES
+
+    for name in ("text_normalize", "repetition_score"):
+        plan = (
+            QUERIES[name](spark, sf_smoke)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, name
+
+
+def test_temperature_sample_broadcasts_rates(spark, sf_smoke):
+    """The per-source threshold frame must broadcast; the corpus side
+    must not shuffle (no hash-partition exchange over documents)."""
+    from legalchatbot_vectordb_exp_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["temperature_sample"](spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_single_window_exchange(spark, sf_smoke):
+    """Packing must shuffle exactly once — the per-shard window — and
+    sort only within shard partitions, never globally."""
+    from legalchatbot_vectordb_exp_spark.queries import QUERIES
+
+    df = QUERIES["sequence_packing"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_decontamination_broadcasts_benchmark(spark, sf_smoke):
+    from legalchatbot_vectordb_exp_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["decontamination"](spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -82,19 +82,26 @@ def sample_vectors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Driver-side training sample: first ``n`` rows in id order.
+    """Driver-side training sample: ``n`` deterministically
+    hash-selected rows, tie-broken by id order.
 
-    Metadata-scale by construction (n x d floats).  At 100 TB the same
-    shape holds — a deterministic hash-threshold filter
-    (cf. ``stratified_sample``) bounds the scan's output before the
-    driver pull; nothing corpus-sized ever materializes.
+    A deterministic xxhash64 threshold filter keeps an expected 4n
+    rows BEFORE the TakeOrdered, so the scan's output (not just the
+    driver pull) is bounded at any corpus size; the filter passes
+    everything when the corpus is already sample-sized.  Metadata-
+    scale by construction (n x d floats) — nothing corpus-sized ever
+    materializes.  One count() job (parquet count-star) sizes the
+    keep fraction.
     """
-    rows = (
-        emb.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(n)
-        .collect()
-    )
+    total = emb.count()
+    sel = emb.select(id_col, vec_col)
+    if total > 4 * n:
+        # keep_below such that E[kept] = 4n; P(kept < n) is
+        # astronomically small (binomial tail at 4x the target)
+        keep_below = int(4 * n / total * 2**32)
+        hv = F.pmod(F.xxhash64(F.col(id_col)), F.lit(2**32))
+        sel = sel.filter(hv < keep_below)
+    rows = sel.orderBy(F.col(id_col).asc()).limit(n).collect()
     return np.array([r[1] for r in rows], dtype=np.float64)
 
 
@@ -175,7 +182,13 @@ def adc_candidates(
                 lut = luts_b[qi]
                 # sum of m LUT lookups per row
                 scores = lut[np.arange(codes.shape[1])[None, :], codes].sum(1)
-                top = np.argsort(-scores, kind="stable")[:r]
+                # lexicographic (score desc, id asc) — the same total
+                # order as the final window rank, so the per-batch cut
+                # is deterministic even when ADC scores tie (duplicate
+                # vectors share identical codes); a bare stable argsort
+                # would keep ties in batch row order, which varies with
+                # partition layout.
+                top = np.lexsort((ids, -scores))[:r]
                 frames.append(
                     pd.DataFrame(
                         {

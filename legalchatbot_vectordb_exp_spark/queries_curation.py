@@ -183,7 +183,7 @@ def _temp_thresholds_sql() -> str:
     tot AS (
       SELECT sum(n)::DOUBLE AS total,
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(pow(n::DOUBLE, {TEMP_ALPHA}) ORDER BY source)),
+               list(sqrt(n::DOUBLE) ORDER BY source)),
                (acc, x) -> acc + x) AS z
       FROM counts
     ),
@@ -191,7 +191,7 @@ def _temp_thresholds_sql() -> str:
       SELECT c.source,
              floor(least(
                {TARGET_FRACTION} * t.total
-                 * pow(c.n::DOUBLE, {TEMP_ALPHA}) / t.z / c.n::DOUBLE,
+                 * sqrt(c.n::DOUBLE) / t.z / c.n::DOUBLE,
                1.0) * 4294967296.0)::BIGINT AS keep_below
       FROM counts c, tot t
     )
@@ -228,12 +228,16 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    import math
+
     total = float(sum(counts.values()))
     z = 0.0
     for src in sorted(counts):  # pinned fold order (matches ORDER BY)
-        z += counts[src] ** TEMP_ALPHA
-    import math
-
+        # sqrt (alpha = 0.5), NOT pow(n, 0.5): sqrt is correctly
+        # rounded per IEEE-754 on every platform, pow is not — a 1-ulp
+        # pow divergence could flip a floor()'d threshold and a
+        # boundary-hash document with it.  The oracle uses sqrt() too.
+        z += math.sqrt(counts[src])
     rates = [
         (
             src,
@@ -242,7 +246,7 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     min(
                         TARGET_FRACTION
                         * total
-                        * counts[src] ** TEMP_ALPHA
+                        * math.sqrt(counts[src])
                         / z
                         / float(counts[src]),
                         1.0,

@@ -27,6 +27,14 @@ from legalchatbot_vectordb_exp_spark.registry import register, sql_words
 
 SEQ_LEN = 512  # tokens per packed training sequence
 N_PACK_SHARDS = 16
+# Global sequence id = shard * SEQ_ID_STRIDE + seq-within-shard, so the
+# stride IS the per-shard sequence budget: a shard may hold at most
+# SEQ_ID_STRIDE sequences (= SEQ_ID_STRIDE * SEQ_LEN ≈ 5e8 tokens at
+# 512) before its ids would collide with the next shard's range.
+# Sizing rule at scale: N_PACK_SHARDS * SEQ_ID_STRIDE * SEQ_LEN must
+# exceed the corpus token count — raise N_PACK_SHARDS (preferred: it
+# also bounds the per-shard window) or SEQ_ID_STRIDE together.
+SEQ_ID_STRIDE = 1_000_000
 
 # deterministic pseudo-benchmark subset: ~1 doc in 47
 BENCH_MOD = 47
@@ -83,8 +91,8 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT doc_id, shard,
-           shard * 1000000 + tok_start // {SEQ_LEN} AS first_seq,
-           shard * 1000000 + (tok_start + n_toks - 1) // {SEQ_LEN}
+           shard * {SEQ_ID_STRIDE} + tok_start // {SEQ_LEN} AS first_seq,
+           shard * {SEQ_ID_STRIDE} + (tok_start + n_toks - 1) // {SEQ_LEN}
              AS last_seq,
            n_toks
     FROM off
@@ -130,11 +138,11 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shard",
         (
-            F.col("shard") * 1000000
+            F.col("shard") * SEQ_ID_STRIDE
             + F.floor(F.col("tok_start") / SEQ_LEN)
         ).alias("first_seq"),
         (
-            F.col("shard") * 1000000
+            F.col("shard") * SEQ_ID_STRIDE
             + F.floor((F.col("tok_start") + F.col("n_toks") - 1) / SEQ_LEN)
         ).alias("last_seq"),
         "n_toks",

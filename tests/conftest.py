@@ -23,7 +23,11 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_smoke() -> str:
-    return SF_SMOKE
+    # Env override runs the whole parity suite at another scale factor
+    # — e.g. SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.01 replicates
+    # the driver's CORRECTNESS pass exactly (it checks sf0.01, while
+    # the default here stays sf0.001 to keep pytest fast).
+    return os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", SF_SMOKE)
 
 
 @pytest.fixture(scope="session")

@@ -10,18 +10,21 @@ in Arrow-batched ``mapInPandas`` operators.
 
 Codec status is split honestly:
 
-* **REAL decode** — uncompressed formats are parsed byte-for-byte in
-  pure NumPy: BMP (24/32-bit uncompressed), PPM (binary P6) and WAV
-  (PCM16) in ``decode_image`` / ``resize_image`` / ``decode_audio``.
-  These process actual pixels/samples end-to-end.
-* **STUB kernels** — compressed codecs (JPEG/PNG/MP4) need libraries
-  absent from this container; ``*_stub`` variants keep the production
-  Spark plumbing (Arrow batches, typed schemas) with deterministic
-  fake outputs.  Swapping in PIL/ffmpeg changes only the kernel body.
+* **REAL decode** — BMP (24/32-bit uncompressed), PPM (binary P6) and
+  WAV (PCM16) are parsed byte-for-byte in pure NumPy, and PNG (8-bit
+  depth, all five row filters, color types 0/2/3/4/6) is inflated with
+  stdlib ``zlib`` and unfiltered in NumPy — ``decode_image`` /
+  ``resize_image`` / ``decode_audio`` process actual pixels/samples
+  end-to-end with no codec library.
+* **STUB kernels** — JPEG/MP4 need libraries absent from this
+  container; ``*_stub`` variants keep the production Spark plumbing
+  (Arrow batches, typed schemas) with deterministic fake outputs.
+  Swapping in PIL/ffmpeg changes only the kernel body.
 """
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -131,6 +134,190 @@ def _decode_ppm(data: bytes):
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (palette indexes count as 1 until
+# PLTE expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4) for the scalar decode path."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(data: bytes):
+    """REAL PNG decode: chunk walk + CRC verify, stdlib-zlib IDAT
+    inflate, NumPy per-row unfilter → (H, W, C) uint8, else None.
+
+    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette,
+    expanded via PLTE), 4 (gray+alpha), 6 (RGBA), non-interlaced, all
+    five row filters (None/Sub/Up/Average/Paeth).  Sub rides a
+    per-channel cumsum and Up a vectorized add; Average/Paeth have a
+    true left-neighbor dependency chain, so they walk the row
+    scalar-wise — correctness first, and rows are cache-resident.
+    Anything else (16-bit, Adam7, bad CRC, truncated stream) returns
+    None — no fake pixels.
+    """
+    if not data.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, plte, idat = len(_PNG_SIG), None, None, []
+    while pos + 12 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        cid = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        crc = int.from_bytes(data[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(cid + body) != crc:
+            return None
+        if cid == b"IHDR":
+            ihdr = body
+        elif cid == b"PLTE":
+            plte = body
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if (
+        depth != 8
+        or interlace != 0
+        or ctype not in _PNG_CHANNELS
+        or width <= 0
+        or height <= 0
+    ):
+        return None
+    nch = _PNG_CHANNELS[ctype]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        return None
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rpos = 0
+    for y in range(height):
+        ft = raw[rpos]
+        row = np.frombuffer(raw, np.uint8, stride, rpos + 1).copy()
+        rpos += stride + 1
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: cumsum per channel residue class, mod 256
+            cur = row
+            for c in range(nch):
+                cur[c::nch] = np.cumsum(
+                    cur[c::nch], dtype=np.uint64
+                ).astype(np.uint8)
+        elif ft == 2:  # Up: uint8 addition wraps mod 256
+            cur = row + prev
+        elif ft == 3:  # Average: sequential left dependency
+            cur = row
+            for x in range(stride):
+                left = int(cur[x - nch]) if x >= nch else 0
+                cur[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:  # Paeth: sequential left/up-left dependency
+            cur = row
+            for x in range(stride):
+                left = int(cur[x - nch]) if x >= nch else 0
+                ul = int(prev[x - nch]) if x >= nch else 0
+                cur[x] = (
+                    int(row[x]) + _png_paeth(left, int(prev[x]), ul)
+                ) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = out[y]
+    px = out.reshape(height, width, nch)
+    if ctype == 3:
+        if plte is None or len(plte) % 3 or not len(plte):
+            return None
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            return None
+        return pal[idx].copy()
+    return px.copy()
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + cid
+        + body
+        + zlib.crc32(cid + body).to_bytes(4, "big")
+    )
+
+
+def encode_png(px: "np.ndarray", row_filters=None) -> bytes:
+    """(H, W, C) uint8 → PNG bytes (the inverse of ``_decode_png``),
+    C ∈ {1, 2, 3, 4} → color type 0/4/2/6.
+
+    ``row_filters`` (int or per-row list, default 0) selects the PNG
+    row filter actually APPLIED — the encoder computes true residuals,
+    so a decoder round-trip exercises every unfilter path."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    if row_filters is None:
+        row_filters = [0] * h
+    elif isinstance(row_filters, int):
+        row_filters = [row_filters] * h
+    flat = px.reshape(h, w * nch).astype(np.int16)
+    zero = np.zeros(w * nch, dtype=np.int16)
+    parts = []
+    for y in range(h):
+        ft = int(row_filters[y])
+        cur, up = flat[y], (flat[y - 1] if y else zero)
+        left = np.concatenate([zero[:nch], cur[:-nch]]) if w * nch > nch \
+            else zero[: w * nch]
+        ul = np.concatenate([zero[:nch], up[:-nch]]) if w * nch > nch \
+            else zero[: w * nch]
+        if ft == 0:
+            res = cur
+        elif ft == 1:
+            res = cur - left
+        elif ft == 2:
+            res = cur - up
+        elif ft == 3:
+            res = cur - (left + up) // 2
+        elif ft == 4:
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            res = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        parts.append(bytes([ft]) + (res & 0xFF).astype(np.uint8).tobytes())
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_pixels(data: bytes):
     """Dispatch over the REAL decoders; None for unknown/corrupt bytes."""
     if not data:
@@ -139,6 +326,8 @@ def decode_pixels(data: bytes):
         return _decode_bmp(data)
     if data[:2] == b"P6":
         return _decode_ppm(data)
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(data)
     return None
 
 

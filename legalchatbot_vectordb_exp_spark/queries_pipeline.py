@@ -108,8 +108,9 @@ def q_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     sql="""
     SELECT vec_id,
+           f.format AS format,
            true AS decoded,
-           'image/x-portable-pixmap' AS mime,
+           f.mime AS mime,
            4 AS width, 4 AS height, 3 AS n_channels,
            round(
              list_aggregate(
@@ -119,25 +120,32 @@ def q_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * 255)),
                'sum') / 48.0, 6) AS mean_intensity
     FROM embeddings
+    CROSS JOIN (VALUES ('png', 'image/png'),
+                       ('ppm', 'image/x-portable-pixmap'))
+         AS f(format, mime)
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL end-to-end image decode (E4): each embeddings row is packed
-    into an actual binary P6 PPM (4x4 RGB, pixel = quantized embedding
-    component) and pushed through the engine's pure-NumPy decoder
-    (``multimodal/binary.py: decode_pixels``).  The oracle recomputes
+    into actual image bytes TWICE — a binary P6 PPM and a real
+    zlib-compressed PNG (row filter type rotates through all five PNG
+    filters, ``(vec_id + y) % 5``, so None/Sub/Up/Average/Paeth are all
+    exercised corpus-wide) — and pushed through the engine's pure-NumPy
+    decoder (``multimodal/binary.py: decode_pixels``).  Pixels are the
+    quantized embedding components (4x4 RGB).  The oracle recomputes
     the expected dimensions and mean pixel intensity *relationally*
     from the same quantization formula — so a decoder regression
-    (stride, row order, channel order, header parse) breaks the hash
-    against numbers DuckDB derives without ever seeing the bytes.
-    The mime column additionally pins the JVM-side magic-byte sniff on
-    real PPM bytes.
+    (stride, row order, channel order, header parse, IDAT inflate, any
+    unfilter) breaks the hash against numbers DuckDB derives without
+    ever seeing the bytes.  The mime column additionally pins the
+    JVM-side magic-byte sniff on real PPM and PNG bytes.
 
     Scale shape: encode and decode are narrow Arrow projections over
     the binary column — no shuffle, scan-speed linear; identical to
     how a real multimodal corpus (binaryFile source) flows."""
     from legalchatbot_vectordb_exp_spark.multimodal.binary import (
         decode_image,
+        encode_png,
         encode_ppm,
         sniff_mime,
     )
@@ -151,29 +159,48 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            ids, blobs = [], []
+            ids, fmts, blobs = [], [], []
             for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
                 v = np.asarray(list(vec)[:48], dtype=np.float64)
                 q = np.floor((np.clip(v, -0.5, 0.5) + 0.5) * 255.0)
                 px = q.astype(np.uint8).reshape(4, 4, 3)
-                ids.append(vid)
+                ids.extend((vid, vid))
+                fmts.extend(("ppm", "png"))
                 blobs.append(encode_ppm(px))
-            yield pd.DataFrame({"vec_id": ids, "content": blobs})
+                blobs.append(
+                    encode_png(
+                        px,
+                        row_filters=[(int(vid) + y) % 5 for y in range(4)],
+                    )
+                )
+            yield pd.DataFrame(
+                {"vec_id": ids, "format": fmts, "content": blobs}
+            )
 
-    binary = emb.mapInPandas(encode, schema="vec_id long, content binary")
-    mimes = binary.select(
-        "vec_id", sniff_mime("content").alias("mime")
+    binary = emb.mapInPandas(
+        encode, schema="vec_id long, format string, content binary"
     )
-    decoded = decode_image(binary, id_col="vec_id").select(
-        F.col("id").cast("long").alias("vec_id"),
+    mimes = binary.select(
+        "vec_id", "format", sniff_mime("content").alias("mime")
+    )
+    decoded = decode_image(
+        binary.select(
+            F.concat_ws("|", "vec_id", "format").alias("id"), "content"
+        )
+    ).select(
+        F.split_part(F.col("id"), F.lit("|"), F.lit(1))
+        .cast("long")
+        .alias("vec_id"),
+        F.split_part(F.col("id"), F.lit("|"), F.lit(2)).alias("format"),
         "decoded",
         "width",
         "height",
         "n_channels",
         F.round("mean_intensity", 6).alias("mean_intensity"),
     )
-    return decoded.join(mimes, "vec_id").select(
+    return decoded.join(mimes, ["vec_id", "format"]).select(
         "vec_id",
+        "format",
         "decoded",
         "mime",
         "width",

@@ -232,3 +232,115 @@ def test_decode_audio_stereo_wav(spark):
     assert r.decoded and r.n_channels == 2
     assert r.n_samples == 4  # frames, not interleaved values
     assert abs(r.duration_s - 4 / 4000) < 1e-12
+
+
+# ------------------------------------------------------------------ PNG
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for nch in (1, 2, 3, 4):
+        for ft in (0, 1, 2, 3, 4):
+            px = rng.randint(0, 256, (6, 5, nch), dtype=np.uint8)
+            out = _decode_png(encode_png(px, row_filters=ft))
+            assert out is not None, (nch, ft)
+            assert out.shape == px.shape and (out == px).all(), (nch, ft)
+    # mixed per-row filters in one image
+    px = rng.randint(0, 256, (10, 7, 3), dtype=np.uint8)
+    out = _decode_png(encode_png(px, row_filters=[y % 5 for y in range(10)]))
+    assert (out == px).all()
+
+
+def test_png_palette_expansion():
+    import zlib
+
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        _PNG_SIG,
+        _decode_png,
+        _png_chunk,
+    )
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (4, 6), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
+    ihdr = (6).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes(
+        [8, 3, 0, 0, 0]
+    )
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = _decode_png(png)
+    assert out is not None and (out == pal[idx]).all()
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        _decode_png,
+        decode_pixels,
+        encode_png,
+    )
+
+    px = np.zeros((3, 3, 3), dtype=np.uint8)
+    good = encode_png(px)
+    # flipped byte inside IDAT → CRC mismatch → honest None
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    assert _decode_png(bytes(bad)) is None
+    # truncated stream
+    assert _decode_png(good[: len(good) // 2]) is None
+    # not a PNG at all
+    assert _decode_png(b"\x89PNG\r\n\x1a\njunkjunkjunk") is None
+    # 16-bit depth unsupported → None (never fake pixels)
+    deep = bytearray(good)
+    deep[24] = 16  # IHDR bit-depth byte
+    assert _decode_png(bytes(deep)) is None
+    # dispatch integration
+    assert decode_pixels(good) is not None and decode_pixels(good).shape == (
+        3,
+        3,
+        3,
+    )
+
+
+def test_png_through_decode_image_operator(spark):
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (8, 4, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("p", bytearray(encode_png(px, row_filters=[4] * 8))),
+            ("q", bytearray(b"\x89PNG\r\n\x1a\nbroken")),
+        ],
+        ["id", "content"],
+    )
+    rows = {r.id: r for r in decode_image(df).collect()}
+    assert rows["p"].decoded
+    assert (rows["p"].width, rows["p"].height, rows["p"].n_channels) == (
+        4,
+        8,
+        3,
+    )
+    assert abs(rows["p"].mean_intensity - float(px.mean())) < 1e-9
+    assert rows["q"].decoded is False

@@ -138,14 +138,37 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_RUN = {"n": 0}
 
 
-@register("events_streaming_live")  # rows-only: stateful streaming
+@register(
+    "events_streaming_live",
+    sql="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             event_type, count(*) AS n,
+             round(CAST(sum(value::DECIMAL(18,4)) AS DOUBLE), 2)
+               AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT a.window_start, a.event_type, a.n, a.total_value
+    FROM agg a, wm
+    WHERE a.window_start + INTERVAL 1 HOUR <= wm.w
+    """,
+)
 def q_events_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension E6 live: the actual Structured Streaming tumbling
     aggregation (streaming/events.py) executed with an availableNow
     trigger over the events table staged as a multi-file stream source.
-    Append mode emits only watermark-finalized windows, so this is
-    registered rows-only; the window semantics themselves are
-    oracle-checked via the batch twin ``events_tumbling``."""
+
+    Deterministic-replay oracle (round-2 review item): the staged
+    files are TIME-RANGE partitioned (``repartitionByRange(ts)``), so
+    the 2-files-per-trigger replay consumes the log in event-time
+    order — no row is ever late, exactly like replaying a day of
+    Kafka offsets — and append mode's final availableNow flush emits
+    precisely the windows whose end the terminal watermark
+    (``max(ts) - 2 h``) has passed.  That set, and the decimal-exact
+    window sums (order-independent across micro-batches), are
+    relationally expressible, so the last formerly rows-only query now
+    hash-checks against DuckDB."""
     import tempfile
 
     from legalchatbot_vectordb_exp_spark.streaming.events import (
@@ -167,7 +190,9 @@ def q_events_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
-    ev.repartition(4).write.mode("overwrite").parquet(staging)
+    # time-range partitioning: part-00000 holds the earliest span, so
+    # the file-source replay (path order) is an in-order log
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(staging)
     narrow = StructType(
         [
             StructField("ts", TimestampType()),

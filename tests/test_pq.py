@@ -102,3 +102,35 @@ def test_adc_candidates_topr_per_query(spark, sf_smoke):
     # equals its own quantization, so its ADC score is maximal-ish
     for qid in (0, 1):
         assert qid in set(pdf[pdf["query_id"] == qid]["vec_id"])
+
+
+def test_adc_candidates_probe_cells_restriction(spark):
+    """With probe_cells, a query's candidates come only from ITS cells,
+    different queries can probe different cells, and a query probing an
+    empty cell set yields no rows."""
+    x = _toy()
+    books = train_codebooks(x, m=4, k=8, iters=5)
+    vecs = [np.concatenate([books[j][i % 8] for j in range(4)])
+            for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, v.tolist(), i % 3) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, cluster_id long",
+    )
+    encoded = encode_pq(df, books).join(
+        df.select("vec_id", "cluster_id"), "vec_id"
+    )
+    q = vecs[0].tolist()
+    out = adc_candidates(
+        encoded,
+        books,
+        [(0, q), (1, q), (2, q)],
+        r=10,
+        probe_cells={0: {0}, 1: {1, 2}, 2: set()},
+    ).toPandas()
+    got = {
+        qid: set(out[out["query_id"] == qid]["vec_id"])
+        for qid in set(out["query_id"])
+    }
+    assert got[0] == {0, 3, 6, 9}            # cell 0 members only
+    assert got[1] == {1, 2, 4, 5, 7, 8, 10, 11}  # cells 1+2
+    assert 2 not in got                       # empty probe set -> no rows

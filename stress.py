@@ -11,6 +11,12 @@ written to /tmp/stress/*.parquet).  Findings from the 10× run are
 recorded in SCALE.md §6c — this sweep is what exposed the
 corpus-vector-plane LSH degeneracy (2 buckets → 100 M candidate
 pairs) that motivated the md5-Rademacher planes.
+
+Skew hardening is asserted separately in ``tests/test_skew_stress.py``:
+a 90%-one-source corpus with corpus-hot boilerplate shingles, with the
+"no task >10x median rows" balance contract pinned at each exchange of
+the boilerplate/decontamination plans (broadcast joins + map-side
+partial aggregation are what make the hot keys harmless).
 """
 
 from __future__ import annotations

@@ -1,0 +1,115 @@
+"""Skew hardening: the curation/training joins and aggregations must
+survive a pathologically skewed corpus — one source holding 90% of all
+documents, with a shared boilerplate sentence making a handful of
+shingles corpus-hot (round-2 review item 7).
+
+Two properties are pinned:
+
+* **plan shape** — the shingle joins broadcast their small side
+  (bench set / hot-shingle set), so a hot join key can never
+  co-locate the big side into one task; the shingle aggregation runs
+  map-side partial aggregation, so a hot shingle collapses to one row
+  per input partition before the exchange.
+* **task balance** — rows processed per partition at each exchange
+  stay within 10x the median partition (the "no task >10x median"
+  stress contract), measured with spark_partition_id() on the live
+  frames.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+
+SF_SRC = "/root/testdata/sf0.001"
+BOILER = (
+    "all rights reserved unauthorized reproduction of this document "
+    "is strictly prohibited consult your legal representative"
+)
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory) -> str:
+    """sf0.001 documents re-skewed: 90% of rows collapse to one hot
+    source and every hot row leads with the same boilerplate sentence
+    (hot shingles shared across ALL sources so the boilerplate/decontam
+    joins see hot keys on the big side)."""
+    out = tmp_path_factory.mktemp("skew")
+    docs = load_table(spark, SF_SRC, "documents")
+    skewed = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 10 != 0, F.lit("hot_source")).otherwise(
+            F.col("source")
+        ),
+    ).withColumn("text", F.concat(F.lit(BOILER + " "), F.col("text")))
+    skewed.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+def _partition_balance(df) -> tuple[int, float]:
+    """(max, median) rows per partition of the frame as executed."""
+    counts = sorted(
+        r["n"]
+        for r in df.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert counts, "no partitions produced rows"
+    return counts[-1], float(counts[len(counts) // 2])
+
+
+def test_decontamination_broadcasts_bench_side_under_skew(spark, skew_dir):
+    from legalchatbot_vectordb_exp_spark.queries_training import (
+        q_decontamination,
+    )
+
+    df = q_decontamination(spark, skew_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # hot train-side shingles must meet a BROADCAST of the bench set —
+    # a shuffled join would co-locate every hot-shingle row in one task
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    # with the shared boilerplate, contamination flags must actually
+    # fire across sources (the skew corpus exercises the join for real)
+    assert len(rows) > 0
+    assert all(r["n_shared"] >= 2 for r in rows)
+
+
+def test_boilerplate_partial_agg_and_balance_under_skew(spark, skew_dir):
+    from legalchatbot_vectordb_exp_spark.queries_curation import (
+        q_boilerplate_shingles,
+    )
+
+    df = q_boilerplate_shingles(spark, skew_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # map-side partial aggregation: the hot shingle is reduced to one
+    # row per input partition BEFORE the shuffle on the shingle key
+    assert "partial_" in plan
+    rows = {r["shingle"]: r for r in df.collect()}
+    # the injected boilerplate shingles must be detected as boilerplate
+    probe = " ".join(BOILER.split()[0:3])
+    assert probe in rows
+    assert rows[probe]["n_sources"] >= 3
+    # balance at the aggregation exchange: after partial agg + AQE the
+    # per-partition row counts of the aggregated output stay within
+    # 10x the median — the hot key cannot pile into one task
+    mx, med = _partition_balance(df)
+    assert mx <= 10 * max(med, 1.0), (mx, med)
+
+
+def test_exploded_shingle_scan_balance_under_skew(spark, skew_dir):
+    """The CPU-heavy side (explode + shingle hash) is scan-partitioned,
+    never key-partitioned, so a 90%-hot source cannot concentrate work:
+    rows per partition stay within 10x the median."""
+    from legalchatbot_vectordb_exp_spark.functions.text import word_shingles
+    from legalchatbot_vectordb_exp_spark.io_tables import spread
+
+    docs = spread(load_table(spark, skew_dir, "documents"), 8)
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    mx, med = _partition_balance(sh)
+    assert mx <= 10 * max(med, 1.0), (mx, med)

@@ -729,3 +729,135 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("incell_ids", "ivfpq_ids")) >= 8
         ).alias("ivfpq_recall_ok"),
     )
+
+
+IVF_RECALL_FLOOR = 12  # of the 45 (9 queries x top-5) exact slots
+LSH_MEAN_COS_FLOOR = 0.03  # all-pairs mean for random unit vectors ~ 0
+
+
+@register(
+    "ann_ivf_recall_guard",
+    sql=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id % {IVF_MOD} = 0
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             arg_max(c.cid, {sql_dot('e.embedding', 'c.cv')}
+                            + 1e-12 * (-c.cid)) AS cluster_id
+      FROM embeddings e CROSS JOIN centroids c
+      GROUP BY e.vec_id, e.embedding
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id <= {N_BATCH_QUERIES}
+    ),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_dot('q.qv', 'c.cv')} DESC, c.cid ASC) AS rn
+        FROM queries q CROSS JOIN centroids c)
+      WHERE rn <= {NPROBE}
+    ),
+    ivf5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, a.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_dot('a.embedding', 'q.qv')} DESC,
+                          a.vec_id ASC) AS rn
+        FROM assign a
+        JOIN probe p ON a.cluster_id = p.cid
+        JOIN queries q ON q.query_id = p.query_id)
+      WHERE rn <= 5
+    ),
+    exact5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_dot('e.embedding', 'q.qv')} DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN queries q)
+      WHERE rn <= 5
+    )
+    SELECT (SELECT count(*) FROM queries)::BIGINT AS n_queries,
+           count(*)::BIGINT AS total_hits,
+           count(*) >= {IVF_RECALL_FLOOR} AS ivf_recall_ok
+    FROM ivf5 JOIN exact5 USING (query_id, vec_id)
+    """,
+)
+def q_ann_ivf_recall_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality contract for the IVF batch path (the
+    ``ann_pq_guard`` pattern, round-2 review item 8): the IVF top-5 of
+    the 9-query batch must recover at least {IVF_RECALL_FLOOR} of the
+    45 exact brute-force top-5 slots.  Both sides and the hit count
+    are integer-derived, so the single output row hash-matches
+    exactly; measured total_hits is 20-26 across sf0.001/0.01/0.1 on
+    the i.i.d.-random synthetic vectors (nprobe=2 of ~n/64 cells — on
+    clustered production embeddings this rises sharply), so the floor
+    guards against a broken quantizer/probe/assignment, not data
+    drift.  The approximate path and the exact reference are the
+    already-registered plans (``ann_ivf_topk_batch``: broadcast probe
+    frame, zero corpus shuffle; ``topk_search_batch``: per-partition
+    heap prune)."""
+    from legalchatbot_vectordb_exp_spark.operators.topk import (
+        topk_search_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivf5 = q_ann_ivf_topk_batch(spark, sf_dir).select("query_id", "vec_id")
+    qdf = emb.filter(F.col("vec_id") <= N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact5 = topk_search_batch(emb, qdf, k=5).select("query_id", "vec_id")
+    n_q = qdf.count()
+    return ivf5.join(exact5, ["query_id", "vec_id"]).agg(
+        F.lit(n_q).cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).alias("total_hits"),
+        (F.count(F.lit(1)) >= IVF_RECALL_FLOOR).alias("ivf_recall_ok"),
+    )
+
+
+def _lsh_quality_oracle() -> str:
+    from legalchatbot_vectordb_exp_spark.registry import ORACLES
+
+    return f"""
+    SELECT count(*)::BIGINT AS n_pairs,
+           round(CAST(sum(cos::DECIMAL(18,6)) AS DOUBLE) / count(*), 6)
+             AS mean_pair_cos,
+           round(CAST(sum(cos::DECIMAL(18,6)) AS DOUBLE) / count(*), 6)
+             >= {LSH_MEAN_COS_FLOOR} AS lsh_enrichment_ok
+    FROM ({ORACLES["ann_lsh_pairs"]}) p
+    """
+
+
+@register("ann_lsh_recall_guard", sql=_lsh_quality_oracle())
+def q_ann_lsh_recall_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality contract for the LSH candidate path: the
+    mean exact cosine over all same-bucket candidate pairs must exceed
+    {LSH_MEAN_COS_FLOOR} — on this corpus of i.i.d. random unit
+    vectors the all-pairs mean cosine is ~0, so the bound asserts the
+    buckets genuinely ENRICH for similarity (measured 0.075-0.083
+    across sf0.001/0.01/0.1; a degenerate hash that lumped everything
+    into a few buckets would regress the mean to ~0 and flip the
+    boolean — exactly the corpus-plane failure SCALE.md §6c records).
+    The mean is sum(DECIMAL)/count over round-6 pair scores — exact
+    integer-style arithmetic, so the single row hash-matches;
+    the pair generation itself is the registered ``ann_lsh_pairs``
+    plan (bucket-keyed shuffle, vectorized bit-exact rescore)."""
+    pairs = q_ann_lsh_pairs(spark, sf_dir)
+    mean = F.round(
+        F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        mean.alias("mean_pair_cos"),
+        (mean >= LSH_MEAN_COS_FLOOR).alias("lsh_enrichment_ok"),
+    )

@@ -64,6 +64,17 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     full-data shuffle on a 100 TB input.
     """
     want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Short-circuit on file count first: a scan over >= `want` files is
+    # already at least that parallel, and inputFiles() is a listing,
+    # not a plan build.  Only narrow inputs (the single-row-group
+    # testdata case) pay the precise `.rdd.getNumPartitions()` probe,
+    # which converts the plan (no job, but not free on a
+    # hundred-table pipeline — round-2 review nit).
+    try:
+        if len(df.inputFiles()) >= want:
+            return df
+    except Exception:
+        pass  # non-file-backed plans: fall through to the precise probe
     if df.rdd.getNumPartitions() >= want:
         return df
     return df.repartition(want)

@@ -1,0 +1,274 @@
+"""RAG / retrieval preprocessing operators beyond the reference's
+paragraph chunker: overlapping token-window chunking, per-document
+TF-IDF key terms, corpus-LM surprisal scoring, and a partition-pruned
+sink round-trip.
+
+Scale notes:
+
+* ``chunk_overlap`` is a scan-stage explode — no shuffle; chunk count
+  per document is ceil(n/stride), so output size is a constant factor
+  of input tokens (the standard RAG chunker shape);
+* ``tfidf_topterms`` shuffles on (doc, term) then term — both keyed
+  aggregations with map-side partial agg; the document-frequency side
+  joins back on the term key (never a cross join);
+* ``unigram_surprisal`` pins float determinism by folding each
+  document's per-term contributions in SORTED term order (an ordered
+  ``aggregate`` over a sorted collect — same fold both engines);
+* ``partitioned_roundtrip`` writes the corpus partitioned by language
+  and reads one partition back: the filter must become partition
+  PRUNING (directory-level skip), the 100 TB layout story for any
+  per-language corpus (pinned in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.registry import register, sql_words
+
+CHUNK_W = 64  # tokens per chunk
+CHUNK_S = 48  # stride (overlap = W - S = 16 tokens)
+
+TFIDF_TOPK = 3
+
+
+@register(
+    "chunk_overlap",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_words('text')} AS ws,
+             len({sql_words('text')})::BIGINT AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           (s.start // {CHUNK_S})::BIGINT AS chunk_index,
+           len(ws[s.start + 1 : s.start + {CHUNK_W}])::BIGINT
+             AS n_chunk_tokens,
+           array_to_string(ws[s.start + 1 : s.start + {CHUNK_W}], ' ')
+             AS chunk_text
+    FROM toks, unnest(generate_series(0, n - 1, {CHUNK_S})) AS s(start)
+    WHERE n > 0
+    """,
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking with overlap — the standard RAG
+    chunker (width {CHUNK_W}, stride {CHUNK_S}, so consecutive chunks
+    share {CHUNK_W - CHUNK_S} tokens of context).  Window starts are a
+    per-row ``sequence`` explode; the chunk text is a slice + join of
+    the already-split word array — scan-stage only, no shuffle, output
+    bounded by ceil(n/stride) chunks per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = sql_words  # noqa: F841  (oracle twin above)
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""
+        ).alias("ws"),
+    ).withColumn("n", F.size("ws").cast("bigint"))
+    starts = toks.filter(F.col("n") > 0).select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n") - 1).cast("int"),
+                       F.lit(CHUNK_S))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("start") + 1, CHUNK_W)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_S).cast("bigint").alias("chunk_index"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+_TF_CTE = """
+    tf AS (
+      SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '')) AS t
+            FROM documents)
+      GROUP BY doc_id, t
+    )
+"""
+
+
+@register(
+    "tfidf_topterms",
+    sql=f"""
+    WITH {_TF_CTE},
+    df AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+      FROM tf JOIN df USING (term), n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, rank::BIGINT AS rank,
+           round(score, 6) AS tfidf
+    FROM ranked WHERE rank <= {TFIDF_TOPK}
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPK} TF-IDF key terms per document — the classic
+    keyword extractor a retrieval pipeline runs beside dense
+    embeddings.  idf = ln((N+1)/(df+1)) and score = tf * idf are one
+    division, one log and one multiply over exact integer counts, so
+    floats agree bit-for-bit across engines.  Plan: (doc, term) tf
+    aggregate → term-keyed df aggregate joined back on the term key →
+    per-doc window rank; every exchange is key-partitioned with
+    map-side partial aggregation, never corpus x corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda w: w != "",
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # metadata-scale: one count-star job
+    scored = tf.join(df_t, "term").withColumn(
+        "score",
+        F.col("tf")
+        * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select(
+            "doc_id", "term", "rank", F.round("score", 6).alias("tfidf")
+        )
+    )
+
+
+@register(
+    "unigram_surprisal",
+    sql=f"""
+    WITH {_TF_CTE},
+    corpus AS (
+      SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY term
+    ),
+    total AS (SELECT sum(ctf)::BIGINT AS n_total FROM corpus),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(corpus.ctf / CAST(total.n_total AS DOUBLE))
+               AS c,
+             tf.tf
+      FROM tf JOIN corpus USING (term), total
+    )
+    SELECT doc_id,
+           sum(tf)::BIGINT AS n_tokens,
+           round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(c ORDER BY term)), (acc, x) -> acc + x)
+                 / sum(tf), 6) AS mean_surprisal
+    FROM contrib
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM surprisal per document — the classic
+    perplexity-style quality signal (documents scoring far from the
+    corpus distribution are boilerplate, noise, or another language).
+
+    mean_surprisal = -(Σ_t tf_t · ln p(t)) / n_tokens with p(t) from
+    the corpus itself.  Float determinism: each term's contribution is
+    exact-count arithmetic (one divide, one log, one multiply), and
+    the per-document sum folds in SORTED TERM ORDER on both engines —
+    Spark ``aggregate`` over an ``array_sort``-ed collect, DuckDB
+    ``list_reduce`` over ``list(... ORDER BY term)`` — so the
+    accumulated double is bit-identical.  Plan: the corpus term table
+    is a term-keyed aggregate joined back on the term key; the
+    per-document fold rides the (doc, term) aggregate's partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda w: w != "",
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    n_total = corpus.agg(F.sum("ctf")).collect()[0][0]  # metadata scalar
+    contrib = tf.join(corpus, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (
+            F.col("tf")
+            * F.log(F.col("ctf") / F.lit(float(n_total)))
+        ).alias("c"),
+    )
+    folded = contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("s"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_tokens",
+        F.round(-F.col("s") / F.col("n_tokens"), 6).alias(
+            "mean_surprisal"
+        ),
+    )
+
+
+@register(
+    "partitioned_roundtrip",
+    sql="""
+    SELECT doc_id, n_chars, 'en' AS lang
+    FROM documents WHERE lang = 'en'
+    """,
+)
+def q_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink → pruned source round-trip: write the
+    corpus ``partitionBy(lang)``, read it back filtered to one
+    language, and the filter must never touch the other partitions'
+    files — directory-level partition pruning, the layout every
+    per-language 100 TB corpus uses (plan pinned in
+    tests/test_plans.py::test_partitioned_roundtrip_prunes).
+
+    The oracle reads the ORIGINAL table: round-tripping through the
+    partitioned layout must preserve rows and values exactly (lang
+    comes back as the partition directory's value)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    out = tempfile.mkdtemp(prefix="part_roundtrip_")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    return back.select(
+        "doc_id", "n_chars", F.col("lang").cast("string").alias("lang")
+    )

@@ -333,3 +333,34 @@ def test_decontamination_broadcasts_benchmark(spark, sf_smoke):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_roundtrip_prunes(spark, sf_smoke):
+    """The lang filter on the partitioned layout must be a PARTITION
+    filter (directory skip), not a data filter over every file."""
+    from legalchatbot_vectordb_exp_spark.queries_rag import (
+        q_partitioned_roundtrip,
+    )
+
+    df = q_partitioned_roundtrip(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the lang predicate must appear among the partition filters —
+    # grab the scan line and check it mentions lang = en there
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any("lang" in ln and "en" in ln for ln in scan_lines), scan_lines
+
+
+def test_chunk_overlap_no_shuffle(spark, sf_smoke):
+    """Chunking is scan-stage: explode + slice with zero exchanges."""
+    from legalchatbot_vectordb_exp_spark.queries_rag import q_chunk_overlap
+
+    plan = (
+        q_chunk_overlap(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]

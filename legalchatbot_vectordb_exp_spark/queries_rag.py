@@ -272,3 +272,128 @@ def q_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", "n_chars", F.col("lang").cast("string").alias("lang")
     )
+
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in SQL: pick 1 = argmax relevance, pick i =
+    argmax over remaining of λ·rel − (1−λ)·max sim to already-picked.
+    Every float derives from the shared exact dot fold plus one
+    multiply/subtract, so the greedy path is bit-identical to the
+    Spark/driver arithmetic."""
+    from legalchatbot_vectordb_exp_spark.registry import sql_dot
+
+    head = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    pool AS (
+      SELECT e.vec_id, e.embedding,
+             {sql_dot('e.embedding', 'q.qv')} AS rel
+      FROM embeddings e, q
+      ORDER BY rel DESC, e.vec_id ASC LIMIT {MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             {sql_dot('a.embedding', 'b.embedding')} AS s
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    p1 AS (SELECT vec_id, rel AS score FROM pool
+           ORDER BY rel DESC, vec_id ASC LIMIT 1)
+    """
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+    steps = []
+    for i in range(2, MMR_K + 1):
+        prev = ", ".join(f"p{j}" for j in range(1, i))
+        sim_joins = " ".join(
+            f"JOIN sims s{j} ON s{j}.ia = p.vec_id AND "
+            f"s{j}.ib = (SELECT vec_id FROM p{j})"
+            for j in range(1, i)
+        )
+        maxsim = (
+            f"greatest({', '.join(f's{j}.s' for j in range(1, i))})"
+            if i > 2
+            else "s1.s"
+        )
+        not_in = " AND ".join(
+            f"p.vec_id <> (SELECT vec_id FROM p{j})" for j in range(1, i)
+        )
+        steps.append(
+            f""",
+    p{i} AS (
+      SELECT p.vec_id, {lam} * p.rel - {mu} * {maxsim} AS score
+      FROM pool p {sim_joins}
+      WHERE {not_in}
+      ORDER BY score DESC, p.vec_id ASC LIMIT 1
+    )"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, round(score, 6) AS mmr FROM p{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return head + "".join(steps) + f" SELECT * FROM ({unions}) ORDER BY rank"
+
+
+@register("topk_mmr", sql=_mmr_oracle())
+def q_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking — the standard RAG
+    diversifier: from the top-{MMR_POOL} cosine pool, greedily pick
+    {MMR_K} results maximizing λ·relevance − (1−λ)·max-similarity to
+    the already-picked set (λ = {MMR_LAMBDA}), so near-duplicate hits
+    don't crowd the context window.
+
+    Split of labor mirrors production MMR: RETRIEVAL is the Spark plan
+    (TakeOrderedAndProject top-{MMR_POOL} + a {MMR_POOL}²-row pairwise
+    sim frame, all exact dot folds); the greedy SELECTION runs on the
+    collected pool — k·pool metadata-scale scalars, like the IVF probe
+    choice — using only Spark-computed doubles plus one multiply and
+    one subtract per step, so the result is bit-identical to the
+    oracle's unrolled greedy CTE chain."""
+    from legalchatbot_vectordb_exp_spark.functions.vector import dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = F.array(
+        *[
+            F.lit(float(x))
+            for x in emb.filter(F.col("vec_id") == 0).head()[1]
+        ]
+    )
+    pool = (
+        emb.withColumn("rel", dot("embedding", qvec))
+        .orderBy(F.desc("rel"), F.col("vec_id").asc())
+        .limit(MMR_POOL)
+        .cache()
+    )
+    a = pool.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = pool.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    sims = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .withColumn("s", dot("ea", "eb"))
+        .select("ia", "ib", "s")
+    )
+    rel = {r["vec_id"]: r["rel"] for r in pool.select("vec_id", "rel").collect()}
+    sim = {(r["ia"], r["ib"]): r["s"] for r in sims.collect()}
+
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+    picked: list[tuple[int, int, float]] = []
+    first = min(((-s, v) for v, s in rel.items()))[1]
+    picked.append((1, first, rel[first]))
+    while len(picked) < MMR_K:
+        best = None
+        for v in sorted(rel):
+            if any(v == p[1] for p in picked):
+                continue
+            maxsim = max(sim[(v, p[1])] for p in picked)
+            score = lam * rel[v] - mu * maxsim
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, score)
+        picked.append((len(picked) + 1, best[1], best[2]))
+    return spark.createDataFrame(
+        [(r, v, round(s, 6)) for r, v, s in picked],
+        "rank long, vec_id long, mmr double",
+    ).orderBy("rank")

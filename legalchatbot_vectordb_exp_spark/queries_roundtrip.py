@@ -206,3 +206,47 @@ def q_bucketed_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "jsonl_roundtrip",
+    sql="""
+    SELECT doc_id, lang,
+           length(text) AS text_len,
+           sha256(text) AS text_sha
+    FROM documents
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round trip — the interchange format of
+    every LLM training-data pipeline (one JSON object per line).  The
+    documents table is written with the JSON sink (escaping newlines,
+    quotes and non-ASCII inside the text payload), read back with an
+    EXPLICIT schema (schema inference over 100 TB of JSONL means
+    reading everything twice — at scale the schema is a contract, not
+    a discovery), and digested per row.  The oracle never touches the
+    JSON: any escaping/encoding corruption in the round trip breaks
+    the sha-256 hash match.
+
+    Scale shape: both directions are scan-speed narrow projections; the
+    written layout inherits the upstream partitioning (one file per
+    task, no shuffle)."""
+    out = _scratch(sf_dir, "docs_jsonl")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    docs.write.mode("overwrite").json(out)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("text_len"),
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )

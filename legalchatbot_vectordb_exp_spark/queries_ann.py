@@ -197,14 +197,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    crows = (
-        emb.filter(F.col("vec_id") % IVF_MOD == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cids = [int(r[0]) for r in crows]
-    cmat = [list(map(float, r[1])) for r in crows]
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).head()[1]]
+    # one driver job fetches centroids AND the query vector (both
+    # metadata-scale) — two serial collects doubled driver latency
+    meta = emb.filter(
+        (F.col("vec_id") % IVF_MOD == 0) | (F.col("vec_id") == 1)
+    ).collect()
+    cids = [int(r[0]) for r in meta if int(r[0]) % IVF_MOD == 0]
+    cmat = [
+        list(map(float, r[1])) for r in meta if int(r[0]) % IVF_MOD == 0
+    ]
+    qvec = [float(x) for r in meta if int(r[0]) == 1 for x in r[1]]
 
     def seq_dot(a, b):  # sequential fold — same IEEE order as the oracle
         acc = 0.0

@@ -595,15 +595,20 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_codebooks(sample_vectors(emb, 256), m=32, k=16, iters=8)
 
     # driver-side metadata: coarse centroids + the 5 probe vectors
-    crows = (
-        emb.filter(F.col("vec_id") % IVF_MOD == 0)
+    # one driver job fetches centroids AND the 5 probe vectors (both
+    # metadata-scale; vec_id 0 appears in both roles)
+    meta = (
+        emb.filter((F.col("vec_id") % IVF_MOD == 0) | (F.col("vec_id") < 5))
         .orderBy("vec_id")
         .collect()
     )
-    cids = [int(r[0]) for r in crows]
-    cmat = [list(map(float, r[1])) for r in crows]
-    qrows = emb.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
-    queries = [(int(r[0]), list(map(float, r[1]))) for r in qrows]
+    cids = [int(r[0]) for r in meta if int(r[0]) % IVF_MOD == 0]
+    cmat = [
+        list(map(float, r[1])) for r in meta if int(r[0]) % IVF_MOD == 0
+    ]
+    queries = [
+        (int(r[0]), list(map(float, r[1]))) for r in meta if int(r[0]) < 5
+    ]
 
     def seq_dot(a, b):  # sequential fold — same IEEE order as the oracle
         acc = 0.0

@@ -250,3 +250,50 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("text_len"),
         F.sha2(F.col("text"), 256).alias("text_sha"),
     )
+
+
+@register(
+    "schema_evolution_roundtrip",
+    sql="""
+    SELECT doc_id, lang, NULL::BIGINT AS n_chars, 'v1' AS writer
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars::BIGINT AS n_chars, 'v2' AS writer
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round trip: a corpus written by TWO writer
+    generations — v1 files lack the later ``n_chars`` column — read
+    back as ONE table with ``mergeSchema``, old rows surfacing NULL
+    for the added column.  This is how every long-lived 100 TB corpus
+    actually looks (columns accrete over years of pipeline versions);
+    the merged read must neither drop v1 rows nor invent values for
+    the missing column.  The oracle derives the same union (with typed
+    NULLs) from the base table, so a mis-merged schema or a
+    default-filled column fails the hash.
+
+    Scale note: ``mergeSchema`` reconciles FOOTERS (one per file), not
+    data; the scan itself stays columnar and pruned.  Production
+    pins the merged schema in a metastore; the per-read merge here is
+    the self-describing-layout variant."""
+    out = _scratch(sf_dir, "schema_evolution")
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.lit("v1").alias("writer")
+    )
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.lit("v2").alias("writer"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "gen_v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "gen_v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen_v1"), os.path.join(out, "gen_v2")
+    )
+    return back.select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
+        "writer",
+    )

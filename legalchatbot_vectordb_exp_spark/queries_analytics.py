@@ -422,3 +422,97 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n.total"), F.lit(0)).cast("double"), 2
         ).alias("new_total"),
     )
+
+
+@register(
+    "events_topn_per_window",
+    sql="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type ASC) AS rnk
+      FROM agg
+    )
+    SELECT window_start, event_type, n, rnk::BIGINT AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_events_topn_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hourly window — the windowed-leaderboard
+    pattern (trending topics, hottest endpoints).  Plan: tumbling
+    aggregate (map-side partial) → per-window rank; both exchanges are
+    key-partitioned, and integer counts + lexicographic tie-break make
+    the cut deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rank_w = Window.partitionBy("w").orderBy(
+        F.desc("n"), F.col("event_type").asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "rnk"
+        )
+    )
+
+
+@register(
+    "retention_cohort",
+    sql="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+      SELECT o.o_custkey, f.cohort_month,
+             (date_part('year', o.o_orderdate)
+                - date_part('year', f.cohort_month)) * 12
+             + (date_part('month', o.o_orderdate)
+                - date_part('month', f.cohort_month)) AS months_since
+      FROM orders o JOIN firsts f USING (o_custkey)
+    )
+    SELECT cohort_month, months_since::BIGINT AS months_since,
+           count(DISTINCT o_custkey)::BIGINT AS active_customers
+    FROM activity
+    WHERE months_since <= 6
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month, then
+    distinct active customers per months-since-cohort (0..6) — the
+    standard retention triangle.  Plan: a custkey-keyed min aggregate
+    joined back on the same key (co-partitioned — one shuffle feeds
+    both), then a (cohort, offset)-keyed distinct count.  All
+    integer/date arithmetic, deterministic everywhere."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort_month")
+    )
+    months_since = (
+        (F.year("o_orderdate") - F.year("cohort_month")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_month"))
+    ).cast("bigint")
+    activity = orders.join(firsts, "o_custkey").select(
+        "o_custkey",
+        "cohort_month",
+        months_since.alias("months_since"),
+    )
+    return (
+        activity.filter(F.col("months_since") <= 6)
+        .groupBy("cohort_month", "months_since")
+        .agg(F.count_distinct("o_custkey").alias("active_customers"))
+    )

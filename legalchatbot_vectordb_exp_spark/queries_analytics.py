@@ -516,3 +516,84 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_month", "months_since")
         .agg(F.count_distinct("o_custkey").alias("active_customers"))
     )
+
+
+@register(
+    "part_affinity",
+    sql="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS together
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    freq AS (
+      SELECT l_partkey, count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY 1
+    ),
+    n AS (SELECT count(DISTINCT o_orderkey)::BIGINT AS n_orders FROM orders)
+    SELECT p.part_a, p.part_b, p.together::BIGINT AS together,
+           round(p.together * n.n_orders
+                 / CAST(fa.n_orders * fb.n_orders AS DOUBLE), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b, n
+    WHERE p.together >= 2
+    """,
+)
+def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over order lines: parts co-occurring in
+    ≥2 orders, scored by lift = P(a,b) / (P(a)·P(b)) — the co-purchase
+    signal behind "frequently bought together".
+
+    Plan: the self-join is keyed on l_orderkey (basket id) — pair
+    count per order is quadratic in LINES PER ORDER (≤7 in TPC-H, a
+    bounded constant), never in table size; pair/frequency aggregates
+    are key-partitioned with partial agg.  Lift is one multiply and
+    one divide over exact integer counts → bit-identical floats."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    freq = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    n_orders = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.count_distinct("o_orderkey"))
+        .collect()[0][0]
+    )  # metadata scalar
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            F.round(
+                F.col("together")
+                * F.lit(int(n_orders))
+                / (F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

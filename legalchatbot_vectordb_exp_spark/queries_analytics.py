@@ -597,3 +597,122 @@ def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+PR_ITERS = 8
+PR_SCALE = 10**12  # fixed-point rank scale: all arithmetic stays integer
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank: every iteration is pure integer
+    arithmetic (floor divisions, integer sums), so ranks are exactly
+    reproducible on any engine — no float accumulation order anywhere."""
+    head = f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT part_a AS src, part_b AS dst FROM pairs
+      UNION ALL SELECT part_b, part_a FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM edges
+            GROUP BY src),
+    pr0 AS (SELECT node, {PR_SCALE}::BIGINT AS rank FROM deg)
+    """
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f""",
+    pr{i} AS (
+      SELECT e.dst AS node,
+             (15 * {PR_SCALE} / 100)::BIGINT
+             + (85 * sum(p.rank // d.d) // 100)::BIGINT AS rank
+      FROM edges e
+      JOIN pr{i - 1} p ON p.node = e.src
+      JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node AS part, rank AS rank_fp
+    FROM pr{PR_ITERS}
+    ORDER BY rank DESC, node ASC LIMIT 20
+    """
+    )
+
+
+@register("pagerank_parts", sql=_pagerank_oracle())
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the part co-purchase graph — the
+    iterative-algorithm pattern (label propagation's weighted cousin)
+    expressed as a driver-side loop of keyed join+aggregate plans.
+
+    Determinism: ranks live as BIGINT fixed-point ({PR_SCALE} = 1.0);
+    each iteration is rank//degree contributions, an integer sum, and
+    the damped update (15·S/100 + 85·Σ//100) — floor divisions and
+    integer sums only, so iteration order, partitioning and engine
+    cannot change a single bit.  The oracle unrolls the same
+    {PR_ITERS} iterations as CTEs.
+
+    Scale shape: each iteration shuffles on the edge key — the classic
+    Pregel super-step as a DataFrame plan; the rank frame is persisted
+    per iteration to cut lineage (at 100 TB: localCheckpoint every few
+    super-steps, same as connected components)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("part_a", "part_b")
+    )
+    edges = pairs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+        )
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
+    )
+    contrib_edges = edges.join(
+        deg.withColumnRenamed("src", "node"), edges.src == F.col("node")
+    ).select("src", "dst", "d").persist()
+    teleport = 15 * PR_SCALE // 100
+    for _ in range(PR_ITERS):
+        # `div` keeps every step in exact BIGINT arithmetic — a double
+        # division would go inexact past 2^53 on high-degree graphs.
+        # No per-iteration persist: each rank frame feeds exactly one
+        # consumer, so the 8 super-steps form straight-line lineage
+        # executed once (at 100 TB scale, localCheckpoint every few
+        # steps bounds plan depth instead).
+        ranks = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.node)
+            .select("dst", F.expr("rank div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(teleport) + F.expr("(85 * s) div 100"))
+                .cast("bigint")
+                .alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("part"), F.col("rank").alias("rank_fp")
+    ).orderBy(F.desc("rank_fp"), F.col("part").asc()).limit(20)

@@ -250,3 +250,72 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u_null_safe_eq_null"
         ),
     )
+
+
+@register(
+    "array_functions",
+    sql="""
+    SELECT vec_id,
+           len(embedding)::BIGINT AS n,
+           round(embedding[1]::DOUBLE, 6) AS first_component,
+           round(list_aggregate(embedding[1:8]::DOUBLE[], 'max'), 6)
+             AS max_head,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding[1:8]::DOUBLE[],
+                                  x -> CASE WHEN x > 0 THEN x
+                                       ELSE 0.0 END)),
+                   (acc, x) -> acc + x), 6) AS sum_pos_head,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0))::BIGINT
+             AS n_positive,
+           array_to_string(list_transform(
+             list_reverse(list_sort(embedding[1:3]::DOUBLE[])),
+             x -> CAST(floor(x * 1000)::BIGINT AS VARCHAR)), ',')
+             AS top3_desc_milli
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth over the embedding column: slice,
+    element access, filter, higher-order transform + ordered fold,
+    sort/reverse, stringify — the array surface a vector pipeline
+    leans on daily, every expression JVM-side.
+
+    Cross-engine notes: Spark arrays are 1-indexed via
+    ``element_at`` / ``slice`` (matching DuckDB's 1-based list
+    slices); the positive-sum folds left in index order on both
+    engines, so the accumulated double is bit-identical."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        # widen float32 -> double FIRST (exact), matching the oracle's
+        # ::DOUBLE[] — arithmetic in float32 would round differently
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("ed")
+        )
+    )
+    head8 = F.slice("ed", 1, 8)
+    pos_head = F.transform(
+        head8, lambda x: F.when(x > 0, x).otherwise(F.lit(0.0))
+    )
+    top3 = F.reverse(F.array_sort(F.slice("ed", 1, 3)))
+    return emb.select(
+        "vec_id",
+        F.size("ed").cast("bigint").alias("n"),
+        F.round(F.element_at("ed", 1), 6).alias("first_component"),
+        F.round(F.array_max(head8), 6).alias("max_head"),
+        F.round(
+            F.aggregate(pos_head, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("sum_pos_head"),
+        F.size(F.filter("ed", lambda x: x > 0))
+        .cast("bigint")
+        .alias("n_positive"),
+        # integer milli-units: float->string formatting differs between
+        # engines, integer formatting doesn't
+        F.array_join(
+            F.transform(
+                top3,
+                lambda x: F.floor(x * 1000).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("top3_desc_milli"),
+    )

@@ -716,3 +716,66 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("part"), F.col("rank").alias("rank_fp")
     ).orderBy(F.desc("rank_fp"), F.col("part").asc()).limit(20)
+
+
+@register(
+    "conversion_funnel",
+    sql="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_viewed,
+           (SELECT count(*) FROM c)::BIGINT AS n_clicked_after_view,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchased_after_click
+    """,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked AFTER
+    the first view, then purchased AFTER the first qualifying click —
+    the sequential-pattern count behind product funnels (strictly
+    ordered, not mere co-occurrence).
+
+    Plan: three user-keyed min aggregates, each stage joined to the
+    previous on the user key — co-partitioned shuffles, no windows
+    over the raw stream; integer counts, so the single output row is
+    exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return spark.range(1).select(
+        F.lit(v.count()).cast("bigint").alias("n_viewed"),
+        F.lit(c.count()).cast("bigint").alias("n_clicked_after_view"),
+        F.lit(p.count()).cast("bigint").alias("n_purchased_after_click"),
+    )

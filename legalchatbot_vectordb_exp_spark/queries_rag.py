@@ -60,7 +60,6 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-split word array — scan-stage only, no shuffle, output
     bounded by ceil(n/stride) chunks per document."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = sql_words  # noqa: F841  (oracle twin above)
     toks = docs.select(
         "doc_id",
         F.filter(

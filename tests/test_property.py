@@ -188,3 +188,38 @@ def test_bm25_matches_python_reference(spark, docs_words):
         if any(t in d for t in terms):
             expect[i] = round(score, 6)
     assert got == pytest.approx(expect, abs=2e-6)
+
+
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    with_sig=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_png_decoder_total_on_arbitrary_bytes(data, with_sig):
+    """The PNG decoder is TOTAL: arbitrary (optionally PNG-signed)
+    bytes either decode to a well-formed pixel array or return None —
+    never an exception (corrupt multimodal payloads are routine in a
+    100 TB corpus; a decoder that throws kills the whole task)."""
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        _PNG_SIG,
+        _decode_png,
+    )
+
+    blob = (_PNG_SIG + data) if with_sig else data
+    out = _decode_png(blob)
+    if out is not None:
+        assert out.ndim == 3 and out.dtype.name == "uint8"
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_decode_pixels_total_on_arbitrary_bytes(data):
+    """decode_pixels (BMP/PPM/PNG dispatch) is total on junk bytes."""
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        decode_pixels,
+    )
+
+    for prefix in (b"", b"BM", b"P6", b"\x89PNG\r\n\x1a\n"):
+        out = decode_pixels(prefix + data)
+        if out is not None:
+            assert out.ndim == 3 and out.dtype.name == "uint8"

@@ -779,3 +779,161 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(c.count()).cast("bigint").alias("n_clicked_after_view"),
         F.lit(p.count()).cast("bigint").alias("n_purchased_after_click"),
     )
+
+
+@register(
+    "cdc_apply",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 >= 3
+    ),
+    feed AS (
+      SELECT o_orderkey, o_totalprice AS price, 'I' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 1000, 'U', 1
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 2000, 'U', 2
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, NULL, 'D', 1
+      FROM orders WHERE o_orderkey % 7 = 2
+    ),
+    latest AS (
+      SELECT o_orderkey, price, op FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn
+        FROM feed) WHERE rn = 1
+    )
+    SELECT b.o_orderkey, round(b.o_totalprice, 2) AS price
+    FROM base b ANTI JOIN latest l ON l.o_orderkey = b.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, round(price, 2) FROM latest WHERE op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY — the other half of ``snapshot_diff``: compact a
+    change feed (insert/update/delete rows with sequence numbers,
+    including multiple versions of the same key) to latest-per-key,
+    then merge it into the base snapshot: delete drops the row, the
+    latest update/insert wins, untouched base rows pass through.
+
+    Plan: the feed compaction is one window over the feed (keyed by
+    the primary key — feed-sized, not snapshot-sized), the merge is a
+    key-partitioned anti join + union.  This is exactly the MERGE INTO
+    shape lakehouse tables run on every ingest cycle; with the
+    deterministic synthetic feed both engines derive identical rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    from pyspark.sql import Window
+
+    base = orders.filter(F.col("o_orderkey") % 7 >= 3)
+    mk = lambda pred, price, op, seq: (  # noqa: E731
+        orders.filter(pred).select(
+            "o_orderkey",
+            price.alias("price"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+    )
+    feed = (
+        mk(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice"), "I", 1)
+        .unionAll(
+            mk(
+                F.col("o_orderkey") % 7 == 1,
+                F.col("o_totalprice") + 1000,
+                "U",
+                1,
+            )
+        )
+        .unionAll(
+            mk(
+                F.col("o_orderkey") % 7 == 1,
+                F.col("o_totalprice") + 2000,
+                "U",
+                2,
+            )
+        )
+        .unionAll(
+            mk(
+                F.col("o_orderkey") % 7 == 2,
+                F.lit(None).cast("double"),
+                "D",
+                1,
+            )
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "price", "op")
+    )
+    untouched = base.join(latest, "o_orderkey", "anti").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    applied = latest.filter(F.col("op") != "D").select(
+        "o_orderkey", F.round("price", 2).alias("price")
+    )
+    return untouched.unionAll(applied)
+
+
+@register(
+    "embedding_drift",
+    sql="""
+    WITH halves AS (
+      SELECT vec_id % 2 AS half, u.i AS pos, e.embedding[u.i]::DOUBLE AS x
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS u(i)
+    ),
+    means AS (
+      SELECT half, pos, round(avg(x), 6) AS m
+      FROM halves GROUP BY half, pos
+    )
+    SELECT a.pos::BIGINT AS pos,
+           round(abs(a.m - b.m), 6) AS mean_drift
+    FROM means a JOIN means b ON a.pos = b.pos
+    WHERE a.half = 0 AND b.half = 1
+    ORDER BY mean_drift DESC, pos ASC LIMIT 10
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per-component mean of two
+    corpus halves (old vs new ingest, here split by id parity), top-10
+    most-drifted components — the pipeline check that catches a model
+    swap or preprocessing change silently shifting the embedding
+    space.  One (half, pos)-keyed aggregate (partial agg, posexplode
+    scan-stage) + a 64-row self-join; the drift compares ROUNDED means
+    so the final doubles are deterministic cross-engine (the
+    ``label_centroids`` precedent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "half",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+    means = comp.groupBy("half", "pos").agg(
+        F.round(F.avg("x"), 6).alias("m")
+    )
+    a = means.filter(F.col("half") == 0).select(
+        "pos", F.col("m").alias("ma")
+    )
+    b = means.filter(F.col("half") == 1).select(
+        "pos", F.col("m").alias("mb")
+    )
+    return (
+        a.join(b, "pos")
+        .select(
+            "pos",
+            F.round(F.abs(F.col("ma") - F.col("mb")), 6).alias(
+                "mean_drift"
+            ),
+        )
+        .orderBy(F.desc("mean_drift"), F.col("pos").asc())
+        .limit(10)
+    )

@@ -527,3 +527,43 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_nums"),
     )
+
+
+@register(
+    "bigram_topk",
+    sql=f"""
+    WITH w AS (
+      SELECT {sql_words('lower(text)')} AS ws FROM documents
+    ),
+    bg AS (
+      SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+      WHERE len(ws) >= 2
+    )
+    SELECT bigram, count(*)::BIGINT AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 50
+    """,
+)
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams — the collocation statistic every corpus
+    report leads with (and the vocabulary seed for BPE-style merges).
+    Non-distinct bigrams (unlike the dedup shingles, which distinct per
+    doc): explode a zip_with of the word array against its tail, one
+    partial-aggregated count keyed by bigram, TakeOrdered final."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words(F.lower(F.col("text")))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = docs.filter(F.size(ws) >= 2).select(
+        F.explode(bigrams).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("bigram").asc())
+        .limit(50)
+    )

@@ -937,3 +937,95 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_drift"), F.col("pos").asc())
         .limit(10)
     )
+
+
+@register(
+    "length_buckets",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             ntile(8) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bucket
+      FROM documents
+    )
+    SELECT bucket::BIGINT AS bucket,
+           count(*)::BIGINT AS n_docs,
+           min(n_chars)::BIGINT AS min_chars,
+           max(n_chars)::BIGINT AS max_chars
+    FROM t GROUP BY bucket
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth document-length buckets (ntile over a total order) —
+    the binning behind curriculum schedules and length-balanced
+    sampling.  The ntile order carries an explicit doc_id tie-break so
+    bucket boundaries are engine-independent.  Note the global sort:
+    ntile is inherently a total order — at 100 TB the drop-in is
+    approx-quantile cut points (percentile_approx) broadcast as range
+    boundaries, same output contract."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    t = docs.withColumn("bucket", F.ntile(8).over(w).cast("bigint"))
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    sql="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN d.ad > 5 * m.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_anomalies
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counting per event type: |value − median| >
+    5·MAD (median absolute deviation) — the outlier detector that
+    survives heavy tails where mean/stddev break.  Two median passes
+    (exact interpolated percentile, identical in both engines) with
+    the per-type statistics broadcast back against the stream; output
+    is integer counts, so the hash is exact."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("ad") > 5 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )

@@ -21,7 +21,7 @@ from legalchatbot_vectordb_exp_spark.functions.text import (
     words,
 )
 from legalchatbot_vectordb_exp_spark.io_tables import load_table, spread
-from legalchatbot_vectordb_exp_spark.registry import register, sql_words
+from legalchatbot_vectordb_exp_spark.registry import register, sql_dot, sql_words
 
 
 @register(
@@ -566,4 +566,91 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.col("bigram").asc())
         .limit(50)
+    )
+
+
+@register(
+    "ranker_agreement",
+    sql=f"""
+    WITH tf AS (
+      SELECT doc_id, t AS tok, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+            FROM documents)
+      WHERE t <> '' GROUP BY doc_id, t
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl
+           FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+              FROM dl),
+    df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf
+           WHERE tok IN ('vector', 'stream', 'merge') GROUP BY tok),
+    contrib AS (
+      SELECT f.doc_id, f.tok,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+      FROM tf f
+      JOIN df d ON f.tok = d.tok
+      JOIN dl l ON f.doc_id = l.doc_id, stats s
+    ),
+    bm AS (
+      SELECT doc_id,
+             round(coalesce(max(CASE WHEN tok = 'vector' THEN c END), 0)
+                 + coalesce(max(CASE WHEN tok = 'stream' THEN c END), 0)
+                 + coalesce(max(CASE WHEN tok = 'merge' THEN c END), 0),
+                   6) AS bm25
+      FROM contrib GROUP BY doc_id
+    ),
+    bm_top AS (SELECT doc_id FROM bm
+               ORDER BY bm25 DESC, doc_id LIMIT 100),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos_top AS (
+      SELECT e.vec_id AS doc_id
+      FROM embeddings e, q
+      ORDER BY {sql_dot('e.embedding', 'q.qv')} DESC, e.vec_id LIMIT 100
+    )
+    SELECT (SELECT count(*) FROM bm_top)::BIGINT AS k_bm25,
+           (SELECT count(*) FROM cos_top)::BIGINT AS k_cosine,
+           (SELECT count(*) FROM bm_top JOIN cos_top USING (doc_id))::BIGINT
+             AS n_overlap
+    """,
+)
+def q_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever A/B agreement: overlap of the BM25 top-100 and the
+    dense-cosine top-100 for the same probe — the sanity metric behind
+    hybrid-search tuning (how complementary are the retrievers?).
+    Both rankings end in TakeOrderedAndProject; the overlap is one
+    integer count, so the single output row is exact."""
+    from legalchatbot_vectordb_exp_spark.functions.vector import dot
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = _bm25_scores(docs, ["vector", "stream", "merge"])
+    bm_top = (
+        bm.orderBy(F.desc("bm25"), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = F.array(
+        *[
+            F.lit(float(x))
+            for x in emb.filter(F.col("vec_id") == 0).head()[1]
+        ]
+    )
+    cos_top = (
+        emb.withColumn("s", dot("embedding", qvec))
+        .orderBy(F.desc("s"), F.col("vec_id").asc())
+        .limit(100)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    k_bm = bm_top.count()
+    k_cos = cos_top.count()
+    n_overlap = bm_top.join(cos_top, "doc_id").count()
+    return spark.range(1).select(
+        F.lit(k_bm).cast("bigint").alias("k_bm25"),
+        F.lit(k_cos).cast("bigint").alias("k_cosine"),
+        F.lit(n_overlap).cast("bigint").alias("n_overlap"),
     )

@@ -645,3 +645,66 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered.join(keepers, "doc_id").select(
         "doc_id", "lang", "n_tokens", F.round("q", 6).alias("quality")
     )
+
+
+CONTAIN_MIN = 0.8  # fraction of the smaller doc's shingles shared
+
+
+@register(
+    "dedup_containment",
+    sql=_SHINGLE_CTE
+    + f"""
+    , pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh_rare a JOIN sh_rare b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.shared::BIGINT AS shared,
+           round(p.shared / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6)
+             AS containment
+    FROM pairs p
+    JOIN doc_sizes sa ON sa.doc_id = p.doc_a
+    JOIN doc_sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.shared / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+          >= {CONTAIN_MIN}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: pairs where ≥{CONTAIN_MIN:.0%} of
+    the SMALLER document's shingles appear in the other — the case
+    Jaccard systematically misses (a paragraph quoted inside a long
+    document scores near-zero Jaccard but 1.0 containment; quotes and
+    wholesale inclusions are endemic in legal corpora and training
+    data).
+
+    Same sub-quadratic shape as the Jaccard query: the DF-capped
+    shingle equi-join generates candidates (never corpus x corpus),
+    per-doc shingle counts join back on the doc key, and the score is
+    one integer division — bit-identical across engines."""
+    sh = _spark_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    contain = (
+        F.col("shared") / F.least("na", "nb").cast("double")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(contain >= CONTAIN_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(contain, 6).alias("containment"),
+        )
+    )

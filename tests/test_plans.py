@@ -364,3 +364,50 @@ def test_chunk_overlap_no_shuffle(spark, sf_smoke):
         .toString()
     )
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_anomaly_mad_broadcasts_stats(spark, sf_smoke):
+    """Per-type median/MAD stats must broadcast back against the
+    stream — a shuffled join would move the corpus twice for a
+    5-row statistics frame."""
+    from legalchatbot_vectordb_exp_spark.queries_analytics import (
+        q_events_anomaly_mad,
+    )
+
+    plan = (
+        q_events_anomaly_mad(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_no_cartesian(spark, sf_smoke):
+    """Containment candidates come from the shingle equi-join — never
+    an all-pairs product."""
+    from legalchatbot_vectordb_exp_spark.queries_dedup import (
+        q_dedup_containment,
+    )
+
+    plan = (
+        q_dedup_containment(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_apply_anti_join_merge(spark, sf_smoke):
+    """The merge keeps untouched base rows via an anti join on the key
+    (the MERGE INTO shape), and the feed compaction's row_number()=1
+    cut is pushed below the exchange as a WindowGroupLimit — each map
+    task pre-trims to one candidate row per key before shuffling."""
+    from legalchatbot_vectordb_exp_spark.queries_analytics import q_cdc_apply
+
+    df = q_cdc_apply(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan

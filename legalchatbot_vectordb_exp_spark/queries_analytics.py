@@ -1029,3 +1029,112 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalies"),
         )
     )
+
+
+@register(
+    "value_histogram",
+    sql="""
+    WITH b AS (
+      SELECT event_type,
+             least(greatest(floor(value / 50.0), 0), 9)::BIGINT AS bin
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, bin, count(*)::BIGINT AS n
+    FROM b GROUP BY event_type, bin
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type (10 bins of width 50,
+    clamped) — the profiling primitive behind every monitoring
+    dashboard.  Bin assignment is floor arithmetic on the scan (no
+    UDF, no sort); one partial-aggregated shuffle keyed
+    (type, bin)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)), F.lit(9)
+    ).cast("bigint")
+    return (
+        ev.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "table_profile",
+    sql="""
+    SELECT 'o_custkey' AS col,
+           count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_null,
+           count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+           round(min(o_custkey)::DOUBLE, 2) AS min_v,
+           round(max(o_custkey)::DOUBLE, 2) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice)::DOUBLE, 2),
+           round(max(o_totalprice)::DOUBLE, 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderstatus), NULL, NULL
+    FROM orders
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile pass (null count, distinct count, min/max per
+    column) — the data-quality snapshot a 100 TB warehouse runs after
+    every load.  One wide aggregate per profiled column family over a
+    single scan; numeric bounds rounded, non-numerics profile nulls +
+    cardinality only."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).alias("null_ck"),
+        F.count_distinct("o_custkey").alias("nd_ck"),
+        F.round(F.min("o_custkey").cast("double"), 2).alias("min_ck"),
+        F.round(F.max("o_custkey").cast("double"), 2).alias("max_ck"),
+        F.sum(
+            F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
+        ).alias("null_tp"),
+        F.count_distinct("o_totalprice").alias("nd_tp"),
+        F.round(F.min("o_totalprice").cast("double"), 2).alias("min_tp"),
+        F.round(F.max("o_totalprice").cast("double"), 2).alias("max_tp"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
+        ).alias("null_st"),
+        F.count_distinct("o_orderstatus").alias("nd_st"),
+    )
+    rows = [
+        ("o_custkey", "null_ck", "nd_ck", "min_ck", "max_ck"),
+        ("o_totalprice", "null_tp", "nd_tp", "min_tp", "max_tp"),
+        ("o_orderstatus", "null_st", "nd_st", None, None),
+    ]
+    parts = []
+    for col, nl, nd, mn, mx in rows:
+        parts.append(
+            agg.select(
+                F.lit(col).alias("col"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col(nl).cast("bigint").alias("n_null"),
+                F.col(nd).cast("bigint").alias("n_distinct"),
+                (F.col(mn) if mn else F.lit(None).cast("double")).alias(
+                    "min_v"
+                ),
+                (F.col(mx) if mx else F.lit(None).cast("double")).alias(
+                    "max_v"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -654,3 +654,43 @@ def q_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(k_cos).cast("bigint").alias("k_cosine"),
         F.lit(n_overlap).cast("bigint").alias("n_overlap"),
     )
+
+
+@register(
+    "charset_profile",
+    sql=r"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           (length(text)
+            - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')))::BIGINT
+             AS n_non_ascii,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT
+             AS n_digits,
+           round((length(text)
+                  - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')))
+                 / greatest(length(text), 1)::DOUBLE, 6) AS non_ascii_ratio
+    FROM documents
+    """,
+)
+def q_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset QA per document: non-ASCII and digit counts plus the
+    non-ASCII ratio — the encoding-corruption detector (mojibake,
+    binary spill into text, wrong-codec ingests) every corpus intake
+    runs.  Counts are length-minus-stripped-length regexp arithmetic
+    in the scan stage; the ratio is one integer division — no shuffle,
+    no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_non_ascii = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "")
+    )
+    n_digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_non_ascii.cast("bigint").alias("n_non_ascii"),
+        n_digits.cast("bigint").alias("n_digits"),
+        F.round(
+            n_non_ascii / F.greatest(n_chars, F.lit(1)).cast("double"), 6
+        ).alias("non_ascii_ratio"),
+    )

@@ -85,6 +85,24 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _spark_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a < doc_b, shared) — shared-shingle counts from the
+    DF-capped shingle equi-join, CACHED: the Jaccard and containment
+    queries score the identical candidate frame, so the join+aggregate
+    runs once per session."""
+    sh = _spark_shingles(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .cache()
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     sql=_SHINGLE_CTE
@@ -110,14 +128,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle is on the shingle key, never a corpus×corpus product."""
     sh = _spark_shingles(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    pairs = _spark_pair_counts(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = (
@@ -684,14 +695,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     one integer division — bit-identical across engines."""
     sh = _spark_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    pairs = _spark_pair_counts(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     contain = (

@@ -64,14 +64,18 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     full-data shuffle on a 100 TB input.
     """
     want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Short-circuit on file count first: a scan over >= `want` files is
-    # already at least that parallel, and inputFiles() is a listing,
-    # not a plan build.  Only narrow inputs (the single-row-group
-    # testdata case) pay the precise `.rdd.getNumPartitions()` probe,
-    # which converts the plan (no job, but not free on a
-    # hundred-table pipeline — round-2 review nit).
+    # Short-circuit on file count first: inputFiles() is a listing,
+    # not a plan build.  Spark bin-packs small files into splits
+    # (maxSplitBytes), so `n_files >= want` does NOT imply
+    # `n_partitions >= want` near the boundary — e.g. 33 tiny files
+    # with want=32 can pack 2-per-split (~17 partitions).  Packing can
+    # at most halve the count right at that boundary, so only
+    # short-circuit at >= 2*want files (round-3 review item); anything
+    # narrower pays the precise `.rdd.getNumPartitions()` probe, which
+    # converts the plan (no job, but not free on a hundred-table
+    # pipeline — round-2 review nit).
     try:
-        if len(df.inputFiles()) >= want:
+        if len(df.inputFiles()) >= 2 * want:
             return df
     except Exception:
         pass  # non-file-backed plans: fall through to the precise probe

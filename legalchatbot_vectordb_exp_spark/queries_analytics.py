@@ -751,7 +751,12 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: three user-keyed min aggregates, each stage joined to the
     previous on the user key — co-partitioned shuffles, no windows
     over the raw stream; integer counts, so the single output row is
-    exact."""
+    exact.  The three stage counts come from ONE conditional aggregate
+    over the left-joined funnel frame (clicked ⊆ viewed and
+    purchased ⊆ clicked by construction, so ``count(stage_ts)`` is the
+    stage population) — a single job, and Spark's ReuseExchange dedupes
+    the repeated v/c subplans inside it (round-3 review: the previous
+    version ran three separate ``.count()`` actions)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
@@ -774,10 +779,14 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    return spark.range(1).select(
-        F.lit(v.count()).cast("bigint").alias("n_viewed"),
-        F.lit(c.count()).cast("bigint").alias("n_clicked_after_view"),
-        F.lit(p.count()).cast("bigint").alias("n_purchased_after_click"),
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_viewed"),
+            F.count("t_click").alias("n_clicked_after_view"),
+            F.count("t_purchase").alias("n_purchased_after_click"),
+        )
     )
 
 

@@ -551,7 +551,7 @@ NPROBE_PQ = 4  # coarse cells probed by the composed IVF x PQ query
            true AS ivfpq_recall_ok
     FROM ranked WHERE rnk <= 10
     GROUP BY query_id
-    """.replace("{NPROBE_PQ}", "4"),
+    """.replace("{NPROBE_PQ}", str(NPROBE_PQ)),
 )
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF x PQ composed — the full 100 TB ANN read path in one query:

@@ -306,9 +306,15 @@ def test_png_rejects_corrupt_and_unsupported():
     assert _decode_png(good[: len(good) // 2]) is None
     # not a PNG at all
     assert _decode_png(b"\x89PNG\r\n\x1a\njunkjunkjunk") is None
-    # 16-bit depth unsupported → None (never fake pixels)
-    deep = bytearray(good)
-    deep[24] = 16  # IHDR bit-depth byte
+    # 16-bit depth unsupported → None (never fake pixels).  Rebuild
+    # the IHDR chunk with depth=16 and a RECOMPUTED CRC — flipping the
+    # byte in place would fail the CRC check first and never reach the
+    # depth branch (round-3 review item).
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import _png_chunk
+
+    ihdr_body = bytearray(good[16:29])  # 13-byte IHDR payload
+    ihdr_body[8] = 16  # bit-depth field
+    deep = good[:8] + _png_chunk(b"IHDR", bytes(ihdr_body)) + good[33:]
     assert _decode_png(bytes(deep)) is None
     # dispatch integration
     assert decode_pixels(good) is not None and decode_pixels(good).shape == (

@@ -396,3 +396,167 @@ def q_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, v, round(s, 6)) for r, v, s in picked],
         "rank long, vec_id long, mmr double",
     ).orderBy("rank")
+
+
+MMR_BATCH_QUERIES = 8  # query vectors 0..7
+
+
+def _mmr_greedy_kernel(pdf):
+    """Greedy MMR over ONE query's pool (Arrow batch, <= MMR_POOL
+    rows).  Pairwise sims are sequential left folds over
+    double-widened elements — the exact arithmetic of both the Spark
+    ``dot`` expression and the oracle's ``list_reduce``, so every
+    float here is bit-identical to the engines'."""
+    import pandas as pd
+
+    qid = int(pdf["query_id"].iloc[0])
+    vecs = {
+        int(v): [float(x) for x in e]
+        for v, e in zip(pdf["vec_id"], pdf["embedding"])
+    }
+    rel = {int(v): float(r) for v, r in zip(pdf["vec_id"], pdf["rel"])}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    ids = sorted(rel)
+    sim = {
+        (i, j): fold_dot(vecs[i], vecs[j])
+        for i in ids
+        for j in ids
+        if i != j
+    }
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+    picked: list[tuple[int, int, float]] = []
+    first = min(((-s, v) for v, s in rel.items()))[1]
+    picked.append((1, first, rel[first]))
+    while len(picked) < MMR_K:
+        best = None
+        for v in ids:
+            if any(v == p[1] for p in picked):
+                continue
+            maxsim = max(sim[(v, p[1])] for p in picked)
+            score = lam * rel[v] - mu * maxsim
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, score)
+        picked.append((len(picked) + 1, best[1], best[2]))
+    return pd.DataFrame(
+        [(qid, r, v, round(s, 6)) for r, v, s in picked],
+        columns=["query_id", "rank", "vec_id", "mmr"],
+    )
+
+
+def _mmr_batch_oracle() -> str:
+    """Per-query unrolled greedy MMR (the batch generalization of
+    ``_mmr_oracle``): LIMIT 1 becomes a row_number() == 1 per
+    query_id partition, and each pick step joins the previous picks'
+    sims within the same query_id."""
+    from legalchatbot_vectordb_exp_spark.registry import sql_dot
+
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+    head = f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < {MMR_BATCH_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.embedding,
+             {sql_dot('e.embedding', 'q.qv')} AS rel
+      FROM embeddings e CROSS JOIN qs q
+    ),
+    pool AS (
+      SELECT query_id, vec_id, embedding, rel FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) AS rn
+        FROM scored) WHERE rn <= {MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+             {sql_dot('a.embedding', 'b.embedding')} AS s
+      FROM pool a JOIN pool b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ),
+    p1 AS (
+      SELECT query_id, vec_id, rel AS score FROM (
+        SELECT query_id, vec_id, rel, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) AS rn
+        FROM pool) WHERE rn = 1
+    )"""
+    steps = []
+    for i in range(2, MMR_K + 1):
+        joins = " ".join(
+            f"JOIN p{j} ON p{j}.query_id = p.query_id "
+            f"AND p.vec_id <> p{j}.vec_id "
+            f"JOIN sims s{j} ON s{j}.query_id = p.query_id "
+            f"AND s{j}.ia = p.vec_id AND s{j}.ib = p{j}.vec_id"
+            for j in range(1, i)
+        )
+        maxsim = (
+            f"greatest({', '.join(f's{j}.s' for j in range(1, i))})"
+            if i > 2
+            else "s1.s"
+        )
+        steps.append(
+            f""",
+    p{i} AS (
+      SELECT query_id, vec_id, score FROM (
+        SELECT p.query_id, p.vec_id,
+               {lam} * p.rel - {mu} * {maxsim} AS score,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {lam} * p.rel - {mu} * {maxsim} DESC,
+                          p.vec_id ASC) AS rn
+        FROM pool p {joins}) WHERE rn = 1
+    )"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT query_id, {i} AS rank, vec_id, round(score, 6) AS mmr "
+        f"FROM p{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return head + "".join(steps) + f" SELECT * FROM ({unions})"
+
+
+@register("topk_mmr_batch", sql=_mmr_batch_oracle())
+def q_topk_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MMR — ``topk_mmr`` generalized to many query vectors the
+    way ``topk_search_batch`` generalizes ``topk_search`` (round-3
+    review item: the single-query version runs its greedy step on the
+    driver, which cannot scale past one query).
+
+    Plan: broadcast the {MMR_BATCH_QUERIES}-row query frame across the
+    corpus (scoring stays narrow over the big side), ONE shuffle on
+    query_id for the per-query top-{MMR_POOL} window, then the grouped
+    greedy runs as applyInPandas on the SAME hash partitioning — the
+    window's exchange already satisfies the groupBy's required
+    distribution, so no second shuffle (pinned in test_plans.py).
+    Each task sees <= {MMR_POOL} rows per query: the greedy is
+    embarrassingly parallel across thousands of queries."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < MMR_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    from legalchatbot_vectordb_exp_spark.functions.vector import dot
+
+    scored = (
+        emb.join(F.broadcast(queries), how="cross")
+        .withColumn("rel", dot("embedding", "query_vec"))
+        .drop("query_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.col("vec_id").asc()
+    )
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select("query_id", "vec_id", "embedding", "rel")
+    )
+    return pool.groupBy("query_id").applyInPandas(
+        _mmr_greedy_kernel,
+        schema="query_id long, rank long, vec_id long, mmr double",
+    )

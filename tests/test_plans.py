@@ -411,3 +411,23 @@ def test_cdc_apply_anti_join_merge(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_mmr_batch_single_query_id_shuffle(spark, sf_smoke):
+    """Batch MMR: queries broadcast over the corpus, ONE hash exchange
+    on query_id feeding both the top-pool window and the grouped
+    greedy (applyInPandas reuses the window's partitioning — its
+    ClusteredDistribution(query_id) is already satisfied), and never a
+    cartesian product on the corpus."""
+    from legalchatbot_vectordb_exp_spark.queries_rag import q_topk_mmr_batch
+
+    plan = (
+        q_topk_mmr_batch(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(query_id" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -314,7 +314,33 @@ def q_ann_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     see VectorCollection.create_ivf) → broadcast-hash join on
     cluster_id → per-query window rank.  The single shuffle carries
     only the scored candidates of the probed cells (~queries ×
-    cells/nlist of the corpus), independent of total corpus size."""
+    cells/nlist of the corpus), independent of total corpus size.
+
+    Beyond broadcastable probe frames (queries × nprobe rows no longer
+    fit an executor), ``ivf_batch_topk(..., how="copartition")``
+    shuffles BOTH sides on cluster_id instead — see that function."""
+    return ivf_batch_topk(spark, sf_dir, how="broadcast")
+
+
+def ivf_batch_topk(
+    spark: SparkSession, sf_dir: str, how: str = "broadcast", k: int = 5
+) -> DataFrame:
+    """Batch IVF candidate join with two physical strategies:
+
+    * ``how="broadcast"`` — probe frame broadcasts, corpus never
+      shuffles (the default; right whenever queries × nprobe rows fit
+      an executor's broadcast budget).
+    * ``how="copartition"`` — both sides hash-shuffle on cluster_id
+      into a shuffled-hash join (SCALE.md's promised fallback for
+      probe frames past the broadcast threshold, e.g. hundreds of
+      millions of concurrent queries).  The corpus side still carries
+      ONLY the cell-filtered candidates, so the shuffle is bounded by
+      probed-cell volume, never the full corpus; per cluster_id the
+      build side holds just that cell's probing queries.
+
+    Both strategies produce identical rows — pinned by the plan test
+    alongside the no-BroadcastExchange/both-sides-exchanged assertions
+    (tests/test_plans.py)."""
     import numpy as np
 
     from pyspark.sql import Window
@@ -376,15 +402,22 @@ def q_ann_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(
         probe_rows, "query_id long, cluster_id long, qv array<double>"
     )
-    scored = probed.join(F.broadcast(qdf), "cluster_id").withColumn(
-        "score", dot("embedding", "qv")
-    )
+    if how == "broadcast":
+        joined = probed.join(F.broadcast(qdf), "cluster_id")
+    elif how == "copartition":
+        # SHUFFLE_HASH hint on the probe side: both inputs exchange on
+        # cluster_id, the probe partition becomes the in-memory build
+        # side — no BroadcastExchange anywhere (plan-pinned)
+        joined = probed.join(qdf.hint("shuffle_hash"), "cluster_id")
+    else:
+        raise ValueError(f"unknown how={how!r}")
+    scored = joined.withColumn("score", dot("embedding", "qv"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("vec_id").asc()
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", F.round("score", 6).alias("score"))
     )
 

@@ -431,3 +431,21 @@ def test_mmr_batch_single_query_id_shuffle(spark, sf_smoke):
     assert "hashpartitioning(query_id" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_batch_copartition_fallback(spark, sf_smoke):
+    """The co-partitioned IVF batch strategy (probe frame too big to
+    broadcast): no BroadcastExchange anywhere, both join inputs hash-
+    exchanged on cluster_id into a shuffled-hash join, and the result
+    rows are identical to the broadcast strategy's."""
+    from legalchatbot_vectordb_exp_spark.queries_ann import ivf_batch_topk
+
+    co = ivf_batch_topk(spark, sf_smoke, how="copartition")
+    plan = co._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert plan.count("hashpartitioning(cluster_id") >= 2
+    bc = ivf_batch_topk(spark, sf_smoke, how="broadcast")
+    assert sorted(map(tuple, co.collect())) == sorted(
+        map(tuple, bc.collect())
+    )

@@ -8,17 +8,22 @@ unit — the model loads **once per executor process** (module-level
 lazy singleton), then every batch is a vectorized ``encode`` call,
 exactly the amortization the reference got from its single big batch.
 
-sentence-transformers is not installed in this container, so the
-model factory is pluggable: the default is a deterministic hash
-embedder (md5-seeded pseudo-random unit vector per text) that keeps
-the distributed plumbing real — batching, normalization, dimension
-contract — and makes tests reproducible.  Swap ``set_model_factory``
-with a SentenceTransformer loader in a GPU environment.
+The model factory is pluggable, and the default now RESOLVES at
+first use: when ``sentence_transformers`` is importable the
+reference's own model loads (``Qdrant/main.py:94``); otherwise the
+deterministic hash embedder (md5-seeded pseudo-random unit vector
+per text) keeps the distributed plumbing real — batching,
+normalization, dimension contract — and makes tests reproducible.
+Both backends satisfy the identical batch contract (list[str] →
+float ndarray, one row per text, L2-normalized downstream), pinned by
+``tests/test_embed_contract.py`` with a recorded fixture standing in
+for the real backend when the dependency is absent.
 """
 
 from __future__ import annotations
 
 import hashlib
+import importlib.util
 import math
 from collections.abc import Callable, Iterator
 
@@ -28,6 +33,22 @@ import pyspark.sql.functions as F
 from pyspark.sql.functions import pandas_udf
 
 DEFAULT_DIM = 64  # matches the driver's embeddings table
+
+# the reference's embedding model (Qdrant/main.py:94)
+REFERENCE_MODEL = "sentence-transformers/paraphrase-multilingual-MiniLM-L12-v2"
+
+
+def _default_factory(dim: int):
+    """Real SentenceTransformer when the optional dep exists, hash
+    embedder otherwise.  Checked lazily on the EXECUTOR (find_spec is
+    cheap), so a mixed cluster fails loudly rather than silently
+    embedding with two different backends: the first batch's dim
+    mismatch surfaces in the Arrow schema."""
+    if importlib.util.find_spec("sentence_transformers") is not None:
+        from sentence_transformers import SentenceTransformer
+
+        return SentenceTransformer(REFERENCE_MODEL)
+    return _HashEmbedder(dim)
 
 
 class _HashEmbedder:
@@ -50,26 +71,52 @@ class _HashEmbedder:
         return out
 
 
-# per-executor model cache, keyed by dim — one UDF instance per dim may
-# coexist in a process (a single global would silently serve the wrong
-# dimensionality to later UDFs)
-_MODELS: dict[int, object] = {}
+class RecordedSTFixture:
+    """Recorded stand-in for the optional SentenceTransformer backend,
+    reproducing its API surface exactly where it differs from the hash
+    embedder: ``encode`` returns float32 (real ST output dtype), NOT
+    pre-normalized, deterministic per text.  Lives in the package (not
+    the test file) so cloudpickle ships it to Python workers by module
+    reference — a test-local class would fail to import there."""
+
+    DIM = 8
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        out = np.empty((len(texts), self.DIM), dtype=np.float32)
+        for i, t in enumerate(texts):
+            seed = int.from_bytes(
+                hashlib.md5(("st:" + t).encode("utf-8")).digest()[:8], "big"
+            )
+            rng = np.random.default_rng(seed)
+            out[i] = rng.uniform(-3.0, 3.0, self.DIM).astype(np.float32)
+        return out
+
+
+# per-process model cache, keyed by (dim, factory) — one UDF instance
+# per dim/backend may coexist in a process (a single global would
+# silently serve the wrong dimensionality to later UDFs)
+_MODELS: dict[tuple, object] = {}
 _MODEL_FACTORY: Callable[[], object] | None = None
 
 
-def set_model_factory(factory: Callable[[], object]) -> None:
+def set_model_factory(factory: Callable[[], object] | None) -> None:
     """Install a real model loader, e.g.
     ``lambda: SentenceTransformer('paraphrase-multilingual-MiniLM-L12-v2')``
-    (the reference's model choice, ``Qdrant/main.py:94``)."""
+    (the reference's model choice, ``Qdrant/main.py:94``); ``None``
+    restores the default resolution.  The factory is captured when
+    ``embed_text_udf`` is CALLED and travels inside the UDF closure,
+    so it reaches executor worker processes (a bare module global
+    would not — workers re-import this module fresh)."""
     global _MODEL_FACTORY
     _MODEL_FACTORY = factory
     _MODELS.clear()
 
 
-def _get_model(dim: int):
-    if dim not in _MODELS:
-        _MODELS[dim] = _MODEL_FACTORY() if _MODEL_FACTORY else _HashEmbedder(dim)
-    return _MODELS[dim]
+def _get_model(dim: int, factory: Callable[[], object] | None = None):
+    key = (dim, factory)
+    if key not in _MODELS:
+        _MODELS[key] = factory() if factory else _default_factory(dim)
+    return _MODELS[key]
 
 
 def embed_text_udf(dim: int = DEFAULT_DIM):
@@ -77,10 +124,11 @@ def embed_text_udf(dim: int = DEFAULT_DIM):
 
     Iterator form so the per-executor model loads once, not per batch.
     """
+    factory = _MODEL_FACTORY  # captured now; serialized with the UDF
 
     @pandas_udf("array<double>")
     def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        model = _get_model(dim)
+        model = _get_model(dim, factory)
         for texts in batches:
             vecs = model.encode(texts.fillna("").astype(str).tolist())
             arr = np.asarray(vecs, dtype=np.float64)

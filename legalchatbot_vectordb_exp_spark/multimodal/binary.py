@@ -11,15 +11,17 @@ in Arrow-batched ``mapInPandas`` operators.
 Codec status is split honestly:
 
 * **REAL decode** — BMP (24/32-bit uncompressed), PPM (binary P6) and
-  WAV (PCM16) are parsed byte-for-byte in pure NumPy, and PNG (8-bit
+  WAV (PCM16) are parsed byte-for-byte in pure NumPy; PNG (8-bit
   depth, all five row filters, color types 0/2/3/4/6) is inflated with
-  stdlib ``zlib`` and unfiltered in NumPy — ``decode_image`` /
-  ``resize_image`` / ``decode_audio`` process actual pixels/samples
-  end-to-end with no codec library.
-* **STUB kernels** — JPEG/MP4 need libraries absent from this
-  container; ``*_stub`` variants keep the production Spark plumbing
-  (Arrow batches, typed schemas) with deterministic fake outputs.
-  Swapping in PIL/ffmpeg changes only the kernel body.
+  stdlib ``zlib`` and unfiltered in NumPy; baseline JPEG (SOF0,
+  huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart markers) is
+  decoded in pure NumPy too (``multimodal/jpeg.py``) —
+  ``decode_image`` / ``resize_image`` / ``decode_audio`` process
+  actual pixels/samples end-to-end with no codec library.
+* **STUB kernels** — MP4 frame sampling needs a container parser
+  (ffmpeg absent); the ``*_stub`` variants keep the production Spark
+  plumbing (Arrow batches, typed schemas) with deterministic fake
+  outputs.  Swapping in ffmpeg changes only the kernel body.
 """
 
 from __future__ import annotations
@@ -328,6 +330,12 @@ def decode_pixels(data: bytes):
         return _decode_ppm(data)
     if data[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from legalchatbot_vectordb_exp_spark.multimodal.jpeg import (
+            decode_jpeg,
+        )
+
+        return decode_jpeg(data)
     return None
 
 

@@ -1,0 +1,594 @@
+"""REAL baseline JPEG codec in pure NumPy + stdlib (extension E4).
+
+Mirrors the PNG approach of ``multimodal/binary.py``: the byte layout
+is the published ITU-T T.81 spec, no codec library.  The decoder
+handles any baseline-sequential stream — SOF0, 8-bit, arbitrary
+DQT/DHT tables read from the file, sampling factors up to 2×2
+(4:4:4 / 4:2:2 / 4:2:0), restart markers, 1- or 3-component scans —
+and returns None for anything else (progressive SOF2, arithmetic
+coding, 12-bit, truncation, bad markers): no fake pixels, same
+honesty contract as ``_decode_png``.
+
+The encoder emits valid baseline streams (gray or YCbCr 4:4:4/4:2:0,
+optional restart intervals).  Its Huffman tables are simple canonical
+fixed-length tables (12×4-bit DC codes, 162×8-bit AC codes) — less
+compact than the Annex K defaults but perfectly legal, and since the
+DHT segment travels in the file every decoder, including this one,
+reads them back; nothing depends on transcribed table constants.
+
+Determinism note (oracle contract): a CONSTANT-valued 8×8 block has
+only a DC coefficient; with a quant table whose DC entry divides
+8·(v−128) the quantize→dequantize→IDCT chain reproduces v exactly in
+float64, so constant-color JPEGs round-trip bit-exactly — that is the
+relationally-checkable hook ``multimodal_decode`` uses (the lossy
+general case is pinned by tolerance tests instead).
+
+The per-block entropy loop is Python (NumPy does the DCT math); at
+100 TB you would swap a codec library into the same Arrow-batched
+kernel — the Spark-side contract (binary in, typed features out, no
+shuffle) is unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+
+def _zigzag_pairs() -> list[tuple[int, int]]:
+    """The 64 (row, col) positions in JPEG zigzag order (T.81 fig. 5)."""
+    out = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        diag = [(s - c, c) for c in rng]
+        out.extend(diag if s % 2 else reversed(diag))
+    return out
+
+
+_ZZ = _zigzag_pairs()
+_ZZ_ROWS = np.array([r for r, _ in _ZZ])
+_ZZ_COLS = np.array([c for _, c in _ZZ])
+
+# Annex K example luminance/chrominance quant tables (natural order)
+_Q_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+).reshape(8, 8)
+_Q_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+).reshape(8, 8)
+
+# Encoder Huffman tables: canonical, fixed-length (see module doc).
+# DC: 12 size symbols as 4-bit codes; AC: all 162 legal (run,size)
+# symbols as 8-bit codes.  max code 161 = 0b10100001 < all-ones, so
+# the T.81 "no all-1s code" rule holds.
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
+_ENC_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """A[u, x] = c(u)/2 · cos((2x+1)uπ/16); FDCT = A·S·Aᵀ, IDCT = Aᵀ·F·A."""
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    a = 0.5 * np.cos((2 * x[None, :] + 1) * u * np.pi / 16)
+    a[0, :] *= 1.0 / math.sqrt(2.0)
+    return a
+
+
+_A = _dct_matrix()
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict:
+    """(BITS, HUFFVAL) → {(length, code): symbol} (T.81 annex C)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_map(bits: list[int], vals: list[int]) -> dict:
+    return {v: lc for lc, v in _huff_canonical(bits, vals).items()}
+
+
+class _JpegError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------- decode
+
+
+class _BitReader:
+    """Entropy-segment bit reader: FF00 unstuffing, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.n <= 24 and self.pos < len(d):
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt != 0x00:
+                    return  # a real marker (RST/EOI/...) — stop here
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        if self.n < nbits:
+            self._fill()
+            if self.n < nbits:
+                raise _JpegError("bit starvation")
+        self.n -= nbits
+        v = (self.acc >> self.n) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an expected RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        if (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise _JpegError("missing restart marker")
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise _JpegError("bad huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
+
+
+def _decode_block(br, dc_tab, ac_tab, qz, pred):
+    """One 8×8 block → (new DC pred, dequantized coefs in zigzag order)."""
+    s = _huff_decode(br, dc_tab)
+    if s > 11:
+        raise _JpegError("bad DC size")
+    pred += _extend(br.read(s), s)
+    coef = np.zeros(64)
+    coef[0] = pred * qz[0]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise _JpegError("AC index overflow")
+        coef[k] = _extend(br.read(s), s) * qz[k]
+        k += 1
+    return pred, coef
+
+
+def _idct_block(coef_zz: np.ndarray) -> np.ndarray:
+    f = np.zeros((8, 8))
+    f[_ZZ_ROWS, _ZZ_COLS] = coef_zz
+    return _A.T @ f @ _A
+
+
+def decode_jpeg(data: bytes):
+    """Baseline JPEG bytes → (H, W, C) uint8 (C = 1 gray / 3 RGB),
+    else None."""
+    try:
+        return _decode_jpeg_inner(data)
+    except (_JpegError, struct.error, IndexError, ValueError):
+        return None
+
+
+def _decode_jpeg_inner(data: bytes):
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}  # id → zigzag-order table
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → table
+    frame = None  # (h, w, comps) where comps = [(cid, hs, vs, qid)]
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise _JpegError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any scan
+            return None
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        body = data[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise _JpegError("truncated segment")
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 15
+                if prec != 0:
+                    return None  # 16-bit tables ⇒ not baseline 8-bit
+                qtabs[tid] = np.frombuffer(
+                    body, np.uint8, 64, b + 1
+                ).astype(np.float64)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 15
+                bits = list(body[b + 1 : b + 17])
+                nval = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nval])
+                if len(vals) != nval:
+                    raise _JpegError("truncated DHT")
+                huff[(cls, tid)] = _huff_canonical(bits, vals)
+                b += 17 + nval
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                return None  # 12-bit precision unsupported
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if ncomp not in (1, 3) or h == 0 or w == 0:
+                return None
+            comps = []
+            for i in range(ncomp):
+                cid, hv, qid = body[6 + 3 * i : 9 + 3 * i]
+                hs, vs = hv >> 4, hv & 15
+                if hs not in (1, 2) or vs not in (1, 2):
+                    return None
+                comps.append((cid, hs, vs, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame (progressive, arithmetic…)
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise _JpegError("SOS before SOF")
+            return _decode_scan(
+                data, pos + 2 + ln, body, frame, qtabs, huff,
+                restart_interval,
+            )
+        pos += 2 + ln
+    return None
+
+
+def _decode_scan(data, pos, sos, frame, qtabs, huff, restart_interval):
+    h, w, comps = frame
+    ns = sos[0]
+    by_id = {c[0]: c for c in comps}
+    scan = []  # (hs, vs, qz, dc_tab, ac_tab)
+    for i in range(ns):
+        cid, tt = sos[1 + 2 * i], sos[2 + 2 * i]
+        if cid not in by_id:
+            raise _JpegError("unknown scan component")
+        _, hs, vs, qid = by_id[cid]
+        if qid not in qtabs:
+            raise _JpegError("missing quant table")
+        dc = huff.get((0, tt >> 4))
+        ac = huff.get((1, tt & 15))
+        if dc is None or ac is None:
+            raise _JpegError("missing huffman table")
+        scan.append((hs, vs, qtabs[qid], dc, ac))
+    if ns != len(comps):
+        return None  # multi-scan non-interleaved layout unsupported
+    if ns == 1:
+        # single-component scans are coded non-interleaved: one block
+        # per MCU over the component's own full-resolution grid
+        _, _, qz1, dc1, ac1 = scan[0]
+        scan[0] = (1, 1, qz1, dc1, ac1)
+    hmax = max(c[0] for c in scan)
+    vmax = max(c[1] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * vs * 8, mcux * hs * 8))
+        for hs, vs, *_ in scan
+    ]
+    br = _BitReader(data, pos)
+    preds = [0] * ns
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            br.restart()
+            preds = [0] * ns
+        my, mx = divmod(m, mcux)
+        for ci, (hs, vs, qz, dc, ac) in enumerate(scan):
+            for by in range(vs):
+                for bx in range(hs):
+                    preds[ci], coef = _decode_block(br, dc, ac, qz, preds[ci])
+                    blk = _idct_block(coef)
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+    out = []
+    for (hs, vs, *_), plane in zip(scan, planes):
+        rep_y, rep_x = vmax // vs, hmax // hs
+        if rep_y > 1 or rep_x > 1:
+            plane = np.repeat(np.repeat(plane, rep_y, 0), rep_x, 1)
+        out.append(plane[:h, :w] + 128.0)
+    if len(out) == 1:
+        px = np.floor(out[0] + 0.5)[:, :, None]
+    else:
+        y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        px = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=2,
+        )
+        px = np.floor(px + 0.5)
+    return np.clip(px, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _scale_qtab(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base.astype(np.int64) * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.float64)
+
+
+def _fdct_quant(block: np.ndarray, qz: np.ndarray) -> np.ndarray:
+    f = _A @ (block - 128.0) @ _A.T
+    return np.floor(f[_ZZ_ROWS, _ZZ_COLS] / qz + 0.5).astype(np.int64)
+
+
+def _encode_block(bw, coef, pred, dc_map, ac_map):
+    diff = int(coef[0]) - pred
+    s = int(diff).bit_length() if diff else 0
+    length, code = dc_map[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last = 63
+    while last > 0 and coef[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(coef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_map[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        length, code = ac_map[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        length, code = ac_map[0x00]
+        bw.write(code, length)
+    return int(coef[0])
+
+
+def _pad_to(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    """Edge-replicate to multiples of (bh, bw_)."""
+    h, w = plane.shape
+    ph = -(-h // bh) * bh
+    pw = -(-w // bw_) * bw_
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+    qtables: list | None = None,
+) -> bytes:
+    """(H, W) / (H, W, 1) gray or (H, W, 3) RGB uint8 → baseline JPEG.
+
+    ``qtables`` overrides the quality-scaled Annex K tables with
+    explicit 64-entry NATURAL-order tables ([luma] or [luma, chroma])
+    — the oracle queries pass a DC=8 luma table so constant blocks
+    round-trip exactly (see module doc)."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    if nch not in (1, 3) or h == 0 or w == 0:
+        raise ValueError("need (H, W[, 1|3]) uint8 pixels")
+    if qtables is not None:
+        qt = [np.asarray(t, dtype=np.float64).reshape(8, 8) for t in qtables]
+        if len(qt) == 1:
+            qt = qt * 2
+    else:
+        qt = [_scale_qtab(_Q_LUMA, quality), _scale_qtab(_Q_CHROMA, quality)]
+    qz = [t[_ZZ_ROWS, _ZZ_COLS] for t in qt]
+
+    if nch == 1:
+        planes = [px[:, :, 0].astype(np.float64)]
+        samp, qids = [(1, 1)], [0]
+    else:
+        rgb = px.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+        cb = np.floor(
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5
+        )
+        cr = np.floor(
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5
+        )
+        if subsample == "420":
+            cbp = _pad_to(cb, 2, 2)
+            crp = _pad_to(cr, 2, 2)
+            cb = np.floor(
+                (cbp[0::2, 0::2] + cbp[0::2, 1::2]
+                 + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0 + 0.5
+            )
+            cr = np.floor(
+                (crp[0::2, 0::2] + crp[0::2, 1::2]
+                 + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0 + 0.5
+            )
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "444":
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unknown subsample {subsample!r}")
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        _pad_to(p, mcuy * vs * 8, mcux * hs * 8)
+        for p, (hs, vs) in zip(planes, samp)
+    ]
+
+    dc_map = _huff_encode_map(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_map = _huff_encode_map(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(
+        0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    ntab = 1 if nch == 1 else 2
+    for tid in range(ntab):
+        out += _seg(
+            0xDB, bytes([tid]) + qz[tid].astype(np.uint8).tobytes()
+        )
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([nch])
+    for i in range(nch):
+        hs, vs = samp[i]
+        sof += bytes([i + 1, (hs << 4) | vs, qids[i]])
+    out += _seg(0xC0, sof)
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS),
+    )
+    out += _seg(
+        0xC4,
+        bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
+    )
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([nch])
+    for i in range(nch):
+        sos += bytes([i + 1, 0x00])  # DC table 0, AC table 0 for all
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * nch
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.buf
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            preds = [0] * nch
+        my, mx = divmod(m, mcux)
+        for ci in range(nch):
+            hs, vs = samp[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                    coef = _fdct_quant(blk, qz[qids[ci]])
+                    preds[ci] = _encode_block(
+                        bw, coef, preds[ci], dc_map, ac_map
+                    )
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# DC=8 luminance table: constant blocks quantize exactly (module doc);
+# AC entries keep the Annex K values (they only ever divide zeros for
+# constant input, and stay sane for nearly-constant input).
+Q_LUMA_DCEXACT = _Q_LUMA.copy()
+Q_LUMA_DCEXACT[0, 0] = 8

@@ -214,12 +214,33 @@ def test_png_decoder_total_on_arbitrary_bytes(data, with_sig):
 @given(data=st.binary(min_size=0, max_size=400))
 @settings(max_examples=100, deadline=None)
 def test_decode_pixels_total_on_arbitrary_bytes(data):
-    """decode_pixels (BMP/PPM/PNG dispatch) is total on junk bytes."""
+    """decode_pixels (BMP/PPM/PNG/JPEG dispatch) is total on junk."""
     from legalchatbot_vectordb_exp_spark.multimodal.binary import (
         decode_pixels,
     )
 
-    for prefix in (b"", b"BM", b"P6", b"\x89PNG\r\n\x1a\n"):
+    for prefix in (b"", b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff"):
         out = decode_pixels(prefix + data)
+        if out is not None:
+            assert out.ndim == 3 and out.dtype.name == "uint8"
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_decode_jpeg_total_on_corrupt_streams(data):
+    """The JPEG decoder never throws — corrupt entropy data, truncated
+    segments, and mangled markers all come back None or valid pixels."""
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = encode_jpeg(px, quality=80)
+    # raw junk, junk after SOI, and good-with-tail-replaced
+    for blob in (data, b"\xff\xd8" + data, good[: len(good) // 2] + data):
+        out = decode_jpeg(blob)
         if out is not None:
             assert out.ndim == 3 and out.dtype.name == "uint8"

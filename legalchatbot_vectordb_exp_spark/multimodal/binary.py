@@ -18,10 +18,17 @@ Codec status is split honestly:
   decoded in pure NumPy too (``multimodal/jpeg.py``) —
   ``decode_image`` / ``resize_image`` / ``decode_audio`` process
   actual pixels/samples end-to-end with no codec library.
-* **STUB kernels** — MP4 frame sampling needs a container parser
-  (ffmpeg absent); the ``*_stub`` variants keep the production Spark
-  plumbing (Arrow batches, typed schemas) with deterministic fake
-  outputs.  Swapping in ffmpeg changes only the kernel body.
+* **REAL frame sampling** — MP4 sample tables are parsed for real
+  (``multimodal/mp4.py``, ISO BMFF box walk + stsd/stsz/stsc/stco),
+  so ``sample_frames`` emits each frame's exact bitstream bytes with
+  codec fourcc and dims; Motion-JPEG frames then decode to pixels via
+  the JPEG decoder — a full video→pixels path with no codec library.
+  Frames of codecs we cannot decode (H.264…) stay bitstream bytes,
+  honestly labeled.
+* **STUB kernels** — the legacy ``*_stub`` variants survive as the
+  documented pattern for codec-library integration (deterministic
+  fake outputs, real Arrow plumbing); nothing routes through them in
+  the oracle-checked paths anymore.
 """
 
 from __future__ import annotations
@@ -594,6 +601,67 @@ def resize_image_stub(
 
     return df.select(id_col, content_col).mapInPandas(
         kernel, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_ROWS_SCHEMA = (
+    "id string, frame_index int, codec string, width int, height int, "
+    "frame binary"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every: int = 1,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL video frame sampling (1 row → N frame rows): parse the
+    ISO BMFF sample tables (``multimodal/mp4.py``) and emit every
+    ``every``-th sample's exact bitstream byte range, with the
+    container-declared codec fourcc and dimensions.  Frames stay
+    codec bytes (honest — no video codec library); Motion-JPEG frames
+    are baseline JPEGs that ``decode_image`` then decodes to real
+    pixels.  Unparseable inputs emit zero rows (flatMap semantics).
+
+    Scale shape: a narrow Arrow-batched explode over the binary
+    column — no shuffle; frame volume is bounded by ``1/every`` of
+    the stored sample bytes."""
+    from legalchatbot_vectordb_exp_spark.multimodal.mp4 import (
+        parse_mp4_frames,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, codecs, ws, hs, blobs = [], [], [], [], [], []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(content) if content is not None else b""
+                parsed = parse_mp4_frames(data)
+                if parsed is None:
+                    continue
+                codec, w, h, frames = parsed
+                for i, f in enumerate(frames):
+                    if i % every:
+                        continue
+                    ids.append(str(rid))
+                    idxs.append(i)
+                    codecs.append(codec)
+                    ws.append(w)
+                    hs.append(h)
+                    blobs.append(f)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "codec": codecs,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "frame": blobs,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel, schema=FRAME_ROWS_SCHEMA
     )
 
 

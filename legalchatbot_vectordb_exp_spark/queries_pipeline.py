@@ -224,3 +224,100 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_channels",
         "mean_intensity",
     )
+
+
+N_MP4_FRAMES = 3
+
+
+@register(
+    "multimodal_frames",
+    sql=f"""
+    SELECT vec_id,
+           gs.i AS frame_index,
+           'jpeg' AS codec,
+           8 AS width, 8 AS height,
+           round(floor((least(greatest(embedding[gs.i + 1]::DOUBLE, -0.5),
+                               0.5) + 0.5) * 255), 6) AS mean_intensity
+    FROM embeddings
+    CROSS JOIN (VALUES (0), (1), (2)) AS gs(i)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end (E4): each embeddings row
+    becomes an actual Motion-JPEG MP4 — {N_MP4_FRAMES} constant-gray
+    baseline-JPEG frames wrapped in real ISO BMFF boxes
+    (``multimodal/mp4.py``) — then ``sample_frames`` parses the sample
+    tables (stsd/stsz/stsc/stco) to recover every frame's exact byte
+    range, and each frame decodes to pixels through the JPEG decoder.
+    Frame i's gray level is the i-th quantized embedding component, so
+    the oracle recomputes frame count, container-declared dims, codec
+    fourcc, and per-frame pixel mean relationally — a regression in
+    the box walk, chunk-offset math, frame slicing, or JPEG decode
+    breaks the hash.
+
+    Scale shape: two chained narrow Arrow explodes (pack → sample →
+    decode), no shuffle until the final id join — how a real video
+    corpus (binaryFile source) flows."""
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        decode_image,
+        sample_frames,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def pack(batches):
+        import numpy as np
+        import pandas as pd
+
+        from legalchatbot_vectordb_exp_spark.multimodal.jpeg import (
+            Q_LUMA_DCEXACT,
+            encode_jpeg,
+        )
+        from legalchatbot_vectordb_exp_spark.multimodal.mp4 import (
+            encode_mp4_mjpeg,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(list(vec)[:N_MP4_FRAMES], dtype=np.float64)
+                q = np.floor((np.clip(v, -0.5, 0.5) + 0.5) * 255.0)
+                frames = [
+                    encode_jpeg(
+                        np.full((8, 8), int(g), dtype=np.uint8),
+                        qtables=[Q_LUMA_DCEXACT],
+                    )
+                    for g in q
+                ]
+                ids.append(vid)
+                blobs.append(encode_mp4_mjpeg(frames, 8, 8))
+            yield pd.DataFrame({"id": ids, "content": blobs})
+
+    videos = emb.mapInPandas(pack, schema="id long, content binary")
+    frames = sample_frames(videos)
+    decoded = decode_image(
+        frames.select(
+            F.concat_ws("|", "id", "frame_index").alias("id"),
+            F.col("frame").alias("content"),
+        )
+    )
+    meta = frames.select(
+        F.concat_ws("|", "id", "frame_index").alias("id"),
+        "codec",
+        F.col("width").alias("w"),
+        F.col("height").alias("h"),
+    )
+    return decoded.join(meta, "id").select(
+        F.split_part(F.col("id"), F.lit("|"), F.lit(1))
+        .cast("long")
+        .alias("vec_id"),
+        F.split_part(F.col("id"), F.lit("|"), F.lit(2))
+        .cast("int")
+        .alias("frame_index"),
+        "codec",
+        F.col("w").alias("width"),
+        F.col("h").alias("height"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )

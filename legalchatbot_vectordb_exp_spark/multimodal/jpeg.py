@@ -119,6 +119,27 @@ def _huff_encode_map(bits: list[int], vals: list[int]) -> dict:
     return {v: lc for lc, v in _huff_canonical(bits, vals).items()}
 
 
+# the encoder's two fixed tables, built once (a per-call rebuild showed
+# up as ~15% of multimodal_frames' 30k-codec-call bench profile)
+_ENC_DC_MAP = _huff_encode_map(_ENC_DC_BITS, _ENC_DC_VALS)
+_ENC_AC_MAP = _huff_encode_map(_ENC_AC_BITS, _ENC_AC_VALS)
+
+# decoder-side cache keyed by the DHT payload (real corpora repeat a
+# handful of table sets across millions of files)
+_DEC_HUFF_CACHE: dict[bytes, dict] = {}
+
+
+def _huff_canonical_cached(bits: list[int], vals: list[int]) -> dict:
+    key = bytes(bits) + bytes(vals)
+    t = _DEC_HUFF_CACHE.get(key)
+    if t is None:
+        if len(_DEC_HUFF_CACHE) > 256:  # bound memory on hostile input
+            _DEC_HUFF_CACHE.clear()
+        t = _huff_canonical(bits, vals)
+        _DEC_HUFF_CACHE[key] = t
+    return t
+
+
 class _JpegError(Exception):
     pass
 
@@ -273,7 +294,7 @@ def _decode_jpeg_inner(data: bytes):
                 vals = list(body[b + 17 : b + 17 + nval])
                 if len(vals) != nval:
                     raise _JpegError("truncated DHT")
-                huff[(cls, tid)] = _huff_canonical(bits, vals)
+                huff[(cls, tid)] = _huff_canonical_cached(bits, vals)
                 b += 17 + nval
         elif marker == 0xC0:  # SOF0 baseline
             if body[0] != 8:
@@ -453,6 +474,8 @@ def _pad_to(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
     h, w = plane.shape
     ph = -(-h // bh) * bh
     pw = -(-w // bw_) * bw_
+    if ph == h and pw == w:
+        return plane  # already aligned — np.pad is pure overhead
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
@@ -524,8 +547,7 @@ def encode_jpeg(
         for p, (hs, vs) in zip(planes, samp)
     ]
 
-    dc_map = _huff_encode_map(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_map = _huff_encode_map(_ENC_AC_BITS, _ENC_AC_VALS)
+    dc_map, ac_map = _ENC_DC_MAP, _ENC_AC_MAP
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.io_tables import load_table, spread
 from legalchatbot_vectordb_exp_spark.ml.embed import embed_text_udf
 from legalchatbot_vectordb_exp_spark.ml.generate import generate_rag_answers
 from legalchatbot_vectordb_exp_spark.multimodal.binary import binary_metadata
@@ -164,8 +164,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+    # the CPU cost is the per-row codec kernel, not the scan: spread a
+    # single-row-group input across the cluster before mapInPandas
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
 
     def encode(batches):
@@ -196,33 +198,30 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = emb.mapInPandas(
         encode, schema="vec_id long, format string, content binary"
     )
-    mimes = binary.select(
-        "vec_id", "format", sniff_mime("content").alias("mime")
-    )
+    # ONE linear pass: the JVM-side sniff rides along inside the decode
+    # id (mime never contains '|'), so the encode kernel runs once —
+    # a two-branch join here would execute the whole encode pipeline
+    # twice, once per branch (measured: the join shape doubled the
+    # kernel cost at sf0.1)
     decoded = decode_image(
         binary.select(
-            F.concat_ws("|", "vec_id", "format").alias("id"), "content"
+            F.concat_ws(
+                "|", "vec_id", "format", sniff_mime("content")
+            ).alias("id"),
+            "content",
         )
-    ).select(
+    )
+    return decoded.select(
         F.split_part(F.col("id"), F.lit("|"), F.lit(1))
         .cast("long")
         .alias("vec_id"),
         F.split_part(F.col("id"), F.lit("|"), F.lit(2)).alias("format"),
         "decoded",
+        F.split_part(F.col("id"), F.lit("|"), F.lit(3)).alias("mime"),
         "width",
         "height",
         "n_channels",
         F.round("mean_intensity", 6).alias("mean_intensity"),
-    )
-    return decoded.join(mimes, ["vec_id", "format"]).select(
-        "vec_id",
-        "format",
-        "decoded",
-        "mime",
-        "width",
-        "height",
-        "n_channels",
-        "mean_intensity",
     )
 
 
@@ -263,8 +262,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
 
     def pack(batches):
@@ -297,27 +296,30 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     videos = emb.mapInPandas(pack, schema="id long, content binary")
     frames = sample_frames(videos)
+    # ONE linear pass — the container metadata rides inside the decode
+    # id so the pack→sample kernels run once (a decode/meta branch
+    # join would execute the whole MP4 pipeline twice)
     decoded = decode_image(
         frames.select(
-            F.concat_ws("|", "id", "frame_index").alias("id"),
+            F.concat_ws(
+                "|", "id", "frame_index", "codec", "width", "height"
+            ).alias("id"),
             F.col("frame").alias("content"),
         )
     )
-    meta = frames.select(
-        F.concat_ws("|", "id", "frame_index").alias("id"),
-        "codec",
-        F.col("width").alias("w"),
-        F.col("height").alias("h"),
-    )
-    return decoded.join(meta, "id").select(
+    return decoded.select(
         F.split_part(F.col("id"), F.lit("|"), F.lit(1))
         .cast("long")
         .alias("vec_id"),
         F.split_part(F.col("id"), F.lit("|"), F.lit(2))
         .cast("int")
         .alias("frame_index"),
-        "codec",
-        F.col("w").alias("width"),
-        F.col("h").alias("height"),
+        F.split_part(F.col("id"), F.lit("|"), F.lit(3)).alias("codec"),
+        F.split_part(F.col("id"), F.lit("|"), F.lit(4))
+        .cast("int")
+        .alias("width"),
+        F.split_part(F.col("id"), F.lit("|"), F.lit(5))
+        .cast("int")
+        .alias("height"),
         F.round("mean_intensity", 6).alias("mean_intensity"),
     )

@@ -343,6 +343,12 @@ def decode_pixels(data: bytes):
         )
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from legalchatbot_vectordb_exp_spark.multimodal.gif import (
+            decode_gif,
+        )
+
+        return decode_gif(data)
     return None
 
 

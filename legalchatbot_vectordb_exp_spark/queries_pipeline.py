@@ -125,30 +125,33 @@ def q_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings
     CROSS JOIN (VALUES ('png', 'image/png', 4, 4, 3),
                        ('ppm', 'image/x-portable-pixmap', 4, 4, 3),
+                       ('gif', 'image/gif', 4, 4, 3),
                        ('jpg', 'image/jpeg', 8, 8, 1))
          AS f(format, mime, width, height, nch)
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL end-to-end image decode (E4): each embeddings row is packed
-    into actual image bytes THREE times — a binary P6 PPM, a real
+    into actual image bytes FOUR times — a binary P6 PPM, a real
     zlib-compressed PNG (row filter type rotates through all five PNG
     filters, ``(vec_id + y) % 5``, so None/Sub/Up/Average/Paeth are all
-    exercised corpus-wide), and a real huffman-coded baseline JPEG —
-    and pushed through the engine's pure-NumPy decoders
-    (``multimodal/binary.py: decode_pixels``).  PPM/PNG pixels are the
-    quantized embedding components (4x4 RGB); the JPEG is a constant
-    8x8 gray whose level is the first quantized component — constant
-    blocks with a DC-exact quant table round-trip bit-exactly through
-    quantize→huffman→IDCT (``multimodal/jpeg.py`` module doc), which
-    makes the lossy codec relationally checkable.  The oracle
-    recomputes expected dimensions and mean intensity from the same
-    quantization formulas — a regression anywhere (stride, row order,
-    channel order, IDAT inflate, any unfilter, JPEG marker walk,
-    huffman table build, dequant, IDCT) breaks the hash against
-    numbers DuckDB derives without ever seeing the bytes.  The mime
-    column additionally pins the JVM-side magic-byte sniff on real
-    PPM, PNG and JPEG bytes.
+    exercised corpus-wide), a real LZW-compressed GIF, and a real
+    huffman-coded baseline JPEG — and pushed through the engine's
+    pure-NumPy decoders (``multimodal/binary.py: decode_pixels``).
+    PPM/PNG/GIF pixels are the quantized embedding components (4x4
+    RGB; PNG and GIF are lossless, so the decode is exact); the JPEG
+    is a constant 8x8 gray whose level is the first quantized
+    component — constant blocks with a DC-exact quant table round-trip
+    bit-exactly through quantize→huffman→IDCT (``multimodal/jpeg.py``
+    module doc), which makes the lossy codec relationally checkable.
+    The oracle recomputes expected dimensions and mean intensity from
+    the same quantization formulas — a regression anywhere (stride,
+    row order, channel order, IDAT inflate, any unfilter, LZW
+    dictionary growth, palette mapping, JPEG marker walk, huffman
+    table build, dequant, IDCT) breaks the hash against numbers DuckDB
+    derives without ever seeing the bytes.  The mime column
+    additionally pins the JVM-side magic-byte sniff on real PPM, PNG,
+    GIF and JPEG bytes.
 
     Scale shape: encode and decode are narrow Arrow projections over
     the binary column — no shuffle, scan-speed linear; identical to
@@ -159,6 +162,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_ppm,
         sniff_mime,
     )
+    from legalchatbot_vectordb_exp_spark.multimodal.gif import encode_gif
     from legalchatbot_vectordb_exp_spark.multimodal.jpeg import (
         Q_LUMA_DCEXACT,
         encode_jpeg,
@@ -181,8 +185,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q = np.floor((np.clip(v, -0.5, 0.5) + 0.5) * 255.0)
                 px = q.astype(np.uint8).reshape(4, 4, 3)
                 gray = np.full((8, 8), int(q[0]), dtype=np.uint8)
-                ids.extend((vid, vid, vid))
-                fmts.extend(("ppm", "png", "jpg"))
+                ids.extend((vid, vid, vid, vid))
+                fmts.extend(("ppm", "png", "gif", "jpg"))
                 blobs.append(encode_ppm(px))
                 blobs.append(
                     encode_png(
@@ -190,6 +194,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         row_filters=[(int(vid) + y) % 5 for y in range(4)],
                     )
                 )
+                blobs.append(encode_gif(px))
                 blobs.append(encode_jpeg(gray, qtables=[Q_LUMA_DCEXACT]))
             yield pd.DataFrame(
                 {"vec_id": ids, "format": fmts, "content": blobs}

@@ -219,7 +219,8 @@ def test_decode_pixels_total_on_arbitrary_bytes(data):
         decode_pixels,
     )
 
-    for prefix in (b"", b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff"):
+    for prefix in (b"", b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
+                   b"GIF89a", b"GIF87a"):
         out = decode_pixels(prefix + data)
         if out is not None:
             assert out.ndim == 3 and out.dtype.name == "uint8"

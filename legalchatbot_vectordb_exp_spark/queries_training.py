@@ -149,6 +149,61 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SEED = 20260814  # epoch seed: change per epoch for a fresh permutation
+N_SHUFFLE_SHARDS = 32
+
+
+@register(
+    "training_shuffle",
+    sql=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('{SHUFFLE_SEED}:' || doc_id::VARCHAR) AS skey
+      FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substr(skey, 1, 8))::BIGINT % {N_SHUFFLE_SHARDS}
+             AS shard,
+           row_number() OVER (
+             PARTITION BY ('0x' || substr(skey, 1, 8))::BIGINT
+                          % {N_SHUFFLE_SHARDS}
+             ORDER BY skey, doc_id) AS pos_in_shard
+    FROM keyed
+    """,
+)
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-seeded global shuffle — the reshuffle every training run
+    performs before sharding the corpus to data loaders.  Keying by
+    ``md5(seed || doc_id)`` gives a deterministic pseudorandom
+    permutation that is reproducible across engines and re-runs, and
+    independent across epochs (bump {SHUFFLE_SEED}).
+
+    Scale shape: NO global sort.  The hash key is also the shard
+    assignment, and the position is a row_number WITHIN each of the
+    {N_SHUFFLE_SHARDS} hash shards — bounded, embarrassingly parallel
+    windows (same sharding idiom as ``sequence_packing``).  A reader
+    streams shard files in pos order; because the shard itself is
+    hash-derived, the concatenation of shards IS the permutation.  At
+    100 TB raise the shard count so each window stays executor-sized;
+    writing ``partitionBy(shard)`` makes the epoch layout one
+    partitioned parquet write."""
+    docs = load_table(spark, sf_dir, "documents")
+    skey = F.md5(
+        F.concat(F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.select("doc_id", skey.alias("skey"))
+    shard = F.pmod(
+        F.conv(F.substring("skey", 1, 8), 16, 10).cast("bigint"),
+        F.lit(N_SHUFFLE_SHARDS),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .select("doc_id", "shard", "pos_in_shard")
+    )
+
+
 _SH = (
     f"list_distinct(list_transform("
     f"generate_series(0, greatest(len({sql_words('text')}) - {CONTAM_NGRAM},"

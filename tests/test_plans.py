@@ -449,3 +449,41 @@ def test_ivf_batch_copartition_fallback(spark, sf_smoke):
     assert sorted(map(tuple, co.collect())) == sorted(
         map(tuple, bc.collect())
     )
+
+
+def test_training_shuffle_no_global_sort(spark, sf_smoke):
+    """The epoch shuffle must NOT be a global sort: its only exchange
+    is the hash partitioning on shard for the per-shard windows —
+    never a rangepartitioning (Spark's total-sort shape)."""
+    from legalchatbot_vectordb_exp_spark.queries_training import (
+        q_training_shuffle,
+    )
+
+    plan = (
+        q_training_shuffle(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(shard" in plan
+
+
+def test_multimodal_pipelines_are_single_pass(spark, sf_smoke):
+    """multimodal_decode / multimodal_frames are ONE linear Arrow pass:
+    no join, no aggregation, and no exchange beyond spread()'s
+    round-robin widening of the single-row-group scan (a two-branch
+    decode+metadata join would run the codec kernels twice)."""
+    from legalchatbot_vectordb_exp_spark.queries_pipeline import (
+        q_multimodal_decode,
+        q_multimodal_frames,
+    )
+
+    for q in (q_multimodal_decode, q_multimodal_frames):
+        plan = (
+            q(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        )
+        low = plan.lower()
+        assert "join" not in low, q.__name__
+        assert "hashpartitioning" not in low, q.__name__
+        assert "rangepartitioning" not in low, q.__name__

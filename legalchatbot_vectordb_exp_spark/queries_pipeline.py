@@ -328,3 +328,92 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("height"),
         F.round("mean_intensity", 6).alias("mean_intensity"),
     )
+
+
+N_AUDIO_SAMPLES = 48
+AUDIO_RATE = 8000
+
+
+@register(
+    "multimodal_audio",
+    sql=f"""
+    SELECT vec_id,
+           true AS decoded,
+           {AUDIO_RATE} AS sample_rate,
+           1 AS n_channels,
+           {N_AUDIO_SAMPLES} AS n_samples,
+           round({N_AUDIO_SAMPLES} / {AUDIO_RATE}.0, 6) AS duration_s,
+           round(sqrt(list_aggregate(list_transform(
+                   embedding[1:{N_AUDIO_SAMPLES}],
+                   x -> pow(floor(least(greatest(x::DOUBLE, -0.5), 0.5)
+                                  * 32767), 2)),
+                 'sum') / {N_AUDIO_SAMPLES}), 6) AS rms
+    FROM embeddings
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (E4): each embeddings row becomes
+    an actual RIFF/WAVE PCM16 file — samples are the int16-quantized
+    embedding components — and is pushed through ``decode_audio``'s
+    pure-NumPy chunk-walk decoder.  The oracle recomputes sample
+    count, duration, and RMS relationally: integer sample squares sum
+    exactly in doubles (≤ 48·16383² ≪ 2^53), /48 is a power-of-two
+    division, and sqrt is correctly rounded — so the lossless PCM path
+    is hash-checkable end-to-end (header walk, fmt parse, sample
+    extraction, RMS kernel).
+
+    Scale shape: one narrow Arrow pass (synth → decode), no shuffle —
+    the binaryFile audio-corpus flow."""
+    import struct
+
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        decode_audio,
+    )
+
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        def wav(samples: "np.ndarray") -> bytes:
+            data = samples.astype("<i2").tobytes()
+            fmt = struct.pack(
+                "<HHIIHH", 1, 1, AUDIO_RATE, AUDIO_RATE * 2, 2, 16
+            )
+            body = (
+                b"WAVE"
+                + b"fmt "
+                + struct.pack("<I", len(fmt))
+                + fmt
+                + b"data"
+                + struct.pack("<I", len(data))
+                + data
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(
+                    list(vec)[:N_AUDIO_SAMPLES], dtype=np.float64
+                )
+                s = np.floor(np.clip(v, -0.5, 0.5) * 32767.0).astype(
+                    np.int16
+                )
+                ids.append(vid)
+                blobs.append(wav(s))
+            yield pd.DataFrame({"id": ids, "content": blobs})
+
+    audio = emb.mapInPandas(synth, schema="id long, content binary")
+    return decode_audio(audio).select(
+        F.col("id").cast("long").alias("vec_id"),
+        "decoded",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )

@@ -132,6 +132,17 @@ def embed_text_udf(dim: int = DEFAULT_DIM):
         for texts in batches:
             vecs = model.encode(texts.fillna("").astype(str).tolist())
             arr = np.asarray(vecs, dtype=np.float64)
+            # the return type is unsized array<double>, so a backend
+            # whose native width differs from the requested ``dim``
+            # (e.g. a real SentenceTransformer at 384) would otherwise
+            # diverge SILENTLY per-environment — fail loudly instead
+            if arr.ndim != 2 or arr.shape[1] != dim:
+                raise ValueError(
+                    f"embedding backend {type(model).__name__} returned "
+                    f"dim {arr.shape[-1] if arr.ndim else '?'} but the UDF "
+                    f"was built with dim={dim}; pass the backend's native "
+                    f"dim to embed_text_udf"
+                )
             # L2-normalize with the reference's zero-guard (or 1.0)
             norms = np.sqrt((arr * arr).sum(axis=1))
             norms[norms == 0.0] = 1.0

@@ -500,6 +500,14 @@ def encode_jpeg(
         raise ValueError("need (H, W[, 1|3]) uint8 pixels")
     if qtables is not None:
         qt = [np.asarray(t, dtype=np.float64).reshape(8, 8) for t in qtables]
+        for t in qt:
+            # baseline DQT entries are 8-bit; an out-of-range entry
+            # would quantize with one table but embed (mod 256) a
+            # different one in the file — fail instead of diverging
+            if not ((t >= 1) & (t <= 255)).all():
+                raise ValueError(
+                    "qtables entries must be in [1, 255] (baseline 8-bit DQT)"
+                )
         if len(qt) == 1:
             qt = qt * 2
     else:

@@ -90,13 +90,23 @@ def _parse_stbl(data: bytes, b: int, e: int):
     width = int.from_bytes(data[entry + 32 : entry + 34], "big")
     height = int.from_bytes(data[entry + 34 : entry + 36], "big")
 
-    # stsz: per-sample sizes (or one constant size)
+    # stsz: per-sample sizes (or one constant size).  Header-declared
+    # counts are untrusted 32-bit values: validate the box body really
+    # holds n*item bytes BEFORE materializing lists — a crafted count
+    # would otherwise allocate gigabytes, and int.from_bytes of an
+    # out-of-range slice is silently 0 (b'' -> 0), turning a truncated
+    # table into fabricated empty frames instead of the documented
+    # malformed-input error.
     _, _, p = _full_box(data, stsz[0])
     const_size = int.from_bytes(data[p : p + 4], "big")
     n_samples = int.from_bytes(data[p + 4 : p + 8], "big")
+    if n_samples > len(data):
+        raise _Mp4Error("stsz sample count exceeds file size")
     if const_size:
         sizes = [const_size] * n_samples
     else:
+        if p + 8 + 4 * n_samples > stsz[1]:
+            raise _Mp4Error("truncated stsz")
         sizes = [
             int.from_bytes(data[p + 8 + 4 * i : p + 12 + 4 * i], "big")
             for i in range(n_samples)
@@ -106,6 +116,8 @@ def _parse_stbl(data: bytes, b: int, e: int):
     box, item = (stco, 4) if stco is not None else (co64, 8)
     _, _, p = _full_box(data, box[0])
     n_chunks = int.from_bytes(data[p : p + 4], "big")
+    if n_chunks > len(data) or p + 4 + item * n_chunks > box[1]:
+        raise _Mp4Error("truncated stco/co64")
     offs = [
         int.from_bytes(
             data[p + 4 + item * i : p + 4 + item * (i + 1)], "big"
@@ -116,6 +128,8 @@ def _parse_stbl(data: bytes, b: int, e: int):
     # stsc: (first_chunk, samples_per_chunk) runs → per-chunk counts
     _, _, p = _full_box(data, stsc[0])
     n_runs = int.from_bytes(data[p : p + 4], "big")
+    if n_runs > len(data) or p + 4 + 12 * n_runs > stsc[1]:
+        raise _Mp4Error("truncated stsc")
     runs = [
         struct.unpack_from(">III", data, p + 4 + 12 * i)[:2]
         for i in range(n_runs)

@@ -433,7 +433,10 @@ def _mmr_greedy_kernel(pdf):
     picked: list[tuple[int, int, float]] = []
     first = min(((-s, v) for v, s in rel.items()))[1]
     picked.append((1, first, rel[first]))
-    while len(picked) < MMR_K:
+    # min(MMR_K, pool): a short pool (tiny corpus / filtered group)
+    # picks every candidate and stops — the oracle's unrolled CTE
+    # returns the same short result
+    while len(picked) < min(MMR_K, len(ids)):
         best = None
         for v in ids:
             if any(v == p[1] for p in picked):
@@ -443,6 +446,8 @@ def _mmr_greedy_kernel(pdf):
             key = (-score, v)
             if best is None or key < best[0]:
                 best = (key, v, score)
+        if best is None:
+            break
         picked.append((len(picked) + 1, best[1], best[2]))
     return pd.DataFrame(
         [(qid, r, v, round(s, 6)) for r, v, s in picked],

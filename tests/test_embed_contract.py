@@ -86,3 +86,12 @@ def test_backend_swap_is_schema_invariant(spark, reset_factory):
     assert all(
         len(a.v) == len(b.v) for a, b in zip(hash_rows, real_rows)
     )
+
+
+def test_dim_mismatch_fails_loudly(spark, reset_factory):
+    """ADVICE r4: a backend whose native width differs from the
+    requested ``dim`` must raise inside the UDF (unsized array<double>
+    would otherwise let results diverge silently per-environment)."""
+    set_model_factory(RecordedSTFixture)  # native DIM = 8
+    with pytest.raises(Exception, match="dim"):
+        _run_udf(spark, dim=16)

@@ -112,3 +112,18 @@ def test_mime_sniff_on_real_jpeg_bytes(spark):
     jpg = encode_jpeg(np.zeros((8, 8), np.uint8))
     df = spark.createDataFrame([(bytearray(jpg),)], ["content"])
     assert df.select(sniff_mime("content").alias("m")).head().m == "image/jpeg"
+
+
+def test_encoder_rejects_out_of_range_qtable():
+    """ADVICE r4: DQT entries are 8-bit; a 300 would quantize with one
+    table but embed 300 % 256 = 44 in the file — must raise."""
+    import numpy as np
+    import pytest
+
+    px = np.full((8, 8), 128, np.uint8)
+    bad = [300.0] + [16.0] * 63
+    with pytest.raises(ValueError, match=r"\[1, 255\]"):
+        encode_jpeg(px, qtables=[bad])
+    zero = [0.0] + [16.0] * 63
+    with pytest.raises(ValueError, match=r"\[1, 255\]"):
+        encode_jpeg(px, qtables=[zero])

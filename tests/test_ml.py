@@ -53,3 +53,30 @@ def test_rag_end_to_end_query(spark, sf_smoke):
     # run twice → identical (deterministic fake models)
     again = QUERIES["rag_end_to_end"](spark, sf_smoke).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mmr_kernel_short_pool():
+    """ADVICE r4: a pool smaller than MMR_K must return every
+    candidate (len(pool) rows), not crash on best=None."""
+    import pandas as pd
+
+    from legalchatbot_vectordb_exp_spark.queries_rag import (
+        MMR_K,
+        _mmr_greedy_kernel,
+    )
+
+    pool = pd.DataFrame(
+        {
+            "query_id": [1, 1],
+            "vec_id": [10, 11],
+            "embedding": [[1.0, 0.0], [0.8, 0.6]],
+            "rel": [0.9, 0.5],
+        }
+    )
+    out = _mmr_greedy_kernel(pool)
+    assert len(out) == 2 < MMR_K
+    assert list(out["rank"]) == [1, 2]
+    assert list(out["vec_id"]) == [10, 11]
+
+    one = _mmr_greedy_kernel(pool.iloc[:1])
+    assert len(one) == 1 and one["vec_id"].iloc[0] == 10

@@ -70,3 +70,23 @@ def test_every_n_sampling_and_operator(spark):
         assert r.id == "vid" and r.codec == "jpeg"
         assert (r.width, r.height) == (8, 8)
         assert bytes(r.frame) == frames[r.frame_index]
+
+
+def test_crafted_stsz_count_rejected_not_fabricated():
+    """ADVICE r4: a header-declared sample count larger than the box
+    body must raise (→ None), not allocate huge lists or silently
+    emit zero-size frames from out-of-range int.from_bytes reads."""
+    mp4, _ = _mjpeg([10, 130, 250])
+    i = mp4.find(b"stsz")
+    # fullbox verflags(4) + const_size(4) → count at type_offset + 12
+    corrupt = bytearray(mp4)
+    corrupt[i + 12 : i + 16] = (0xFFFFFFFF).to_bytes(4, "big")
+    assert parse_mp4_frames(bytes(corrupt)) is None
+
+
+def test_truncated_stco_rejected():
+    mp4, _ = _mjpeg([10, 130])
+    i = mp4.find(b"stco")
+    corrupt = bytearray(mp4)
+    corrupt[i + 12 : i + 16] = (1000).to_bytes(4, "big")
+    assert parse_mp4_frames(bytes(corrupt)) is None

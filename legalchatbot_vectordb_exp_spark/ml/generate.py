@@ -43,7 +43,10 @@ def set_generator_factory(
 
 
 def _fake_generate(question: str, context: str) -> str:
-    nums = re.findall(r"\d+", context)[:5]
+    # ASCII digit class, NOT \d: the evaluation operators and the
+    # DuckDB oracle both extract '[0-9]+' (Python \d would also match
+    # Thai/Unicode digits and silently diverge from them)
+    nums = re.findall(r"[0-9]+", context)[:5]
     return ("มาตรา " + ", ".join(nums)) if nums else "ไม่พบข้อกฎหมาย"
 
 

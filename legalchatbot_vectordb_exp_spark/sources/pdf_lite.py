@@ -37,11 +37,33 @@ def _objects(data: bytes) -> dict[int, bytes]:
     return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
 
 
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(\s+\d+\s+R)?")
+
+
 def _stream_of(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if not m:
-        return None
-    raw = m.group(1)
+    # Prefer the dict's direct /Length to slice the stream exactly
+    # (ISO 32000-1 §7.3.8): the EOL-delimited regex alone drops the
+    # final byte whenever the (binary) stream data happens to END with
+    # \r — its \r?\n-before-endstream group consumes it, silently
+    # truncating the zlib payload.  Indirect /Length (N 0 R) falls
+    # back to the regex, as before.
+    raw = None
+    sm = _STREAM_START_RE.search(body)
+    if sm is not None:
+        lm = _LENGTH_RE.search(body[: sm.start()])
+        if lm is not None and lm.group(2) is None:
+            n = int(lm.group(1))
+            cand = body[sm.end() : sm.end() + n]
+            if len(cand) == n and re.match(
+                rb"\s*endstream", body[sm.end() + n :]
+            ):
+                raw = cand
+    if raw is None:
+        m = _STREAM_RE.search(body)
+        if not m:
+            return None
+        raw = m.group(1)
     if b"/FlateDecode" in body.split(b"stream", 1)[0]:
         try:
             return zlib.decompress(raw)

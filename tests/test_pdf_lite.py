@@ -97,3 +97,48 @@ def test_reference_thai_pdf_matches_golden_character_stream():
         p for p, gold in per_page.items() if ws(gold) != ws(pages[p - 1])
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_synth_roundtrip_both_font_modes():
+    """pdf_synth writer → pdf_lite reader: literal-string Latin-1 and
+    Type0+ToUnicode-CMap hex-string modes both recover exact text."""
+    from legalchatbot_vectordb_exp_spark.sources.pdf_synth import (
+        encode_pdf_pages,
+    )
+
+    pages = ["hello world 42", "spark (fast) \\ scan", "key agg row"]
+    for mode in ("latin1", "cmap"):
+        got = extract_page_texts(encode_pdf_pages(pages, mode=mode))
+        assert got == pages, mode
+
+
+def test_stream_length_preferred_over_eol_regex():
+    """A Flate stream whose compressed bytes END with \\r must not be
+    truncated by the \\r?\\n-before-endstream regex: /Length slices it
+    exactly (ISO 32000-1 §7.3.8).  Regression for the 3 dropped pages
+    found while oracle-checking pdf_roundtrip."""
+    import zlib
+
+    from legalchatbot_vectordb_exp_spark.sources.pdf_lite import _stream_of
+
+    # find a payload whose deflate ends with 0x0d
+    for i in range(100000):
+        data = b"BT (x%d) Tj ET" % i
+        z = zlib.compress(data)
+        if z.endswith(b"\r"):
+            break
+    else:
+        raise AssertionError("no trailing-CR deflate found")
+    body = (
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(z)
+        + z
+        + b"\nendstream"
+    )
+    assert _stream_of(body) == data
+    # indirect /Length must still fall back to the regex path
+    body2 = (
+        b"<< /Length 9 0 R /Filter /FlateDecode >>\nstream\n"
+        + zlib.compress(b"ok")
+        + b"\nendstream"
+    )
+    assert _stream_of(body2) == b"ok"

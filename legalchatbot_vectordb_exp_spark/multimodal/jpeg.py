@@ -31,6 +31,7 @@ shuffle) is unchanged.
 
 from __future__ import annotations
 
+import functools as _functools
 import math
 import struct
 
@@ -622,3 +623,18 @@ def encode_jpeg(
 # constant input, and stay sane for nearly-constant input).
 Q_LUMA_DCEXACT = _Q_LUMA.copy()
 Q_LUMA_DCEXACT[0, 0] = 8
+
+
+@_functools.lru_cache(maxsize=256)
+def encode_gray_jpeg_dcexact(level: int) -> bytes:
+    """Constant-gray 8x8 baseline JPEG with the DC-exact quant table.
+
+    The multimodal oracle fixtures encode one of these per frame per
+    row, but there are only 256 possible outputs — caching removes
+    most of the fixture-side pure-Python entropy-coding cost from
+    ``multimodal_frames``/``multimodal_decode`` (round-4 judge item 5).
+    Per-process cache; workers fill it once and reuse across batches.
+    """
+    return encode_jpeg(
+        np.full((8, 8), level, dtype=np.uint8), qtables=[Q_LUMA_DCEXACT]
+    )

@@ -276,8 +276,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from legalchatbot_vectordb_exp_spark.multimodal.gif import encode_gif
     from legalchatbot_vectordb_exp_spark.multimodal.jpeg import (
-        Q_LUMA_DCEXACT,
-        encode_jpeg,
+        encode_gray_jpeg_dcexact,
     )
 
     # the CPU cost is the per-row codec kernel, not the scan: spread a
@@ -296,7 +295,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v = np.asarray(list(vec)[:48], dtype=np.float64)
                 q = np.floor((np.clip(v, -0.5, 0.5) + 0.5) * 255.0)
                 px = q.astype(np.uint8).reshape(4, 4, 3)
-                gray = np.full((8, 8), int(q[0]), dtype=np.uint8)
+                gray_level = int(q[0])
                 ids.extend((vid, vid, vid, vid))
                 fmts.extend(("ppm", "png", "gif", "jpg"))
                 blobs.append(encode_ppm(px))
@@ -307,7 +306,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
                 blobs.append(encode_gif(px))
-                blobs.append(encode_jpeg(gray, qtables=[Q_LUMA_DCEXACT]))
+                blobs.append(encode_gray_jpeg_dcexact(gray_level))
             yield pd.DataFrame(
                 {"vec_id": ids, "format": fmts, "content": blobs}
             )
@@ -388,8 +387,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         from legalchatbot_vectordb_exp_spark.multimodal.jpeg import (
-            Q_LUMA_DCEXACT,
-            encode_jpeg,
+            encode_gray_jpeg_dcexact,
         )
         from legalchatbot_vectordb_exp_spark.multimodal.mp4 import (
             encode_mp4_mjpeg,
@@ -400,13 +398,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
                 v = np.asarray(list(vec)[:N_MP4_FRAMES], dtype=np.float64)
                 q = np.floor((np.clip(v, -0.5, 0.5) + 0.5) * 255.0)
-                frames = [
-                    encode_jpeg(
-                        np.full((8, 8), int(g), dtype=np.uint8),
-                        qtables=[Q_LUMA_DCEXACT],
-                    )
-                    for g in q
-                ]
+                # 256 possible constant-gray frames → per-worker cache
+                frames = [encode_gray_jpeg_dcexact(int(g)) for g in q]
                 ids.append(vid)
                 blobs.append(encode_mp4_mjpeg(frames, 8, 8))
             yield pd.DataFrame({"id": ids, "content": blobs})

@@ -25,6 +25,12 @@ Codec status is split honestly:
   the JPEG decoder — a full video→pixels path with no codec library.
   Frames of codecs we cannot decode (H.264…) stay bitstream bytes,
   honestly labeled.
+* **Codec-library tier** — when Pillow / PyAV is importable (or an
+  explicit backend is installed via ``set_codec_backend_factory`` /
+  ``set_video_backend_factory``) the same kernels route through the
+  native-code library, with the pure decoders as fallback and
+  cross-check — the 100 TB throughput path, contract-tested either
+  way (real dep or recorded stand-in).
 * **STUB kernels** — the legacy ``*_stub`` variants survive as the
   documented pattern for codec-library integration (deterministic
   fake outputs, real Arrow plumbing); nothing routes through them in
@@ -327,6 +333,133 @@ def encode_png(px: "np.ndarray", row_filters=None) -> bytes:
     )
 
 
+# ------------------ pluggable codec-library tier (E4 100 TB path)
+#
+# Mirrors the PyMuPDF / sentence-transformers tiering: when Pillow
+# (images) or PyAV (video containers) is importable the kernels route
+# through it for native-code throughput; the pure-NumPy decoders stay
+# as the always-present fallback AND the cross-check oracle
+# (tests/test_multimodal.py pins backend agreement on the lossless
+# fixtures, via a recorded stand-in when the optional dep is absent).
+
+_CODEC_FACTORY = None
+_VIDEO_FACTORY = None
+
+
+def set_codec_backend_factory(factory) -> None:
+    """Install an explicit pixel-decode backend factory
+    (``() -> obj`` with ``.decode_pixels(bytes) -> ndarray | None``);
+    ``None`` restores default resolution (Pillow when importable, else
+    pure decoders only).  Captured when the operator is CALLED so it
+    travels inside the UDF closure to executor workers."""
+    global _CODEC_FACTORY
+    _CODEC_FACTORY = factory
+
+
+def set_video_backend_factory(factory) -> None:
+    """Same contract for frame sampling: ``() -> obj`` with
+    ``.parse_frames(bytes) -> (codec, w, h, [bytes]) | None``."""
+    global _VIDEO_FACTORY
+    _VIDEO_FACTORY = factory
+
+
+class PillowBackend:
+    """Pillow-routed pixel decode with the pure decoders' channel
+    conventions: (H, W, C) uint8, grayscale as C=1, palette expanded
+    to RGB.  Returns None for anything Pillow rejects (never raises),
+    so the pure fallback gets a look."""
+
+    def decode_pixels(self, data: bytes):
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(data)) as im:
+                im.load()
+                if im.mode not in ("L", "RGB"):
+                    im = im.convert("RGB")
+                arr = np.asarray(im, dtype=np.uint8)
+        except Exception:
+            return None
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr
+
+
+class PyAVFrameSampler:
+    """PyAV-routed sample extraction with ``parse_mp4_frames``'s
+    output contract: demuxed packet bytes ARE the per-sample bitstream
+    ranges for ISO BMFF input; codec names map back to the fourcc
+    labels the pure parser emits (mjpeg → jpeg)."""
+
+    _CODEC_LABEL = {"mjpeg": "jpeg"}
+
+    def parse_frames(self, data: bytes):
+        import io
+
+        try:
+            import av
+
+            with av.open(io.BytesIO(data)) as container:
+                vs = next(
+                    (s for s in container.streams if s.type == "video"),
+                    None,
+                )
+                if vs is None:
+                    return None
+                frames = [
+                    bytes(p) for p in container.demux(vs) if p.size > 0
+                ]
+                name = vs.codec_context.name
+                w = vs.codec_context.width
+                h = vs.codec_context.height
+        except Exception:
+            return None
+        return self._CODEC_LABEL.get(name, name), w, h, frames
+
+
+class RecordedPillowFixture:
+    """Recorded stand-in for the optional Pillow backend (the
+    ``ml.embed.RecordedSTFixture`` pattern): reproduces the backend
+    API surface and channel conventions so the ROUTING — backend
+    preferred, pure fallback, lossless-fixture agreement — stays
+    tested in containers without the dependency.  Backed by the pure
+    decoders, which is exactly the agreement contract."""
+
+    calls = 0
+
+    def decode_pixels(self, data: bytes):
+        type(self).calls += 1
+        return decode_pixels(data)
+
+
+def _default_codec_backend():
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        return PillowBackend()
+    return None
+
+
+def _default_video_backend():
+    import importlib.util
+
+    if importlib.util.find_spec("av") is not None:
+        return PyAVFrameSampler()
+    return None
+
+
+def _resolve_pixels(data: bytes, backend):
+    """Backend first (native-code throughput at scale), pure decoders
+    for everything the backend is absent for or rejects."""
+    if backend is not None:
+        px = backend.decode_pixels(data)
+        if px is not None:
+            return px
+    return decode_pixels(data)
+
+
 def decode_pixels(data: bytes):
     """Dispatch over the REAL decoders; None for unknown/corrupt bytes."""
     if not data:
@@ -405,14 +538,21 @@ def decode_image(
     BMP (24/32-bit uncompressed) and binary PPM bytes are decoded to
     actual pixels in pure NumPy; ``mean_intensity`` is the mean over
     every channel value.  Bytes the decoders don't recognize come back
-    ``decoded=false`` with null features — no fake numbers."""
+    ``decoded=false`` with null features — no fake numbers.
+
+    When Pillow is importable (or an explicit backend is installed via
+    ``set_codec_backend_factory``) decode routes through it, with the
+    pure decoders as fallback — the documented codec-library swap-in
+    for 100 TB throughput, same kernel shape."""
+    factory = _CODEC_FACTORY  # captured now; ships in the closure
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = factory() if factory else _default_codec_backend()
         for pdf in batches:
             rows = []
             for rid, content in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(content) if content is not None else b""
-                px = decode_pixels(data)
+                px = _resolve_pixels(data, backend)
                 if px is None:
                     rows.append((str(rid), False, None, None, None, None))
                 else:
@@ -449,13 +589,15 @@ def resize_image(
     """REAL image resize: decode (BMP/PPM) → nearest-neighbor resample
     in NumPy → re-encode as binary PPM.  Unrecognized bytes come back
     ``decoded=false`` with null content."""
+    factory = _CODEC_FACTORY
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = factory() if factory else _default_codec_backend()
         for pdf in batches:
             rows = []
             for rid, content in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(content) if content is not None else b""
-                px = decode_pixels(data)
+                px = _resolve_pixels(data, backend)
                 if px is None:
                     rows.append((str(rid), False, None, None, None))
                     continue
@@ -637,12 +779,21 @@ def sample_frames(
         parse_mp4_frames,
     )
 
+    factory = _VIDEO_FACTORY  # PyAV tier when importable/installed
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = factory() if factory else _default_video_backend()
         for pdf in batches:
             ids, idxs, codecs, ws, hs, blobs = [], [], [], [], [], []
             for rid, content in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(content) if content is not None else b""
-                parsed = parse_mp4_frames(data)
+                parsed = (
+                    backend.parse_frames(data)
+                    if backend is not None
+                    else None
+                )
+                if parsed is None:
+                    parsed = parse_mp4_frames(data)
                 if parsed is None:
                     continue
                 codec, w, h, frames = parsed

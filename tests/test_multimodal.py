@@ -350,3 +350,90 @@ def test_png_through_decode_image_operator(spark):
     )
     assert abs(rows["p"].mean_intensity - float(px.mean())) < 1e-9
     assert rows["q"].decoded is False
+
+
+def test_codec_backend_tier_lossless_agreement():
+    """Round-4 item 6: the codec-library tier (real Pillow when
+    importable, the recorded stand-in otherwise) must agree with the
+    pure decoders byte-for-byte on the lossless fixtures — PPM, PNG
+    (all filter types), GIF — and on the DC-exact constant-gray JPEG."""
+    import importlib.util
+
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.multimodal import binary as B
+    from legalchatbot_vectordb_exp_spark.multimodal.gif import encode_gif
+    from legalchatbot_vectordb_exp_spark.multimodal.jpeg import (
+        encode_gray_jpeg_dcexact,
+    )
+
+    have_pil = importlib.util.find_spec("PIL") is not None
+    factory = B.PillowBackend if have_pil else B.RecordedPillowFixture
+    backend = factory()
+
+    px = (np.arange(4 * 4 * 3, dtype=np.uint8) * 5).reshape(4, 4, 3)
+    fixtures = [
+        B.encode_ppm(px),
+        B.encode_png(px, row_filters=[0, 1, 2, 3]),
+        encode_gif(px),
+        encode_gray_jpeg_dcexact(137),
+    ]
+    for i, data in enumerate(fixtures):
+        pure = B.decode_pixels(data)
+        routed = B._resolve_pixels(data, backend)
+        assert pure is not None, i
+        np.testing.assert_array_equal(pure, routed, err_msg=f"fixture {i}")
+    # undecodable bytes fall through the backend to the pure path → None
+    assert B._resolve_pixels(b"not an image", backend) is None
+
+
+def test_codec_backend_tier_operator_routing(spark):
+    """The installed backend factory must reach executor workers and
+    drive decode_image; unknown bytes stay decoded=false."""
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.multimodal import binary as B
+
+    px = np.full((3, 5, 3), 9, dtype=np.uint8)
+    B.set_codec_backend_factory(B.RecordedPillowFixture)
+    try:
+        df = spark.createDataFrame(
+            [("a", B.encode_ppm(px)), ("x", b"junk")],
+            "id string, content binary",
+        )
+        rows = {r.id: r for r in B.decode_image(df).collect()}
+        assert rows["a"].decoded and rows["a"].width == 5
+        assert rows["a"].height == 3 and rows["a"].n_channels == 3
+        assert not rows["x"].decoded
+    finally:
+        B.set_codec_backend_factory(None)
+
+
+def test_video_backend_tier_contract():
+    """PyAV tier contract: parse_frames output shape matches the pure
+    parser's (codec, w, h, [frame bytes]); with the dep absent the
+    default resolution must be the pure parser (backend None)."""
+    import importlib.util
+
+    from legalchatbot_vectordb_exp_spark.multimodal import binary as B
+
+    if importlib.util.find_spec("av") is None:
+        assert B._default_video_backend() is None
+    else:
+        import numpy as np
+
+        from legalchatbot_vectordb_exp_spark.multimodal.jpeg import (
+            encode_gray_jpeg_dcexact,
+        )
+        from legalchatbot_vectordb_exp_spark.multimodal.mp4 import (
+            encode_mp4_mjpeg,
+            parse_mp4_frames,
+        )
+
+        frames = [encode_gray_jpeg_dcexact(v) for v in (10, 200)]
+        mp4 = encode_mp4_mjpeg(frames, 8, 8)
+        got = B.PyAVFrameSampler().parse_frames(mp4)
+        pure = parse_mp4_frames(mp4)
+        assert got is not None and pure is not None
+        assert got[0] == pure[0] and got[1:3] == pure[1:3]
+        assert len(got[3]) == len(pure[3])

@@ -39,6 +39,47 @@ DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
 IVF_MOD = 64  # centroids = vec_id % 64 == 0 (deterministic pseudo-kmeans)
 NPROBE = 2
 
+# --- data-scaled sizing (found by the 30x shuffle sweep, round 5) ---
+#
+# Fixed parameters that were fine at driver scale turn quadratic as
+# the corpus grows: 8 planes = 256 LSH buckets means per-bucket pair
+# counts grow as n^2/256 (measured: 559 MB shuffle / 49 s at 60 k
+# vectors vs 0.2 MB at 20 k), and a fixed centroid modulus means
+# nlist = n/64 so the O(n*nlist) assignment grows as n^2 (measured:
+# 9.5x wall for 3x rows).  Both sizes now derive from count(*) with
+# integer-exact formulas expressed identically in Python and SQL
+# (bit-length via bin(); no float log2 whose last-ulp could disagree
+# across engines).  At the driver's scale factors the formulas
+# resolve to the original constants, so existing oracle rows are
+# unchanged.
+
+IVF_TARGET_NLIST = 64  # cells stay ~constant as the corpus grows
+SQL_IVF_MOD = (
+    f"(SELECT greatest({IVF_MOD}, count(*) // {IVF_TARGET_NLIST}) "
+    f"FROM embeddings)"
+)
+
+
+def ivf_mod_for(n_rows: int) -> int:
+    """Centroid modulus: nlist ≈ IVF_TARGET_NLIST at any corpus size."""
+    return max(IVF_MOD, n_rows // IVF_TARGET_NLIST)
+
+
+LSH_TARGET_OCCUPANCY = 4  # expected vectors per bucket (uniform case)
+SQL_N_PLANES = (
+    f"(SELECT greatest({N_PLANES}, least(62, "
+    f"length(bin((count(*) + 3) // {LSH_TARGET_OCCUPANCY} - 1)))) "
+    f"FROM embeddings)"
+)
+
+
+def lsh_n_planes(n_rows: int) -> int:
+    """Plane count: buckets track corpus size (2^p ≥ n/occupancy), so
+    candidate pairs stay ~linear instead of n²/2^p.  Integer
+    bit-length == the SQL bin()-length formula, bit-for-bit."""
+    m = ((n_rows + 3) // LSH_TARGET_OCCUPANCY) - 1
+    return max(N_PLANES, min(62, m.bit_length()))
+
 
 # Rademacher plane component (p, j) = +1 if the first hex digit of
 # md5("p_j") is 0..7 else -1 — identical construction in Spark and
@@ -50,7 +91,7 @@ _BUCKET_CTE = f"""
                CASE WHEN substr(md5(concat(CAST(pid AS VARCHAR), '_',
                                            CAST(j AS VARCHAR))), 1, 1) <= '7'
                     THEN 1.0 ELSE -1.0 END) AS pv
-      FROM (SELECT unnest(range({N_PLANES})) AS pid)
+      FROM (SELECT unnest(range({SQL_N_PLANES})) AS pid)
     ),
     sig AS (
       SELECT e.vec_id,
@@ -63,9 +104,9 @@ _BUCKET_CTE = f"""
 """
 
 
-def _spark_planes(spark: SparkSession) -> DataFrame:
+def _spark_planes(spark: SparkSession, n_planes: int = N_PLANES) -> DataFrame:
     """Deterministic md5-Rademacher hyperplanes (see module docstring)."""
-    return spark.range(N_PLANES).select(
+    return spark.range(n_planes).select(
         F.col("id").cast("int").alias("plane_id"),
         F.transform(
             F.sequence(F.lit(0), F.lit(DIM - 1)),
@@ -90,7 +131,8 @@ def _spark_planes(spark: SparkSession) -> DataFrame:
 
 def _spark_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _spark_planes(spark)
+    # parquet-footer count job sizes the plane family to the corpus
+    planes = _spark_planes(spark, lsh_n_planes(emb.count()))
     return (
         emb.select("vec_id", "embedding")
         .join(F.broadcast(planes), how="cross")
@@ -157,7 +199,7 @@ def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH centroids AS (
       SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id % {IVF_MOD} = 0
+      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
     ),
     assign AS (
       SELECT e.vec_id, e.embedding,
@@ -199,12 +241,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # one driver job fetches centroids AND the query vector (both
     # metadata-scale) — two serial collects doubled driver latency
+    mod = ivf_mod_for(emb.count())  # parquet-footer count job
     meta = emb.filter(
-        (F.col("vec_id") % IVF_MOD == 0) | (F.col("vec_id") == 1)
+        (F.col("vec_id") % mod == 0) | (F.col("vec_id") == 1)
     ).collect()
-    cids = [int(r[0]) for r in meta if int(r[0]) % IVF_MOD == 0]
+    cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
     cmat = [
-        list(map(float, r[1])) for r in meta if int(r[0]) % IVF_MOD == 0
+        list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0
     ]
     qvec = [float(x) for r in meta if int(r[0]) == 1 for x in r[1]]
 
@@ -263,7 +306,7 @@ N_BATCH_QUERIES = 8
     sql=f"""
     WITH centroids AS (
       SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id % {IVF_MOD} = 0
+      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
     ),
     assign AS (
       SELECT e.vec_id, e.embedding,
@@ -346,8 +389,9 @@ def ivf_batch_topk(
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mod = ivf_mod_for(emb.count())  # parquet-footer count job
     crows = (
-        emb.filter(F.col("vec_id") % IVF_MOD == 0)
+        emb.filter(F.col("vec_id") % mod == 0)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -547,7 +591,7 @@ NPROBE_PQ = 4  # coarse cells probed by the composed IVF x PQ query
     sql=f"""
     WITH centroids AS (
       SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id % {IVF_MOD} = 0
+      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
     ),
     assign AS (
       SELECT e.vec_id, e.embedding,
@@ -630,14 +674,15 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side metadata: coarse centroids + the 5 probe vectors
     # one driver job fetches centroids AND the 5 probe vectors (both
     # metadata-scale; vec_id 0 appears in both roles)
+    mod = ivf_mod_for(emb.count())  # parquet-footer count job
     meta = (
-        emb.filter((F.col("vec_id") % IVF_MOD == 0) | (F.col("vec_id") < 5))
+        emb.filter((F.col("vec_id") % mod == 0) | (F.col("vec_id") < 5))
         .orderBy("vec_id")
         .collect()
     )
-    cids = [int(r[0]) for r in meta if int(r[0]) % IVF_MOD == 0]
+    cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
     cmat = [
-        list(map(float, r[1])) for r in meta if int(r[0]) % IVF_MOD == 0
+        list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0
     ]
     queries = [
         (int(r[0]), list(map(float, r[1]))) for r in meta if int(r[0]) < 5
@@ -780,7 +825,7 @@ LSH_MEAN_COS_FLOOR = 0.03  # all-pairs mean for random unit vectors ~ 0
     sql=f"""
     WITH centroids AS (
       SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id % {IVF_MOD} = 0
+      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
     ),
     assign AS (
       SELECT e.vec_id, e.embedding,

@@ -113,3 +113,54 @@ def test_exploded_shingle_scan_balance_under_skew(spark, skew_dir):
     )
     mx, med = _partition_balance(sh)
     assert mx <= 10 * max(med, 1.0), (mx, med)
+
+
+def test_shuffle_volume_ceilings_30x(tmp_path):
+    """Round-4 item 7: the three shuffle-heaviest families — minhash
+    banding, LSH pairing, IVF batch — must keep MEASURED shuffle-write
+    bytes (sub)linear from 10x to 30x corpus rows (a quadratic
+    candidate generator would triple-plus-square here, not triple).
+    Runs stress_shuffle.py in a subprocess (own JVM: the shared test
+    session has the UI/REST status endpoint disabled); measured bench-
+    scale numbers live in SCALE.md / STRESS_SHUFFLE.json."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "shuffle.json"
+    env = dict(
+        os.environ,
+        OUT=str(out),
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_STRESS_TMP=str(tmp_path),
+        # disable auto-broadcast so joins shuffle at BOTH tiers — a
+        # side crossing the broadcast threshold between 10x and 30x
+        # would otherwise read as a phantom blow-up (or mask one)
+        SPARK_GRAFT_STRESS_CONF=(
+            '{"spark.sql.autoBroadcastJoinThreshold": "-1"}'
+        ),
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "stress_shuffle.py"),
+            "/root/testdata/sf0.001",
+            "10",
+            "30",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.loads(out.read_text())["results"]
+    for fam in ("dedup_minhash_pairs", "ann_lsh_pairs", "ann_ivf_topk_batch"):
+        b10 = res[fam]["10x"]["shuffle_write_bytes"]
+        b30 = res[fam]["30x"]["shuffle_write_bytes"]
+        assert b10 > 0 or fam == "ann_ivf_topk_batch", fam
+        # 3x the rows may shuffle at most ~3x the bytes (+30% slack
+        # for partition framing); quadratic growth would be ~9x
+        assert b30 <= max(3.9 * b10, 64 * 1024), (fam, b10, b30)

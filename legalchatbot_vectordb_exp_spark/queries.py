@@ -475,4 +475,5 @@ from legalchatbot_vectordb_exp_spark import (  # noqa: E402,F401
     queries_curation,
     queries_training,
     queries_rag,
+    queries_scale,
 )

@@ -1,0 +1,517 @@
+"""Large-pipeline scale operators (extensions to SURVEY.md §2.9):
+the shapes a 100 TB training-data pipeline runs daily that the
+per-family extension modules don't yet cover.
+
+* ``dedup_incremental`` — the *incremental ingest* formulation of
+  MinHash dedup: a small incoming batch is checked against the
+  standing corpus's band index without ever re-pairing the corpus
+  with itself.  At 100 TB the corpus bands are a pre-materialized
+  index table; each daily batch costs O(batch × bands) join rows.
+* ``substring_dedup_spans`` — positional duplicate-n-gram detection
+  (the relational core of suffix-array substring dedup, Lee et al.
+  2022 "Deduplicating Training Data Makes Language Models Better"):
+  per-document counts/ratio of 5-gram positions whose gram recurs in
+  ≥2 documents.  All joins are on the gram key — bucketable, never
+  quadratic in the corpus.
+* ``semdedup_cells`` — SemDeDup (Abbas et al. 2023): semantic dedup
+  restricted to embedding-cluster cells.  Reuses the IVF deterministic
+  coarse quantizer (queries_ann.py) as the clustering; the pairwise
+  cosine join is blocked on ``cluster_id``, so pair volume is
+  Σ_cell n_cell² — never corpus².
+* ``bloom_prune_join`` — a runtime Bloom-filter semi-join: the build
+  side aggregates to an m-bit filter (metadata-scale, like Spark's own
+  ``runtime.bloomFilter``), the probe scan prunes before any shuffle,
+  and the query reports the measured false-positive rate against the
+  exact semi-join.
+
+Reference parity note: the reference (Qdrant/*.py) has none of these —
+they are extension operators graded as first-class pipeline components
+(driver brief, SURVEY.md §2.9); determinism contract per FIXTURES.md
+(md5-derived hashes, explicit tie-breaks, round(…,6) on displayed
+floats only).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from legalchatbot_vectordb_exp_spark.functions.text import word_shingles, words
+from legalchatbot_vectordb_exp_spark.io_tables import load_table, spread
+from legalchatbot_vectordb_exp_spark.queries_dedup import (
+    MAX_SHINGLE_DF,
+    MINHASH_BANDS,
+    N_MINHASH,
+)
+from legalchatbot_vectordb_exp_spark.registry import (
+    register,
+    sql_dot,
+    sql_words,
+)
+
+# --------------------------------------------------------------- E2+
+# dedup_incremental — incoming batch vs standing-corpus band index
+
+# incoming batch = top ~20% of the md5 key space (same stable-bucket
+# convention as hash_split: membership never changes as docs arrive)
+_INCOMING_CUT = int(0.80 * 2**32)
+
+_INC_SQL = f"""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+               >= {_INCOMING_CUT} AS incoming
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, incoming, unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len({sql_words('text')}) - 3, 0)),
+               i -> array_to_string({sql_words('text')}[i + 1 : i + 3], ' ')
+             ))) AS shingle
+      FROM tagged
+    ),
+    -- the hot-shingle stoplist is part of the CORPUS index: computed
+    -- over corpus docs only, applied to both sides
+    hot AS (
+      SELECT shingle FROM sh WHERE NOT incoming
+      GROUP BY shingle HAVING count(*) > {MAX_SHINGLE_DF}
+    ),
+    sh_rare AS (
+      SELECT s.doc_id, s.incoming, s.shingle FROM sh s
+      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = s.shingle)
+    ),
+    hv AS (
+      SELECT doc_id, incoming,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh_rare
+    ),
+    hashed AS (
+      SELECT doc_id, incoming, h.i AS hash_id,
+             min((h1 + h.i * h2) % 4294967296) AS minhash
+      FROM hv, unnest(generate_series(0, {N_MINHASH - 1})) AS h(i)
+      GROUP BY doc_id, incoming, h.i
+    ),
+    bands AS (
+      SELECT doc_id, incoming, hash_id // 2 AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY hash_id) AS band_key
+      FROM hashed GROUP BY doc_id, incoming, hash_id // 2
+    ),
+    corpus_keys AS (
+      SELECT DISTINCT band, band_key FROM bands WHERE NOT incoming
+    ),
+    dup_incoming AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands b JOIN corpus_keys c
+        ON b.band = c.band AND b.band_key = c.band_key
+      WHERE b.incoming
+    )
+    SELECT t.doc_id,
+           EXISTS (SELECT 1 FROM dup_incoming d WHERE d.doc_id = t.doc_id)
+             AS is_dup
+    FROM tagged t WHERE t.incoming
+"""
+
+
+@register("dedup_incremental", sql=_INC_SQL)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: flag each *incoming* document whose
+    signature shares a full LSH band with any *corpus* document.
+
+    Scale shape (the daily-ingest pattern at 100 TB):
+
+    * the corpus's band keys and hot-shingle stoplist are the standing
+      index — here rebuilt from the split, in production read from the
+      materialized index table of the last run;
+    * the incoming side joins the index on ``(band, band_key)`` —
+      shuffle volume is O(incoming × bands + index), never O(corpus²),
+      and the corpus text itself is *never re-read*;
+    * an incoming doc with no rare shingles yields no band rows and is
+      trivially new — restored by the left join at the end, mirroring
+      the oracle's EXISTS over the incoming frame.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hv_doc = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    tagged = docs.select(
+        "doc_id", "text", (hv_doc >= _INCOMING_CUT).alias("incoming")
+    )
+    sh = tagged.select(
+        "doc_id",
+        "incoming",
+        F.explode(word_shingles("text", 3)).alias("shingle"),
+    ).cache()  # feeds the corpus-side stoplist agg AND the anti join
+    hot = (
+        sh.filter(~F.col("incoming"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh_rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    h1 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("bigint")
+    staged = sh_rare.select(
+        "doc_id", "incoming", h1.alias("h1"), h2.alias("h2")
+    )
+    wide = staged.groupBy("doc_id", "incoming").agg(
+        *[
+            F.min(
+                (F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(4294967296)
+            ).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    rows_per_band = N_MINHASH // MINHASH_BANDS
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = wide.select(
+        "doc_id", "incoming", F.posexplode(band_keys)
+    ).select(
+        "doc_id",
+        "incoming",
+        F.col("pos").cast("bigint").alias("band"),
+        F.col("col").alias("band_key"),
+    ).cache()  # one signature build feeds both the index and the probe
+    corpus_keys = (
+        bands.filter(~F.col("incoming")).select("band", "band_key").distinct()
+    )
+    dup = (
+        bands.filter(F.col("incoming"))
+        .join(corpus_keys, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    incoming = tagged.filter("incoming").select("doc_id")
+    return incoming.join(F.broadcast(dup), "doc_id", "left").select(
+        "doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )
+
+
+# --------------------------------------------------------------- E2+
+# substring_dedup_spans — positional duplicated-n-gram coverage
+
+_SPAN_N = 5  # word n-gram width
+
+_SPAN_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, {sql_words('text')} AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(0, greatest(len(ws) - {_SPAN_N}, 0)),
+               i -> array_to_string(ws[i + 1 : i + {_SPAN_N}], ' ')
+             )) AS gram
+      FROM w
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT g.doc_id, count(*) AS n_dup_grams
+      FROM g JOIN dup USING (gram) GROUP BY g.doc_id
+    ),
+    totals AS (
+      SELECT doc_id, greatest(len(ws) - {_SPAN_N}, 0) + 1 AS n_grams
+      FROM w
+    )
+    SELECT t.doc_id,
+           t.n_grams,
+           coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+           round(coalesce(p.n_dup_grams, 0)::DOUBLE / t.n_grams::DOUBLE, 6)
+             AS dup_ratio
+    FROM totals t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def _positional_grams(text, n: int):
+    """NON-distinct positional n-grams (one per start offset); a doc
+    with fewer than n words yields one short gram (the full text) —
+    the same short-document convention as functions.text.word_shingles,
+    mirrored in the oracle's generate_series/slice."""
+    ws = words(text)
+    cnt = F.size(ws)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )
+
+
+@register("substring_dedup_spans", sql=_SPAN_SQL)
+def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-substring coverage per document: the fraction of
+    5-gram start positions whose gram also occurs in another document.
+
+    This is the relational core of substring-level dedup (Lee et al.
+    2022): the gram-frequency join marks exactly the character spans a
+    suffix-array pass would cut.  Scale shape: one explode → one
+    groupBy(gram) with map-side partial aggregation (grams are
+    positional but the DISTINCT-doc count aggregates them) → one
+    equi-join back on the gram key.  Everything shuffles on the gram
+    hash — bucketable and skew-safe (a gram's row count is bounded by
+    corpus token count, and the join output per gram is its own
+    occurrence list, not a pair blow-up)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = docs.select(
+        "doc_id", _positional_grams(F.col("text"), _SPAN_N).alias("grams")
+    ).cache()  # feeds the explode AND the per-doc totals
+    g = w.select("doc_id", F.explode("grams").alias("gram"))
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    per_doc = (
+        g.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    totals = w.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+    nd = F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long")
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        nd.alias("n_dup_grams"),
+        F.round(
+            nd.cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+# --------------------------------------------------------------- E3+
+# semdedup_cells — cluster-blocked semantic dedup (SemDeDup)
+
+SEMDEDUP_TAU = 0.2  # unit vectors: dot == cosine
+
+
+def _sem_sql() -> str:
+    from legalchatbot_vectordb_exp_spark.queries_ann import SQL_IVF_MOD
+
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             arg_max(c.cid, {sql_dot('e.embedding', 'c.cv')}
+                            + 1e-12 * (-c.cid)) AS cluster_id
+      FROM embeddings e CROSS JOIN centroids c
+      GROUP BY e.vec_id, e.embedding
+    ),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {sql_dot('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+    )
+    SELECT s.vec_id, s.cluster_id,
+           NOT EXISTS (SELECT 1 FROM dup d WHERE d.vec_id = s.vec_id)
+             AS kept
+    FROM assign s
+    """
+
+
+@register("semdedup_cells", sql=_sem_sql())
+def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: drop a vector when a lower-id vector in the SAME
+    coarse cluster has cosine ≥ τ (unit vectors → dot ≥ τ).
+
+    Cluster = the deterministic IVF coarse quantizer shared with the
+    ANN family (nearest of the ``vec_id % mod == 0`` centroids,
+    sequential-fold dot, ``-cid`` epsilon tie-break — bit-identical to
+    the oracle's ``arg_max``).  Scale shape: the pairwise cosine join
+    is equi-blocked on ``cluster_id`` — pair volume is Σ n_cell², the
+    whole point of SemDeDup vs corpus-wide pairing — and the pair
+    scores run through the vectorized exact-fold kernel
+    (operators/ann.exact_pair_scores), never an interpreted per-pair
+    lambda.  The centroid set is nlist≈64 rows of driver metadata, as
+    in queries_ann (`ann_ivf_topk`)."""
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.operators.ann import exact_pair_scores
+    from legalchatbot_vectordb_exp_spark.queries_ann import ivf_mod_for
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mod = ivf_mod_for(emb.count())  # parquet-footer count job
+    cmeta = emb.filter(F.col("vec_id") % mod == 0).collect()
+    cids = [int(r[0]) for r in cmeta]
+    cmat = [list(map(float, r[1])) for r in cmeta]
+
+    def assign(batches):
+        import pandas as pd
+
+        C = np.array(cmat, dtype=np.float64)  # nlist × dim
+        penal = 1e-12 * (-np.array(cids, dtype=np.float64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            scores = np.zeros((len(pdf), C.shape[0]))
+            for j in range(C.shape[1]):  # sequential across dims
+                scores = scores + E[:, j, None] * C[None, :, j]
+            best = np.argmax(scores + penal[None, :], axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster_id": [cids[i] for i in best],
+                }
+            )
+
+    assigned = emb.mapInPandas(
+        assign, schema="vec_id long, embedding array<double>, cluster_id long"
+    ).cache()  # one assignment pass feeds both join sides + the output
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("ca")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("cb")
+    )
+    cand = (
+        a.join(b, F.col("ca") == F.col("cb"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    dup = (
+        exact_pair_scores(cand, assigned)
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return assigned.join(F.broadcast(dup), "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"),
+    )
+
+
+# --------------------------------------------------------------- new
+# bloom_prune_join — runtime Bloom-filter semi-join with measured FPR
+
+BLOOM_BITS = 8192
+BLOOM_K = 3  # hash functions per key
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    return (
+        f"('0x' || substr(md5({key}::VARCHAR || ':{i}'), 1, 8))::BIGINT"
+        f" % {BLOOM_BITS}"
+    )
+
+
+_BLOOM_SQL = f"""
+    WITH dim AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bloom AS (
+      {' UNION '.join(
+          f"SELECT DISTINCT {_bloom_pos_sql('k', i)} AS pos FROM dim"
+          for i in range(BLOOM_K)
+      )}
+    ),
+    probe AS (
+      SELECT o_orderkey, o_custkey,
+             {' AND '.join(
+                 f"EXISTS (SELECT 1 FROM bloom WHERE pos = "
+                 f"{_bloom_pos_sql('o_custkey', i)})"
+                 for i in range(BLOOM_K)
+             )} AS bloom_pass,
+             EXISTS (SELECT 1 FROM dim WHERE k = o_custkey) AS exact_match
+      FROM orders
+    )
+    SELECT count(*) AS n_orders,
+           count(*) FILTER (WHERE bloom_pass) AS n_bloom_pass,
+           count(*) FILTER (WHERE exact_match) AS n_exact,
+           count(*) FILTER (WHERE bloom_pass AND NOT exact_match)
+             AS n_false_positive,
+           round(
+             (count(*) FILTER (WHERE bloom_pass AND NOT exact_match))::DOUBLE
+             / (count(*) FILTER (WHERE NOT exact_match))::DOUBLE, 6)
+             AS fp_rate
+    FROM probe
+"""
+
+
+@register("bloom_prune_join", sql=_BLOOM_SQL)
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join, with its false-positive rate
+    measured against the exact semi-join in the same pass.
+
+    The build side (BUILDING customers) aggregates to an m=8192-bit
+    filter — k=3 md5-derived positions per key, collected as a sorted
+    distinct-position array.  That array is **metadata** (≤ m ints, ~KB
+    — the same cardinality contract as Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter``), shipped to the probe
+    scan as a literal: membership tests are scan-stage
+    ``array_contains`` against a sorted literal, so at 100 TB the fact
+    table prunes BEFORE any shuffle, with zero join on the hot path.
+    The exact flag joins only for the measurement — production keeps
+    the bloom pass as a pre-filter in front of the real join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def pos(key, i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit(f":{i}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % BLOOM_BITS
+        )
+
+    # one distributed agg builds the bit set; one driver fetch ships it
+    bits = sorted(
+        int(r[0])
+        for r in dim.select(
+            F.explode(
+                F.array(*[pos(F.col("k"), i) for i in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    bit_lit = F.array(*[F.lit(b) for b in bits])
+    bloom_pass = F.lit(True)
+    for i in range(BLOOM_K):
+        bloom_pass = bloom_pass & F.array_contains(
+            bit_lit, pos(F.col("o_custkey"), i)
+        )
+    probed = orders.withColumn("bloom_pass", bloom_pass).join(
+        F.broadcast(dim.withColumn("exact", F.lit(True))),
+        F.col("o_custkey") == F.col("k"),
+        "left",
+    )
+    exact = F.coalesce(F.col("exact"), F.lit(False))
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("bloom_pass")).alias("n_bloom_pass"),
+        F.count_if(exact).alias("n_exact"),
+        F.count_if(F.col("bloom_pass") & ~exact).alias("n_false_positive"),
+        F.round(
+            F.count_if(F.col("bloom_pass") & ~exact).cast("double")
+            / F.count_if(~exact).cast("double"),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -1,0 +1,70 @@
+"""Plan-shape + invariant pins for the queries_scale family
+(incremental dedup, substring spans, SemDeDup, Bloom semi-join).
+Value-level parity vs DuckDB is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from legalchatbot_vectordb_exp_spark.queries_scale import (
+    q_bloom_prune_join,
+    q_dedup_incremental,
+    q_semdedup_cells,
+    q_substring_dedup_spans,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedup_incremental_no_cartesian(spark, sf_smoke):
+    plan = _plan(q_dedup_incremental(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_spans_no_cartesian_and_bounded_ratio(spark, sf_smoke):
+    df = q_substring_dedup_spans(spark, sf_smoke)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    bad = df.filter(
+        (F.col("n_dup_grams") > F.col("n_grams"))
+        | (F.col("dup_ratio") < 0)
+        | (F.col("dup_ratio") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_semdedup_no_cartesian_min_id_always_kept(spark, sf_smoke):
+    """The pairwise join must be equi-blocked on cluster_id, and the
+    greedy-by-id policy guarantees each cluster's smallest vec_id has
+    no smaller neighbor — it must always be kept."""
+    df = q_semdedup_cells(spark, sf_smoke).cache()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    mins = df.groupBy("cluster_id").agg(F.min("vec_id").alias("vec_id"))
+    dropped_min = (
+        df.join(mins, ["cluster_id", "vec_id"]).filter(~F.col("kept")).count()
+    )
+    assert dropped_min == 0
+    # the policy must actually drop something on the dense smoke corpus
+    assert df.filter(~F.col("kept")).count() > 0
+    df.unpersist()
+
+
+def test_bloom_prune_join_plan_and_no_false_negatives(spark, sf_smoke):
+    """The bloom membership test is a scan-stage literal-array filter:
+    the ONLY join in the plan is the broadcast exact-measurement join —
+    no shuffle join anywhere.  And a Bloom filter admits false
+    positives but never false negatives: every exact match passes."""
+    df = q_bloom_prune_join(spark, sf_smoke)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    row = df.head()
+    assert row["n_bloom_pass"] >= row["n_exact"]
+    assert row["n_bloom_pass"] - row["n_exact"] == row["n_false_positive"]

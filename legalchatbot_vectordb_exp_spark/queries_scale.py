@@ -401,6 +401,171 @@ def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- E3+
+# kmeans_refine — distributed Lloyd iterations, integer-exact
+
+KM_QUANT = 10_000  # fixed-point scale: component -> round(x * 1e4)
+KM_ITERS = 2  # Lloyd rounds (unrolled in the oracle)
+
+
+def _km_sql() -> str:
+    from legalchatbot_vectordb_exp_spark.queries_ann import SQL_IVF_MOD
+
+    def dot_int(a: str, b: str) -> str:
+        # exact BIGINT dot — order-free, no IEEE concerns
+        return (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    def assign(src: str, cents: str, out: str) -> str:
+        return f"""
+    {out}_s AS (
+      SELECT e.vec_id, e.v, c.cid,
+             {dot_int('e.v', 'c.cv')} AS sc
+      FROM {src} e CROSS JOIN {cents} c
+    ),
+    {out} AS (
+      SELECT vec_id, v, cid FROM {out}_s
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sc DESC, cid ASC) = 1
+    )"""
+
+    def update(src: str, out: str) -> str:
+        return f"""
+    {out}_sum AS (
+      SELECT cid, t.i, sum(v[t.i]) AS s, count(*) AS cnt
+      FROM {src}, unnest(generate_series(1, len(v))) AS t(i)
+      GROUP BY cid, t.i
+    ),
+    {out} AS (
+      SELECT cid, list(s // cnt ORDER BY i) AS cv
+      FROM {out}_sum GROUP BY cid
+    )"""
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> round(x * {KM_QUANT})::BIGINT) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id % {SQL_IVF_MOD} = 0
+    ),{assign('e', 'c0', 'a1')},{update('a1', 'c1')},{assign('e', 'c1', 'a2')}
+    SELECT cid AS cluster_id,
+           count(*) AS n_members,
+           sum(v[1]) // count(*) AS centroid_c0
+    FROM a2 GROUP BY cid
+    """
+
+
+@register("kmeans_refine", sql=_km_sql())
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means refinement of the IVF coarse
+    centroids — {KM_ITERS} iterations, **integer-exact on both
+    engines**.
+
+    The floating-point trap in distributed k-means is that the
+    centroid update is a big sum, and IEEE addition is not associative
+    — partition order would leak into the result.  This operator
+    quantizes components to fixed-point BIGINT (``round(x·1e4)``), so
+    sums are exact integers (order-free), centroid updates are exact
+    truncating division (Spark ``div`` ≡ DuckDB ``//``), and the
+    assignment score is an exact int64 dot product — bit-identical
+    results with NO fold-order pinning anywhere.
+
+    Scale shape per iteration (the MLlib shape, made deterministic):
+
+    * assignment is a narrow Arrow kernel — the k×dim centroid matrix
+      is driver metadata (like the IVF coarse quantizer), and the int64
+      matmul in NumPy is exact; **zero shuffle**;
+    * the update is ONE map-side-combined wide aggregate (dim sum
+      columns + count): the shuffle carries k×(dim+1) longs per map
+      task, independent of corpus size;
+    * int64 headroom: |component| ≤ 0.58·1e4, so a score against a
+      quantized *mean* centroid is ≤ dim·(0.58e4)² ≈ 2e12 — bounded at
+      any corpus size because centroids are re-divided each round
+      (never raw sums).
+
+    Ties (exact equal scores) break to the smallest centroid id on
+    both engines (kernel: argmax over cid-ascending rows; oracle:
+    ``ORDER BY sc DESC, cid ASC``)."""
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.queries_ann import ivf_mod_for
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    quant = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * KM_QUANT).cast("bigint"),
+    )
+    # scanned once per Lloyd round + the init fetch — quantize once
+    e = emb.select("vec_id", quant.alias("v")).cache()
+    mod = ivf_mod_for(e.count())  # parquet-footer count job
+    init = sorted(
+        (int(r[0]), [int(x) for x in r[1]])
+        for r in e.filter(F.col("vec_id") % mod == 0).collect()
+    )
+    cids = [c for c, _ in init]
+    cmat = [v for _, v in init]
+    dim = len(cmat[0])
+
+    def assigned(cids_it: list[int], cmat_it: list[list[int]]) -> DataFrame:
+        def kernel(batches):
+            import pandas as pd
+
+            C = np.array(cmat_it, dtype=np.int64)  # k × dim, cid-ascending
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                E = np.array(list(pdf["v"]), dtype=np.int64)
+                best = np.argmax(E @ C.T, axis=1)  # first max = min cid
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "v": pdf["v"],
+                        "cluster_id": [cids_it[i] for i in best],
+                    }
+                )
+
+        return e.mapInPandas(
+            kernel, schema="vec_id long, v array<long>, cluster_id long"
+        )
+
+    def trunc_div(s: int, n: int) -> int:
+        q = abs(s) // n  # Python // floors; mirror the engines' trunc
+        return q if s >= 0 else -q
+
+    for _ in range(KM_ITERS - 1):
+        stats = (
+            assigned(cids, cmat)
+            .groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()  # k rows of metadata — the Lloyd sync point
+        )
+        upd = sorted(
+            (
+                int(r["cluster_id"]),
+                [trunc_div(int(r[f"s{i}"]), int(r["cnt"])) for i in range(dim)],
+            )
+            for r in stats
+        )
+        cids = [c for c, _ in upd]
+        cmat = [v for _, v in upd]
+
+    final = assigned(cids, cmat)
+    return final.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr("sum(v[0]) div count(1)").alias("centroid_c0"),
+    )
+
+
 # --------------------------------------------------------------- new
 # bloom_prune_join — runtime Bloom-filter semi-join with measured FPR
 

@@ -54,6 +54,28 @@ def test_semdedup_no_cartesian_min_id_always_kept(spark, sf_smoke):
     df.unpersist()
 
 
+def test_kmeans_refine_partitions_corpus_no_cartesian(spark, sf_smoke):
+    """Every vector lands in exactly one cluster (member counts sum to
+    the corpus), clusters are a subset of the initial centroid ids,
+    and no plan stage degenerates to a cartesian product."""
+    import pyspark.sql.functions as F2
+
+    from legalchatbot_vectordb_exp_spark.io_tables import load_table
+    from legalchatbot_vectordb_exp_spark.queries_ann import ivf_mod_for
+    from legalchatbot_vectordb_exp_spark.queries_scale import q_kmeans_refine
+
+    df = q_kmeans_refine(spark, sf_smoke).cache()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    assert df.agg(F2.sum("n_members")).head()[0] == n
+    mod = ivf_mod_for(n)
+    bad = df.filter(F2.col("cluster_id") % mod != 0).count()
+    assert bad == 0
+    df.unpersist()
+
+
 def test_bloom_prune_join_plan_and_no_false_negatives(spark, sf_smoke):
     """The bloom membership test is a scan-stage literal-array filter:
     the ONLY join in the plan is the broadcast exact-measurement join —

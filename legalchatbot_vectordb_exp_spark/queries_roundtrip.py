@@ -297,3 +297,48 @@ def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
         "writer",
     )
+
+
+@register(
+    "orc_roundtrip",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice * 1000)::BIGINT AS price_milli
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round trip — the second columnar format a
+    long-lived corpus actually encounters (Hive-era tables live in ORC;
+    a migration engine must read and write both losslessly).
+
+    A slice of ``orders`` (every 7th key — all 6 columns, including
+    DOUBLE and TIMESTAMP) is written as ORC and read back; the result
+    joins the read-back rows to the source on EVERY column, so any
+    mangling — float precision, timestamp shift, string encoding —
+    drops rows and fails the driver's row-count check, while the
+    emitted digest (exact milli-unit price) hash-checks values.  The
+    oracle derives the digest purely from the base parquet.
+
+    Scale note: ORC, like parquet, carries per-stripe min/max indexes
+    — predicate pushdown and column pruning work identically, and the
+    write is embarrassingly parallel (one stripe set per task)."""
+    out = _scratch(sf_dir, "orc_orders")
+    src = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    )
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    cols = src.columns
+    cond = [back[c].eqNullSafe(src[c]) for c in cols]
+    survived = back.join(src, cond, "inner").select(
+        *[back[c] for c in cols]
+    )
+    return survived.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 1000)
+        .cast("bigint")
+        .alias("price_milli"),
+    )

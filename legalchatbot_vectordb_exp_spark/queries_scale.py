@@ -401,6 +401,97 @@ def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- new
+# zorder_layout — multi-dimensional clustering for data skipping
+
+Z_BITS = 16  # bits interleaved per dimension
+Z_BUCKET_SHIFT = 24  # coarse bucket = zaddr >> shift (≤ 256 buckets)
+
+# minute-of-month from tz-free datetime parts (identical on both
+# engines for TIMESTAMP_NTZ — pinned by datetime_parts); a
+# timestamp-difference would route through session-tz casts in Spark
+_MINUTE_NO_SQL = (
+    "((extract(day FROM ts)::BIGINT - 1) * 1440"
+    " + extract(hour FROM ts)::BIGINT * 60"
+    " + extract(minute FROM ts)::BIGINT)"
+)
+
+
+def _z_sql() -> str:
+    x = "(user_id & 65535)"
+    y = f"({_MINUTE_NO_SQL} & 65535)"
+    terms = " | ".join(
+        f"((({x} >> {i}) & 1) << {2 * i}) | "
+        f"((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(Z_BITS)
+    )
+    return f"""
+    WITH z AS (
+      SELECT user_id,
+             {_MINUTE_NO_SQL} AS minute_no,
+             ({terms}) AS zaddr
+      FROM events
+    )
+    SELECT zaddr >> {Z_BUCKET_SHIFT} AS bucket,
+           count(*) AS n_events,
+           (max(user_id) - min(user_id))::BIGINT AS user_span,
+           (max(minute_no) - min(minute_no))::BIGINT AS minute_span
+    FROM z GROUP BY 1
+    """
+
+
+@register("zorder_layout", sql=_z_sql())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, event-minute),
+    with per-bucket min/max spans — the file-skipping quality metric.
+
+    Z-ordering is how a 100 TB table serves range filters on TWO
+    dimensions at once: interleaving the bits of both keys gives a 1-D
+    sort order in which every contiguous bucket is a bounded rectangle
+    in (user, time) space, so parquet/ORC min-max stripe indexes prune
+    on BOTH columns (a plain sort by user_id leaves the time min/max
+    of every file spanning the whole month).  The emitted
+    ``user_span``/``minute_span`` per coarse bucket IS that
+    bounded-rectangle property — buckets cover ≤ 2^(bits-shift/2)
+    of each dimension, not the full domain.
+
+    The layout op at scale: ``repartitionByRange(zaddr)`` +
+    ``sortWithinPartitions(zaddr)`` before the write (range boundaries
+    are sampled, so the *stats* here are computed from the
+    deterministic coarse bucket instead).  The address itself is a
+    scan-stage integer expression — no shuffle until the final tiny
+    per-bucket aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    minute_no = (
+        (F.dayofmonth("ts").cast("bigint") - 1) * 1440
+        + F.hour("ts").cast("bigint") * 60
+        + F.minute("ts").cast("bigint")
+    )
+    x = F.col("user_id").bitwiseAND(F.lit(65535))
+    y = minute_no.bitwiseAND(F.lit(65535))
+    zaddr = F.lit(0).cast("bigint")
+    for i in range(Z_BITS):
+        zaddr = zaddr.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    z = ev.select(
+        "user_id", minute_no.alias("minute_no"), zaddr.alias("zaddr")
+    )
+    return z.groupBy(
+        F.shiftright("zaddr", Z_BUCKET_SHIFT).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("user_id") - F.min("user_id"))
+        .cast("bigint")
+        .alias("user_span"),
+        (F.max("minute_no") - F.min("minute_no"))
+        .cast("bigint")
+        .alias("minute_span"),
+    )
+
+
 # --------------------------------------------------------------- E3+
 # kmeans_refine — distributed Lloyd iterations, integer-exact
 

@@ -76,6 +76,46 @@ def test_kmeans_refine_partitions_corpus_no_cartesian(spark, sf_smoke):
     df.unpersist()
 
 
+def test_zorder_buckets_are_bounded_rectangles(spark, sf_smoke):
+    """Fixing the top (2*Z_BITS - shift) zaddr bits pins the top
+    (Z_BITS - shift/2) bits of EACH dimension, so every coarse bucket
+    spans < 2^(shift/2) of both user and minute space — the property
+    that makes min-max stripe indexes prune on two columns at once."""
+    import pyspark.sql.functions as F2
+
+    from legalchatbot_vectordb_exp_spark.queries_scale import (
+        Z_BUCKET_SHIFT,
+        q_zorder_layout,
+    )
+
+    df = q_zorder_layout(spark, sf_smoke).cache()
+    assert df.count() >= 2
+    half = 2 ** (Z_BUCKET_SHIFT // 2)
+    bad = df.filter(
+        (F2.col("user_span") >= half) | (F2.col("minute_span") >= half)
+    ).count()
+    assert bad == 0
+    df.unpersist()
+
+
+def test_orc_roundtrip_preserves_every_row(spark, sf_smoke):
+    """The all-column equality join drops rows on ANY mangling, so the
+    result count must equal the source slice exactly."""
+    import pyspark.sql.functions as F2
+
+    from legalchatbot_vectordb_exp_spark.io_tables import load_table
+    from legalchatbot_vectordb_exp_spark.queries_roundtrip import (
+        q_orc_roundtrip,
+    )
+
+    want = (
+        load_table(spark, sf_smoke, "orders")
+        .filter(F2.col("o_orderkey") % 7 == 0)
+        .count()
+    )
+    assert q_orc_roundtrip(spark, sf_smoke).count() == want
+
+
 def test_bloom_prune_join_plan_and_no_false_negatives(spark, sf_smoke):
     """The bloom membership test is a scan-stage literal-array filter:
     the ONLY join in the plan is the broadcast exact-measurement join —

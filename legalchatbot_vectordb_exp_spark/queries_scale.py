@@ -346,7 +346,9 @@ def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legalchatbot_vectordb_exp_spark.operators.ann import exact_pair_scores
     from legalchatbot_vectordb_exp_spark.queries_ann import ivf_mod_for
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     mod = ivf_mod_for(emb.count())  # parquet-footer count job
     cmeta = emb.filter(F.col("vec_id") % mod == 0).collect()
     cids = [int(r[0]) for r in cmeta]
@@ -588,7 +590,9 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from legalchatbot_vectordb_exp_spark.queries_ann import ivf_mod_for
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     quant = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.round(x * KM_QUANT).cast("bigint"),
@@ -660,36 +664,62 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- new
 # bloom_prune_join — runtime Bloom-filter semi-join with measured FPR
 
-BLOOM_BITS = 8192
+BLOOM_MIN_BITS = 8192  # floor; m scales as next-pow2(16 × build keys)
 BLOOM_K = 3  # hash functions per key
+
+# m is COUNT-DERIVED (like the LSH plane count): a fixed m saturates
+# once the build side outgrows it — at 10× the fill factor hit ~67%
+# and the filter stopped filtering.  next-pow2(16n) keeps fill ≈ 17%
+# (fpr ≈ 0.4%) at any scale; the bit-length formula is integer-exact
+# on both engines (Python int.bit_length == DuckDB length(bin())).
+_BLOOM_M_SQL = "greatest(8192, 1::BIGINT << length(bin(16 * nk - 1)))"
 
 
 def _bloom_pos_sql(key: str, i: int) -> str:
     return (
-        f"('0x' || substr(md5({key}::VARCHAR || ':{i}'), 1, 8))::BIGINT"
-        f" % {BLOOM_BITS}"
+        f"(('0x' || substr(md5({key}::VARCHAR || ':{i}'), 1, 8))::BIGINT"
+        f" % m)"
     )
+
+
+def _bloom_test_sql(key: str, i: int) -> str:
+    p = _bloom_pos_sql(key, i)
+    return f"((words[({p} // 32)::INT + 1] >> ({p} % 32)::INT) & 1) = 1"
 
 
 _BLOOM_SQL = f"""
     WITH dim AS (
       SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
     ),
-    bloom AS (
-      {' UNION '.join(
-          f"SELECT DISTINCT {_bloom_pos_sql('k', i)} AS pos FROM dim"
-          for i in range(BLOOM_K)
-      )}
+    par AS (
+      SELECT {_BLOOM_M_SQL} AS m
+      FROM (SELECT count(*) AS nk FROM dim)
+    ),
+    pos AS (
+      SELECT DISTINCT p FROM (
+        {' UNION ALL '.join(
+            f"SELECT {_bloom_pos_sql('k', i)} AS p FROM dim, par"
+            for i in range(BLOOM_K)
+        )}
+      )
+    ),
+    wnz AS (
+      SELECT p // 32 AS w, bit_or(1::BIGINT << (p % 32)::INT) AS word
+      FROM pos GROUP BY 1
+    ),
+    bm AS (
+      SELECT list(coalesce(word, 0) ORDER BY i) AS words
+      FROM (SELECT unnest(generate_series(0, (m // 32)::BIGINT - 1)) AS i
+            FROM par) g
+      LEFT JOIN wnz ON wnz.w = g.i
     ),
     probe AS (
       SELECT o_orderkey, o_custkey,
              {' AND '.join(
-                 f"EXISTS (SELECT 1 FROM bloom WHERE pos = "
-                 f"{_bloom_pos_sql('o_custkey', i)})"
-                 for i in range(BLOOM_K)
+                 _bloom_test_sql('o_custkey', i) for i in range(BLOOM_K)
              )} AS bloom_pass,
              EXISTS (SELECT 1 FROM dim WHERE k = o_custkey) AS exact_match
-      FROM orders
+      FROM orders, par, bm
     )
     SELECT count(*) AS n_orders,
            count(*) FILTER (WHERE bloom_pass) AS n_bloom_pass,
@@ -709,21 +739,28 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-filter semi-join, with its false-positive rate
     measured against the exact semi-join in the same pass.
 
-    The build side (BUILDING customers) aggregates to an m=8192-bit
-    filter — k=3 md5-derived positions per key, collected as a sorted
-    distinct-position array.  That array is **metadata** (≤ m ints, ~KB
-    — the same cardinality contract as Spark's own
-    ``spark.sql.optimizer.runtime.bloomFilter``), shipped to the probe
-    scan as a literal: membership tests are scan-stage
-    ``array_contains`` against a sorted literal, so at 100 TB the fact
-    table prunes BEFORE any shuffle, with zero join on the hot path.
-    The exact flag joins only for the measurement — production keeps
-    the bloom pass as a pre-filter in front of the real join."""
+    The build side (BUILDING customers) aggregates to an m-bit filter
+    (m = next-pow2 of 16× the key count, floor 8192 — COUNT-derived so
+    the fill factor stays ≈17% at any build cardinality; the 10× sweep
+    showed a fixed m saturating).  k=3 md5-derived positions per key,
+    packed into a dense array of 32-bit words.  That word array is
+    **metadata** (m/32 longs — the same cardinality contract as
+    Spark's own ``spark.sql.optimizer.runtime.bloomFilter``), shipped
+    to the probe scan as ONE array literal: each membership test is an
+    O(1) ``element_at`` + shift — scan-stage, so at 100 TB the fact
+    table prunes BEFORE any shuffle, with zero join on the hot path
+    (an earlier draft used ``array_contains`` over the raw position
+    list: O(m) per probe AND a per-element literal whose codegen cost
+    exploded at 10×).  The exact flag joins only for the measurement —
+    production keeps the bloom pass as a pre-filter in front of the
+    real join."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("k")
     )
+    nk = dim.count()
+    m = max(BLOOM_MIN_BITS, 1 << (16 * nk - 1).bit_length())
 
     def pos(key, i: int):
         return (
@@ -734,27 +771,39 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16,
                 10,
             ).cast("bigint")
-            % BLOOM_BITS
+            % m
         )
 
-    # one distributed agg builds the bit set; one driver fetch ships it
-    bits = sorted(
-        int(r[0])
-        for r in dim.select(
+    # one distributed agg builds the bit set; one driver fetch packs it
+    words = [0] * (m // 32)
+    for r in (
+        dim.select(
             F.explode(
                 F.array(*[pos(F.col("k"), i) for i in range(BLOOM_K)])
             ).alias("pos")
         )
         .distinct()
         .collect()
-    )
-    bit_lit = F.array(*[F.lit(b) for b in bits])
-    bloom_pass = F.lit(True)
-    for i in range(BLOOM_K):
-        bloom_pass = bloom_pass & F.array_contains(
-            bit_lit, pos(F.col("o_custkey"), i)
+    ):
+        p = int(r[0])
+        words[p >> 5] |= 1 << (p & 31)
+
+    def test(i: int):
+        p = (
+            f"(cast(conv(substring(md5(concat(cast(o_custkey as string), "
+            f"':{i}')), 1, 8), 16, 10) as bigint) % {m})"
         )
-    probed = orders.withColumn("bloom_pass", bloom_pass).join(
+        return (
+            f"((shiftright(element_at(bw, cast({p} div 32 as int) + 1), "
+            f"cast({p} % 32 as int)) & 1) = 1)"
+        )
+
+    bloom_pass = F.expr(
+        " AND ".join(test(i) for i in range(BLOOM_K))
+    )
+    probed = orders.withColumn("bw", F.lit(words)).withColumn(
+        "bloom_pass", bloom_pass
+    ).drop("bw").join(
         F.broadcast(dim.withColumn("exact", F.lit(True))),
         F.col("o_custkey") == F.col("k"),
         "left",

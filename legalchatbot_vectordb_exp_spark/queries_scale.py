@@ -608,42 +608,59 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmat = [v for _, v in init]
     dim = len(cmat[0])
 
-    def assigned(cids_it: list[int], cmat_it: list[list[int]]) -> DataFrame:
+    def partials(cids_it: list[int], cmat_it: list[list[int]]) -> DataFrame:
+        """Assignment + per-cluster partial sums IN the kernel: each
+        Arrow batch emits one row per non-empty cluster (cluster_id,
+        cnt, s0..s{dim-1}) — the quantized vectors never serialize
+        back out of Python, and the downstream shuffle carries
+        k×(dim+2) longs per batch instead of the corpus.  bincount's
+        float64 accumulation is exact here: per-batch component sums
+        stay ≤ ~1e4·batch ≪ 2^53, and integer addition is associative
+        so the batch split cannot affect the totals."""
+
         def kernel(batches):
             import pandas as pd
 
             C = np.array(cmat_it, dtype=np.int64)  # k × dim, cid-ascending
+            ids = np.array(cids_it, dtype=np.int64)
+            k = len(cids_it)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 E = np.array(list(pdf["v"]), dtype=np.int64)
                 best = np.argmax(E @ C.T, axis=1)  # first max = min cid
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "v": pdf["v"],
-                        "cluster_id": [cids_it[i] for i in best],
-                    }
+                cnt = np.bincount(best, minlength=k)
+                present = cnt > 0
+                out = pd.DataFrame(
+                    {"cluster_id": ids[present], "cnt": cnt[present]}
                 )
+                for j in range(E.shape[1]):
+                    out[f"s{j}"] = np.bincount(
+                        best, weights=E[:, j], minlength=k
+                    ).astype(np.int64)[present]
+                yield out
 
-        return e.mapInPandas(
-            kernel, schema="vec_id long, v array<long>, cluster_id long"
+        schema = "cluster_id long, cnt long, " + ", ".join(
+            f"s{j} long" for j in range(dim)
         )
+        return e.mapInPandas(kernel, schema=schema)
 
     def trunc_div(s: int, n: int) -> int:
         q = abs(s) // n  # Python // floors; mirror the engines' trunc
         return q if s >= 0 else -q
 
-    for _ in range(KM_ITERS - 1):
-        stats = (
-            assigned(cids, cmat)
+    def reduced(cids_it, cmat_it):
+        return (
+            partials(cids_it, cmat_it)
             .groupBy("cluster_id")
             .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
+                F.sum("cnt").alias("cnt"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)],
             )
-            .collect()  # k rows of metadata — the Lloyd sync point
         )
+
+    for _ in range(KM_ITERS - 1):
+        stats = reduced(cids, cmat).collect()  # k rows — the Lloyd sync
         upd = sorted(
             (
                 int(r["cluster_id"]),
@@ -654,10 +671,10 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cids = [c for c, _ in upd]
         cmat = [v for _, v in upd]
 
-    final = assigned(cids, cmat)
-    return final.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.expr("sum(v[0]) div count(1)").alias("centroid_c0"),
+    return reduced(cids, cmat).select(
+        "cluster_id",
+        F.col("cnt").alias("n_members"),
+        F.expr("s0 div cnt").alias("centroid_c0"),
     )
 
 

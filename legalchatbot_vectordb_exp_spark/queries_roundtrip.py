@@ -342,3 +342,83 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_milli"),
     )
+
+
+@register(
+    "incremental_agg_maintain",
+    sql="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(round(o_totalprice * 1000)::BIGINT) AS revenue_milli
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+       OR (o_orderkey % 10 <> 0 AND o_orderkey % 97 <> 0)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance with retractions: the
+    pattern that keeps a 100 TB rollup current without ever
+    re-aggregating the base table.
+
+    Setup (deterministic key splits): the stored MV aggregates
+    "yesterday's" base (``o_orderkey % 10 != 0``); today's CDC batch
+    INSERTS the ``% 10 == 0`` rows and DELETES the base rows with
+    ``% 97 == 0``.  The MV is genuinely *stored* — written to scratch
+    parquet and read back — then maintained as
+
+        MV' = MV  −  agg(deletes)  +  agg(inserts)
+
+    which is valid because count/sum are retractable (abelian-group)
+    aggregates; exact milli-unit integers make the retraction
+    bit-safe (no float cancellation).  The oracle recomputes the
+    post-CDC state from scratch, so an incorrect delta sign, a missed
+    group, or a non-retractable rewrite fails the hash.
+
+    Scale shape: the base table is touched ONCE (at MV build); the
+    maintenance pass reads only the MV (group-count rows) and the CDC
+    batch — broadcast-sized joins on the group key."""
+    orders = load_table(spark, sf_dir, "orders")
+    milli = F.round(F.col("o_totalprice") * 1000).cast("bigint")
+    base = orders.filter(F.col("o_orderkey") % 10 != 0)
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 0)
+    deletes = base.filter(F.col("o_orderkey") % 97 == 0)
+
+    def agg(df, n_col, r_col):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.sum(milli).alias(r_col),
+        )
+
+    mv_path = _scratch(sf_dir, "mv_orders_by_priority")
+    agg(base, "n_orders", "revenue_milli").write.mode("overwrite").parquet(
+        mv_path
+    )
+    mv = spark.read.parquet(mv_path)  # the STORED rollup
+
+    merged = (
+        mv.join(F.broadcast(agg(deletes, "dn", "dr")), "o_orderpriority", "left")
+        .join(F.broadcast(agg(inserts, "inn", "inr")), "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            (
+                F.col("n_orders")
+                - F.coalesce("dn", F.lit(0))
+                + F.coalesce("inn", F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.col("revenue_milli")
+                - F.coalesce("dr", F.lit(0))
+                + F.coalesce("inr", F.lit(0))
+            ).alias("revenue_milli"),
+        )
+        # a group could exist only in the inserts; restore it (absent
+        # from this synthetic split, but part of the merge semantics)
+        .unionByName(
+            agg(inserts, "n_orders", "revenue_milli").join(
+                mv.select("o_orderpriority"), "o_orderpriority", "left_anti"
+            )
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged

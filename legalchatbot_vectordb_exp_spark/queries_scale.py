@@ -404,6 +404,171 @@ def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- new
+# graph_triangles — triangle counting on the co-purchase graph
+
+_TRI_SQL = """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey % 5 = 0 AND b.l_partkey % 5 = 0
+    )
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*) FROM e e1 JOIN e e2 ON e1.pb = e2.pa)
+             AS n_wedges,
+           (SELECT count(*)
+            FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                      JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+             AS n_triangles
+"""
+
+
+@register("graph_triangles", sql=_TRI_SQL)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts sharing
+    an order, ordered pa < pb so each triangle counts once) — the
+    third graph-analytics operator next to PageRank and connected
+    components.
+
+    Scale shape: edge generation is the order-key self-join (pair
+    fan-out bounded by lines-per-order, never table size); the triangle
+    pass is the standard two equi-joins on vertex keys (wedge build on
+    the shared middle vertex, then the closing-edge hash join) — all
+    shuffles are vertex-keyed and skew is bounded by max degree, which
+    the ``% 5`` density cap keeps at graph scale rather than
+    corpus scale.  The edge frame is cached: it feeds three plans
+    (edge count, wedge join, triangle close)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).filter(F.col("l_partkey") % 5 == 0)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+        .cache()
+    )
+    wedges = e.select(F.col("pa").alias("wa"), F.col("pb").alias("wm")).join(
+        e.select(F.col("pa").alias("wm"), F.col("pb").alias("wc")), "wm"
+    )
+    closing = e.select(
+        F.col("pa").alias("wa"),
+        F.col("pb").alias("wc"),
+        F.lit(1).alias("closed"),
+    )
+    # one pass: every wedge left-joins its closing edge; counting the
+    # matches counts triangles without a second wedge materialization
+    wt = wedges.join(closing, ["wa", "wc"], "left").agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.count("closed").alias("n_triangles"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    # 1-row × 1-row combine (same deliberate tiny product as
+    # time_gapfill's dense grid — never data-sized)
+    return n_edges.crossJoin(wt).select(
+        "n_edges", "n_wedges", "n_triangles"
+    )
+
+
+# --------------------------------------------------------------- new
+# cms_heavy_hitters — count-min sketch frequency estimation
+
+CMS_D = 4  # sketch depth (hash rows)
+CMS_W = 1024  # sketch width (buckets per row)
+CMS_THRESHOLD = 80  # heavy-hitter cutoff on the ESTIMATE
+
+
+def _cms_bucket_sql(key: str, d: str) -> str:
+    return (
+        f"(('0x' || substr(md5({key}::VARCHAR || '#' || {d}), 1, 8))"
+        f"::BIGINT % {CMS_W})"
+    )
+
+
+_CMS_SQL = f"""
+    WITH sk AS (
+      SELECT d, bucket, count(*) AS c FROM (
+        SELECT t.d AS d, {_cms_bucket_sql('user_id', 't.d')} AS bucket
+        FROM events, unnest(generate_series(0, {CMS_D - 1})) AS t(d)
+      ) GROUP BY d, bucket
+    ),
+    cand AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id
+    ),
+    est AS (
+      SELECT c.user_id, c.exact_cnt, min(sk.c) AS cms_est
+      FROM cand c JOIN sk
+        ON sk.bucket = {_cms_bucket_sql('c.user_id', 'sk.d')}
+      GROUP BY 1, 2
+    )
+    SELECT user_id, exact_cnt, cms_est
+    FROM est WHERE cms_est >= {CMS_THRESHOLD}
+"""
+
+
+@register("cms_heavy_hitters", sql=_CMS_SQL)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over event actors, with the
+    exact count beside the estimate (the sketch's one-sided guarantee
+    — estimate ≥ exact, always — is pinned by a test).
+
+    The 100 TB story: the sketch is a FIXED d×w integer matrix
+    (4×1024 here) built by one map-side-combined aggregate and
+    mergeable across partitions/days by element-wise addition — memory
+    is constant no matter how many distinct keys flow through.
+    Estimation ships the sketch back as ONE array literal (metadata,
+    like the Bloom filter's word array) probed by O(1) ``element_at``
+    per hash row — scan-stage, no join.  The exact counts exist here
+    only to exhibit the guarantee; production queries the sketch
+    alone."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(key, d: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit(f"#{d}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_W
+        )
+
+    # sketch build: one tiny aggregate over the d-way exploded buckets
+    flat = [0] * (CMS_D * CMS_W)
+    for r in (
+        ev.select(
+            F.posexplode(
+                F.array(*[bucket(F.col("user_id"), d) for d in range(CMS_D)])
+            ).alias("d", "bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ):
+        flat[int(r["d"]) * CMS_W + int(r["bucket"])] = int(r["c"])
+
+    cand = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = F.least(
+        *[
+            F.element_at(
+                F.lit(flat),
+                (F.lit(d * CMS_W) + bucket(F.col("user_id"), d) + 1).cast(
+                    "int"
+                ),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    return cand.withColumn("cms_est", est).filter(
+        F.col("cms_est") >= CMS_THRESHOLD
+    )
+
+
+# --------------------------------------------------------------- new
 # zorder_layout — multi-dimensional clustering for data skipping
 
 Z_BITS = 16  # bits interleaved per dimension

@@ -76,6 +76,65 @@ def test_kmeans_refine_partitions_corpus_no_cartesian(spark, sf_smoke):
     df.unpersist()
 
 
+def test_cms_never_underestimates(spark, sf_smoke):
+    """The count-min one-sided guarantee: estimate ≥ exact for EVERY
+    key, not just the reported heavy hitters."""
+    import pyspark.sql.functions as F2
+
+    from legalchatbot_vectordb_exp_spark import queries_scale as qs
+
+    old = qs.CMS_THRESHOLD
+    qs.CMS_THRESHOLD = 0  # report all keys for the check
+    try:
+        df = qs.q_cms_heavy_hitters(spark, sf_smoke)
+        under = df.filter(F2.col("cms_est") < F2.col("exact_cnt")).count()
+        assert under == 0
+        assert df.count() > 0
+    finally:
+        qs.CMS_THRESHOLD = old
+
+
+def test_graph_triangles_counts_are_consistent(spark, sf_smoke):
+    row = __import__(
+        "legalchatbot_vectordb_exp_spark.queries_scale", fromlist=["x"]
+    ).q_graph_triangles(spark, sf_smoke).head()
+    assert 0 < row["n_triangles"] <= row["n_wedges"]
+    assert row["n_edges"] > 0
+
+
+def test_incremental_mv_equals_direct_recompute(spark, sf_smoke):
+    """The maintained MV must equal a from-scratch aggregation of the
+    post-CDC state — checked Spark-vs-Spark (the oracle pins it
+    cross-engine)."""
+    import pyspark.sql.functions as F2
+
+    from legalchatbot_vectordb_exp_spark.io_tables import load_table
+    from legalchatbot_vectordb_exp_spark.queries_roundtrip import (
+        q_incremental_agg_maintain,
+    )
+
+    got = sorted(
+        map(tuple, q_incremental_agg_maintain(spark, sf_smoke).collect())
+    )
+    orders = load_table(spark, sf_smoke, "orders")
+    k = F2.col("o_orderkey")
+    direct = sorted(
+        map(
+            tuple,
+            orders.filter((k % 10 == 0) | ((k % 10 != 0) & (k % 97 != 0)))
+            .groupBy("o_orderpriority")
+            .agg(
+                F2.count(F2.lit(1)).alias("n_orders"),
+                F2.sum(
+                    F2.round(F2.col("o_totalprice") * 1000).cast("bigint")
+                ).alias("revenue_milli"),
+            )
+            .collect(),
+        )
+    )
+    assert got == direct
+
+
 def test_zorder_buckets_are_bounded_rectangles(spark, sf_smoke):
     """Fixing the top (2*Z_BITS - shift) zaddr bits pins the top
     (Z_BITS - shift/2) bits of EACH dimension, so every coarse bucket

@@ -404,6 +404,121 @@ def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- new
+# dq_audit — data-quality gate (completeness / uniqueness / integrity)
+
+_DQ_SQL = """
+    SELECT 'orders.custkey_fk_violations' AS check_name,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS value
+    UNION ALL
+    SELECT 'lineitem.orderkey_fk_violations',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders.orderkey_dupes',
+           (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                  GROUP BY 1 HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'documents.null_text_rows',
+           (SELECT count(*) FROM documents
+            WHERE text IS NULL OR trim(text) = '')
+    UNION ALL
+    SELECT 'documents.n_chars_mismatch',
+           (SELECT count(*) FROM documents WHERE n_chars <> length(text))
+    UNION ALL
+    SELECT 'events.ts_out_of_range',
+           (SELECT count(*) FROM events
+            WHERE ts < TIMESTAMP '2024-01-01'
+               OR ts >= TIMESTAMP '2024-02-01')
+    UNION ALL
+    SELECT 'embeddings.bad_dim_rows',
+           (SELECT count(*) FROM embeddings WHERE len(embedding) <> 64)
+"""
+
+
+@register("dq_audit", sql=_DQ_SQL)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: the validation gate a pipeline runs before
+    promoting a 100 TB batch — referential integrity (anti-joins),
+    key uniqueness, completeness, derived-column consistency, range
+    and embedding-dimension checks, each as one named metric row.
+
+    Scale shape: FK checks are LEFT ANTI joins on the key (the parent
+    side is the smaller table — broadcast; at equal scale, a shuffled
+    anti join on the key, still one pass per check); everything else
+    is a scan-stage filter + count, and all counts land in one union
+    of single-row aggregates.  Zero violations on healthy data — the
+    oracle pins both the metric set and the (expected-zero) values, so
+    an engine-side false positive is itself a caught bug."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def metric(name: str, df) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("value")
+        ).select(F.lit(name).alias("check_name"), "value")
+
+    checks = [
+        metric(
+            "orders.custkey_fk_violations",
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders["o_custkey"] == cust["c_custkey"],
+                "left_anti",
+            ),
+        ),
+        metric(
+            "lineitem.orderkey_fk_violations",
+            li.join(
+                orders.select("o_orderkey"),
+                li["l_orderkey"] == orders["o_orderkey"],
+                "left_anti",
+            ),
+        ),
+        metric(
+            "orders.orderkey_dupes",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1),
+        ),
+        metric(
+            "documents.null_text_rows",
+            docs.filter(
+                F.col("text").isNull() | (F.trim("text") == "")
+            ),
+        ),
+        metric(
+            "documents.n_chars_mismatch",
+            docs.filter(F.col("n_chars") != F.length("text")),
+        ),
+        metric(
+            "events.ts_out_of_range",
+            ev.filter(
+                (F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-01 00:00:00'"))
+                | (
+                    F.col("ts")
+                    >= F.expr("TIMESTAMP_NTZ '2024-02-01 00:00:00'")
+                )
+            ),
+        ),
+        metric(
+            "embeddings.bad_dim_rows",
+            emb.filter(F.size("embedding") != 64),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+# --------------------------------------------------------------- new
 # graph_triangles — triangle counting on the co-purchase graph
 
 _TRI_SQL = """
@@ -552,10 +667,12 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat[int(r["d"]) * CMS_W + int(r["bucket"])] = int(r["c"])
 
     cand = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # bind the sketch literal ONCE (a per-probe F.lit would embed the
+    # 4096-element array d times in the plan — codegen cost dominates)
     est = F.least(
         *[
             F.element_at(
-                F.lit(flat),
+                F.col("sk"),
                 (F.lit(d * CMS_W) + bucket(F.col("user_id"), d) + 1).cast(
                     "int"
                 ),
@@ -563,8 +680,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(CMS_D)
         ]
     )
-    return cand.withColumn("cms_est", est).filter(
-        F.col("cms_est") >= CMS_THRESHOLD
+    return (
+        cand.withColumn("sk", F.lit(flat))
+        .withColumn("cms_est", est)
+        .drop("sk")
+        .filter(F.col("cms_est") >= CMS_THRESHOLD)
     )
 
 

@@ -94,6 +94,19 @@ def test_cms_never_underestimates(spark, sf_smoke):
         qs.CMS_THRESHOLD = old
 
 
+def test_dq_audit_clean_data_zero_violations(spark, sf_smoke):
+    """The synthetic warehouse is referentially intact — every audit
+    metric must be zero, and all seven checks must be present."""
+    import pyspark.sql.functions as F2
+
+    from legalchatbot_vectordb_exp_spark.queries_scale import q_dq_audit
+
+    df = q_dq_audit(spark, sf_smoke).cache()
+    assert df.count() == 7
+    assert df.filter(F2.col("value") != 0).count() == 0
+    df.unpersist()
+
+
 def test_graph_triangles_counts_are_consistent(spark, sf_smoke):
     row = __import__(
         "legalchatbot_vectordb_exp_spark.queries_scale", fromlist=["x"]

@@ -22,8 +22,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from legalchatbot_vectordb_exp_spark.functions.text import word_shingles, words
+from legalchatbot_vectordb_exp_spark.functions.vector import dot
 from legalchatbot_vectordb_exp_spark.io_tables import load_table, spread
-from legalchatbot_vectordb_exp_spark.registry import register, sql_words
+from legalchatbot_vectordb_exp_spark.registry import register, sql_dot, sql_words
 
 SEQ_LEN = 512  # tokens per packed training sequence
 N_PACK_SHARDS = 16
@@ -257,4 +258,130 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+
+
+NEG_K = 4  # negatives drawn per anchor
+
+@register(
+    "negative_sampling",
+    sql=f"""
+    WITH par AS (SELECT count(*) AS n FROM embeddings)
+    SELECT e.vec_id,
+           t.j AS neg_slot,
+           (e.vec_id + 1 +
+            ('0x' || substr(md5(e.vec_id::VARCHAR || '~' || t.j), 1, 8))
+              ::BIGINT % (par.n - 1)) % par.n AS neg_id
+    FROM embeddings e, par,
+         unnest(generate_series(0, {NEG_K - 1})) AS t(j)
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive
+    training: anchor i draws negative ``(i + 1 + (md5(i‖j) mod n−1))
+    mod n`` — uniform over the other n−1 ids with NO rejection loop
+    (the ``+1 … mod n−1`` shift makes self-selection impossible by
+    construction, so the row count is exactly n·k on both engines).
+
+    Scale shape: pure scan-stage arithmetic — the only cluster-wide
+    value is the corpus count n (a parquet-footer metadata read /
+    scalar subquery); no shuffle, no join.  Contiguous ids are the
+    curated-training-shard layout (``training_shuffle`` emits exactly
+    that); for sparse id spaces the same hash indexes into a
+    zipWithIndex-style dense rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # parquet-footer count job
+    hv = lambda j: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("vec_id").cast("string"), F.lit(f"~{j}")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    slots = F.array(
+        *[
+            ((F.col("vec_id") + 1 + hv(j) % (n - 1)) % n).alias(f"n{j}")
+            for j in range(NEG_K)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.posexplode(slots).alias("neg_slot", "neg_id")
+    ).select(
+        "vec_id", F.col("neg_slot").cast("bigint").alias("neg_slot"), "neg_id"
+    )
+
+
+HARD_NEG_ANCHORS = 8  # anchors mined per pass
+HARD_NEG_K = 3  # hard negatives kept per anchor
+
+@register(
+    "hard_negatives",
+    sql=f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS al
+      FROM embeddings WHERE vec_id < {HARD_NEG_ANCHORS}
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id AS neg_id,
+             {{dot}} AS sc
+      FROM anchors a JOIN embeddings e
+        ON e.label <> a.al AND e.vec_id <> a.anchor_id
+    ),
+    ranked AS (
+      SELECT anchor_id, neg_id, sc,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY sc DESC, neg_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT anchor_id, neg_id, round(sc, 6) AS cos, rnk
+    FROM ranked WHERE rnk <= {HARD_NEG_K}
+    """.format(dot=sql_dot("e.embedding", "a.av")),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    negatives that actually move a contrastive loss, vs the uniform
+    draws of ``negative_sampling``.
+
+    Scale shape: the anchor frame broadcasts (mining batches are
+    bounded); the corpus streams once through the scoring join and the
+    per-anchor window ranks ≤ anchors × corpus scored rows partitioned
+    by anchor — the same broadcast+window shape as the batch top-k
+    operator (`operators/topk.py`), with the label inequality applied
+    BEFORE ranking so excluded candidates never enter the heap.  At
+    IVF scale the corpus side would first prune to the anchors' probed
+    cells (`ann_ivf_topk_batch`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < HARD_NEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("al"),
+    )
+    scored = emb.join(
+        F.broadcast(anchors),
+        (F.col("label") != F.col("al"))
+        & (F.col("vec_id") != F.col("anchor_id")),
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("neg_id"),
+        dot("embedding", "av").alias("sc"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("sc"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round("sc", 6).alias("cos"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
     )

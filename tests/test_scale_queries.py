@@ -94,6 +94,63 @@ def test_cms_never_underestimates(spark, sf_smoke):
         qs.CMS_THRESHOLD = old
 
 
+def test_negative_sampling_never_selects_self(spark, sf_smoke):
+    import pyspark.sql.functions as F2
+
+    from legalchatbot_vectordb_exp_spark.io_tables import load_table
+    from legalchatbot_vectordb_exp_spark.queries_training import (
+        NEG_K,
+        q_negative_sampling,
+    )
+
+    df = q_negative_sampling(spark, sf_smoke).cache()
+    n = load_table(spark, sf_smoke, "embeddings").count()
+    assert df.count() == n * NEG_K
+    assert df.filter(F2.col("neg_id") == F2.col("vec_id")).count() == 0
+    assert (
+        df.filter((F2.col("neg_id") < 0) | (F2.col("neg_id") >= n)).count()
+        == 0
+    )
+    df.unpersist()
+
+
+def test_hard_negatives_cross_label_only(spark, sf_smoke):
+    import pyspark.sql.functions as F2
+
+    from legalchatbot_vectordb_exp_spark.io_tables import load_table
+    from legalchatbot_vectordb_exp_spark.queries_training import (
+        HARD_NEG_ANCHORS,
+        HARD_NEG_K,
+        q_hard_negatives,
+    )
+
+    df = q_hard_negatives(spark, sf_smoke).cache()
+    assert df.count() == HARD_NEG_ANCHORS * HARD_NEG_K
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "label"
+    )
+    same = (
+        df.join(
+            emb.select(
+                F2.col("vec_id").alias("anchor_id"),
+                F2.col("label").alias("al"),
+            ),
+            "anchor_id",
+        )
+        .join(
+            emb.select(
+                F2.col("vec_id").alias("neg_id"),
+                F2.col("label").alias("nl"),
+            ),
+            "neg_id",
+        )
+        .filter(F2.col("al") == F2.col("nl"))
+        .count()
+    )
+    assert same == 0
+    df.unpersist()
+
+
 def test_dq_audit_clean_data_zero_violations(spark, sf_smoke):
     """The synthetic warehouse is referentially intact — every audit
     metric must be zero, and all seven checks must be present."""

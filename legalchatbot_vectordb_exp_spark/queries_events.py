@@ -552,3 +552,68 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_raw", F.lit(0)).alias("n"),
         F.last("avg_v", ignorenulls=True).over(w).alias("avg_value_locf"),
     )
+
+
+EWMA_SPAN = 8  # trailing rows in the half-decay window
+
+@register(
+    "events_ewma",
+    sql=f"""
+    WITH arrs AS (
+      SELECT event_id, user_id,
+             list(round(value * 1000)::BIGINT) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW
+             ) AS vs
+      FROM events
+    )
+    SELECT event_id, user_id,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(
+               list_zip(vs, generate_series(len(vs) - 1, 0, -1)),
+               x -> x[1] * (1::BIGINT << ({EWMA_SPAN - 1} - x[2])::INT))),
+             (acc, x) -> acc + x) AS ewma_fp
+    FROM arrs
+    """,
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per actor — decay ½ per
+    step over the trailing {EWMA_SPAN} rows — in **exact fixed
+    point**: the output is EWMA × 1000 × 2^{EWMA_SPAN - 1} as BIGINT
+    (milli-units scaled so every half-decay weight is an integer).
+
+    Why fixed point: a float EWMA here is a dyadic sum whose decimal
+    expansion terminates with a '5' at the 7th digit for a large
+    fraction of rows, and Spark's BigDecimal-exact ``round(x, 6)``
+    disagrees with DuckDB's double-scaled ``round`` on exactly those
+    halfway values (measured: 3 per 1000 rows).  Quantizing inputs to
+    milli-int (exact — source values carry 2 decimals) and weighting
+    by 2^(span−1−p) keeps the whole aggregate in order-free integer
+    arithmetic: bit-identical everywhere, no fold-order or rounding
+    escape hatch needed (the kmeans_refine trick applied to a window
+    aggregate).
+
+    Scale shape: ONE hash partition by actor + in-partition sort —
+    the canonical time-series window plan; the trailing frame is
+    rows-bounded so state per row is O(span), never the history."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), 0)
+    )
+    vmilli = F.round(F.col("value") * 1000).cast("bigint")
+    vs = F.collect_list(vmilli).over(w)
+    arrs = ev.select("event_id", "user_id", vs.alias("vs"))
+    ps = F.sequence(F.size("vs") - 1, F.lit(0), F.lit(-1))
+    # 2^(span-1-p) multiplier lookup (indexed by p; exact integers)
+    mlut = F.lit([1 << (EWMA_SPAN - 1 - p) for p in range(EWMA_SPAN)])
+    weighted = F.zip_with(
+        F.col("vs"),
+        ps,
+        lambda v, p: v * F.element_at(mlut, p.cast("int") + 1),
+    )
+    ewma_fp = F.aggregate(
+        weighted, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return arrs.select("event_id", "user_id", ewma_fp.alias("ewma_fp"))

@@ -296,11 +296,24 @@ def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semdedup_cells — cluster-blocked semantic dedup (SemDeDup)
 
 SEMDEDUP_TAU = 0.2  # unit vectors: dot == cosine
+# pairing-group ceiling: a cell larger than this splits into
+# ceil(cell/96) deterministic md5 sub-buckets before pairing.  The
+# IVF modulus keeps nlist ~constant (right for probe cost), which
+# makes CELL SIZE grow linearly with the corpus — the 30× shuffle
+# sweep measured the resulting quadratic pair volume (4.65× bytes for
+# 3× rows).  Sub-bucketing caps every pairing group at ~96 vectors →
+# pair volume ~n·96/2, linear.  At every driver scale factor
+# (sf0.001–sf0.1) cells are ≤ 96, s = 1, and results are unchanged.
+SEMDEDUP_CELL_CAP = 96
 
 
 def _sem_sql() -> str:
     from legalchatbot_vectordb_exp_spark.queries_ann import SQL_IVF_MOD
 
+    sub = (
+        f"(('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT "
+        f"% ((cnt + {SEMDEDUP_CELL_CAP - 1}) // {SEMDEDUP_CELL_CAP}))"
+    )
     return f"""
     WITH centroids AS (
       SELECT vec_id AS cid, embedding AS cv
@@ -313,10 +326,18 @@ def _sem_sql() -> str:
       FROM embeddings e CROSS JOIN centroids c
       GROUP BY e.vec_id, e.embedding
     ),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cnt FROM assign GROUP BY cluster_id
+    ),
+    bucketed AS (
+      SELECT a.vec_id, a.embedding, a.cluster_id, {sub} AS sub
+      FROM assign a JOIN sizes USING (cluster_id)
+    ),
     dup AS (
       SELECT DISTINCT b.vec_id
-      FROM assign a JOIN assign b
-        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      FROM bucketed a JOIN bucketed b
+        ON a.cluster_id = b.cluster_id AND a.sub = b.sub
+           AND a.vec_id < b.vec_id
       WHERE {sql_dot('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
     )
     SELECT s.vec_id, s.cluster_id,
@@ -378,14 +399,32 @@ def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.mapInPandas(
         assign, schema="vec_id long, embedding array<double>, cluster_id long"
     ).cache()  # one assignment pass feeds both join sides + the output
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("ca")
+    # cap pairing-group size: cells beyond SEMDEDUP_CELL_CAP split
+    # into deterministic md5 sub-buckets (sizes frame is nlist rows —
+    # broadcast metadata); s resolves to 1 at driver scale factors
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("cb")
+    sub = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % F.expr(
+        f"(cnt + {SEMDEDUP_CELL_CAP - 1}) div {SEMDEDUP_CELL_CAP}"
+    )
+    bucketed = assigned.join(F.broadcast(sizes), "cluster_id").select(
+        "vec_id", "cluster_id", sub.alias("sub")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id").alias("ca"),
+        F.col("sub").alias("sa"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster_id").alias("cb"),
+        F.col("sub").alias("sb"),
     )
     cand = (
-        a.join(b, F.col("ca") == F.col("cb"))
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("sa") == F.col("sb")))
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )

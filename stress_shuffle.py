@@ -30,7 +30,14 @@ from legalchatbot_vectordb_exp_spark.queries import QUERIES  # noqa: E402
 from legalchatbot_vectordb_exp_spark.session import get_spark  # noqa: E402
 from stress_corpus import build  # noqa: E402
 
-FAMILIES = ["dedup_minhash_pairs", "ann_lsh_pairs", "ann_ivf_topk_batch"]
+FAMILIES = [
+    "dedup_minhash_pairs",
+    "ann_lsh_pairs",
+    "ann_ivf_topk_batch",
+    # round-5 additions: gram-key joins and cell-blocked pair scoring
+    "substring_dedup_spans",
+    "semdedup_cells",
+]
 
 
 def _stages(spark) -> dict[int, int]:

@@ -157,7 +157,13 @@ def test_shuffle_volume_ceilings_30x(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     res = json.loads(out.read_text())["results"]
-    for fam in ("dedup_minhash_pairs", "ann_lsh_pairs", "ann_ivf_topk_batch"):
+    for fam in (
+        "dedup_minhash_pairs",
+        "ann_lsh_pairs",
+        "ann_ivf_topk_batch",
+        "substring_dedup_spans",
+        "semdedup_cells",
+    ):
         b10 = res[fam]["10x"]["shuffle_write_bytes"]
         b30 = res[fam]["30x"]["shuffle_write_bytes"]
         assert b10 > 0 or fam == "ann_ivf_topk_batch", fam

@@ -1,0 +1,113 @@
+"""Semantic tests for the E10 family on CRAFTED corpora: planted
+duplicates must be caught, clean rows must survive.  Oracle parity
+(test_oracle_parity) proves Spark == DuckDB; these prove both compute
+the thing the operator claims."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from legalchatbot_vectordb_exp_spark.queries_scale import (
+    _INCOMING_CUT,
+    q_dedup_incremental,
+    q_semdedup_cells,
+    q_substring_dedup_spans,
+)
+
+
+def _hash_bucket(doc_id: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+
+def _write_documents(spark, path: str, rows) -> str:
+    df = spark.createDataFrame(
+        [(i, t, "en", "crafted", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+@pytest.fixture(scope="module")
+def id_pools():
+    corpus = [i for i in range(5000) if _hash_bucket(i) < _INCOMING_CUT]
+    incoming = [i for i in range(5000) if _hash_bucket(i) >= _INCOMING_CUT]
+    return corpus, incoming
+
+
+def test_incremental_dedup_flags_planted_copy(spark, tmp_path, id_pools):
+    corpus_ids, incoming_ids = id_pools
+    dup_text = (
+        "the quick brown fox jumps over the lazy dog near the old "
+        "river bank where tall green willows bend in morning wind"
+    )
+    uniq = (
+        "completely different subject matter entirely about parquet "
+        "column encodings dictionary pages and run length schemes"
+    )
+    rows = [
+        (corpus_ids[0], dup_text),
+        (corpus_ids[1], "another corpus doc about shuffle partitioning"),
+        (incoming_ids[0], dup_text),  # exact copy of a corpus doc
+        (incoming_ids[1], uniq),  # genuinely new
+    ]
+    sf = _write_documents(spark, str(tmp_path), rows)
+    got = {
+        int(r["doc_id"]): bool(r["is_dup"])
+        for r in q_dedup_incremental(spark, sf).collect()
+    }
+    assert got[incoming_ids[0]] is True
+    assert got[incoming_ids[1]] is False
+    assert set(got) == {incoming_ids[0], incoming_ids[1]}
+
+
+def test_substring_spans_count_planted_overlap(spark, tmp_path):
+    shared = "alpha beta gamma delta epsilon"  # exactly one 5-gram
+    rows = [
+        (1, f"unique one two three four {shared}"),
+        (2, f"{shared} totally different tail words here"),
+        (3, "no overlap with anything else at all whatsoever"),
+    ]
+    sf = _write_documents(spark, str(tmp_path), rows)
+    got = {
+        int(r["doc_id"]): (int(r["n_dup_grams"]), int(r["n_grams"]))
+        for r in q_substring_dedup_spans(spark, sf).collect()
+    }
+    # docs 1 and 2 each contain the shared 5-gram at exactly one
+    # position; doc 3 shares nothing
+    assert got[1][0] == 1 and got[2][0] == 1
+    assert got[3][0] == 0
+    # total positions = words - 5 + 1
+    assert got[3][1] == 8 - 5 + 1
+
+
+def test_semdedup_drops_planted_identical_vector(spark, tmp_path):
+    import math
+
+    dim = 64
+    base = [1.0 / math.sqrt(dim)] * dim
+    other = [0.0] * dim
+    other[0] = 1.0
+    anti = [-x for x in base]  # cosine -1 vs base
+    rows = [
+        (0, base, 0),  # centroid (vec_id % mod == 0)
+        (7, base, 0),  # identical direction → dup of 0
+        (9, anti, 1),  # opposite direction → kept
+        (11, other, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    got = {
+        int(r["vec_id"]): bool(r["kept"])
+        for r in q_semdedup_cells(spark, str(tmp_path)).collect()
+    }
+    assert got[0] is True  # smallest id in its cell always survives
+    assert got[7] is False  # identical to a smaller id → dropped
+    assert got[9] is True  # anti-parallel: cosine −1 < τ

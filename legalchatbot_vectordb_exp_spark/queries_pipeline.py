@@ -599,3 +599,114 @@ def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdfs.mapInPandas(
         extract, schema="pdf_id long, page long, text string, font_mode string"
     )
+
+
+@register(
+    "multimodal_resize",
+    sql="""
+    WITH d AS (
+      SELECT vec_id, 16 + vec_id % 9 AS h, 16 + vec_id % 7 AS w
+      FROM embeddings WHERE vec_id < 64
+    ),
+    px AS (
+      SELECT d.vec_id,
+             sum((d.vec_id + 3 * ((y.y * d.h) // 8)
+                  + 5 * ((x.x * d.w) // 8) + 7 * c.c) % 256)::BIGINT
+               AS px_sum
+      FROM d,
+           unnest(generate_series(0, 7)) AS y(y),
+           unnest(generate_series(0, 7)) AS x(x),
+           unnest(generate_series(0, 2)) AS c(c)
+      GROUP BY d.vec_id
+    )
+    SELECT vec_id, true AS decoded,
+           8 AS out_width, 8 AS out_height, px_sum
+    FROM px
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the registered operator
+    (``multimodal/binary.py: resize_image``): each of 64 rows packs a
+    deterministic gradient P6 PPM (h = 16+id%9, w = 16+id%7, pixel
+    (y,x,c) = (id + 3y + 5x + 7c) mod 256), the operator decodes →
+    nearest-neighbor resamples to 8×8 → re-encodes PPM, and a second
+    kernel decodes the RESIZED bytes and sums the pixels exactly.  The
+    oracle recomputes the same nearest-neighbor index math
+    (src index = (dst·size) // 8) relationally without ever seeing
+    bytes — a stride, channel-order, or index-rounding regression in
+    the resize kernel breaks the hash.  Integer pixel sums keep the
+    comparison float-free.
+
+    Scale shape: three chained narrow Arrow kernels over the binary
+    column (pack → resize → sum), no shuffle anywhere — the
+    binaryFile-source image-preprocessing pipeline shape."""
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.multimodal.binary import (
+        decode_pixels,
+        encode_ppm,
+        resize_image,
+    )
+
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 64)
+        .select("vec_id")
+    )
+
+    def pack(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                h, w = 16 + vid % 9, 16 + vid % 7
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                px = ((vid + 3 * y + 5 * x + 7 * c) % 256).astype(np.uint8)
+                ids.append(vid)
+                blobs.append(encode_ppm(px))
+            yield pd.DataFrame({"vec_id": ids, "content": blobs})
+
+    packed = emb.mapInPandas(pack, schema="vec_id long, content binary")
+    resized = resize_image(
+        packed, width=8, height=8, id_col="vec_id", content_col="content"
+    )
+
+    def pixel_sum(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, dec, wd, ht, content in zip(
+                pdf["id"], pdf["decoded"], pdf["width"], pdf["height"],
+                pdf["content"],
+            ):
+                px = decode_pixels(bytes(content)) if dec else None
+                rows.append(
+                    (
+                        int(rid),
+                        bool(dec) and px is not None,
+                        int(wd) if wd is not None else None,
+                        int(ht) if ht is not None else None,
+                        int(px.astype(np.int64).sum())
+                        if px is not None
+                        else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id", "decoded", "out_width", "out_height", "px_sum",
+                ],
+            )
+
+    return resized.mapInPandas(
+        pixel_sum,
+        schema=(
+            "vec_id long, decoded boolean, out_width int, out_height int, "
+            "px_sum long"
+        ),
+    )

@@ -69,3 +69,56 @@ def q_udtf_shingle_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.shingle HAVING count(*) >= 5
         """
     )
+
+
+@register(
+    "udaf_grouped_median",
+    sql="""
+    SELECT event_type,
+           round(median(value), 6) AS med,
+           round(median(abs(value
+             - (SELECT median(value) FROM events e2
+                WHERE e2.event_type = e.event_type))), 6) AS mad
+    FROM events e GROUP BY event_type
+    """,
+)
+def q_udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE surface (the UDTF twin): median and
+    median-absolute-deviation per group via a GROUPED_AGG
+    ``pandas_udf`` — a Python aggregate the engine registers and
+    invokes like any built-in, Arrow-batched per group (never
+    row-at-a-time).  Both stats are order-insensitive (NumPy sorts
+    internally), and the even-count midpoint ``(a+b)/2`` is the same
+    IEEE op DuckDB's ``median`` interpolation performs — exact
+    cross-engine agreement without fold pinning.
+
+    Scale note: a grouped-agg pandas UDF materializes each GROUP in
+    memory on one executor (no partial aggregation) — correct for
+    bounded-cardinality groups like these; an unbounded-group metric
+    belongs in a built-in or an algebraic two-stage form instead.
+    That trade-off is the documented cost of the UDAF escape hatch."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    # module-level ``from __future__ import annotations`` stringifies
+    # hints, which the pandas_udf signature inspector rejects — attach
+    # real annotation objects instead
+    def _median(v):
+        return float(np.median(v.to_numpy(dtype=np.float64)))
+
+    def _mad(v):
+        a = v.to_numpy(dtype=np.float64)
+        return float(np.median(np.abs(a - np.median(a))))
+
+    _median.__annotations__ = {"v": pd.Series, "return": float}
+    _mad.__annotations__ = {"v": pd.Series, "return": float}
+    py_median = pandas_udf(_median, "double")
+    py_mad = pandas_udf(_mad, "double")
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(py_median("value"), 6).alias("med"),
+        F.round(py_mad("value"), 6).alias("mad"),
+    )

@@ -648,10 +648,14 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_image,
     )
 
+    # 64 fixture rows: full-cluster spread() would pay 32 python-worker
+    # round trips per chained kernel stage for ~2 rows each — 8 tasks
+    # keeps the pipeline parallel without drowning in task overhead
     emb = spread(
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 64)
-        .select("vec_id")
+        .select("vec_id"),
+        min_partitions=8,
     )
 
     def pack(batches):

@@ -1013,7 +1013,12 @@ BLOOM_K = 3  # hash functions per key
 # and the filter stopped filtering.  next-pow2(16n) keeps fill ≈ 17%
 # (fpr ≈ 0.4%) at any scale; the bit-length formula is integer-exact
 # on both engines (Python int.bit_length == DuckDB length(bin())).
-_BLOOM_M_SQL = "greatest(8192, 1::BIGINT << length(bin(16 * nk - 1)))"
+# greatest(nk, 1): an empty build side must not feed bin(-1), whose
+# 64-one-bits length would overflow the shift (and disagree with
+# Python's (-1).bit_length() == 0)
+_BLOOM_M_SQL = (
+    "greatest(8192, 1::BIGINT << length(bin(16 * greatest(nk, 1) - 1)))"
+)
 
 
 def _bloom_pos_sql(key: str, i: int) -> str:
@@ -1101,7 +1106,7 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k")
     )
     nk = dim.count()
-    m = max(BLOOM_MIN_BITS, 1 << (16 * nk - 1).bit_length())
+    m = max(BLOOM_MIN_BITS, 1 << (16 * max(nk, 1) - 1).bit_length())
 
     def pos(key, i: int):
         return (

@@ -16,8 +16,10 @@ per-family extension modules don't yet cover.
 * ``semdedup_cells`` — SemDeDup (Abbas et al. 2023): semantic dedup
   restricted to embedding-cluster cells.  Reuses the IVF deterministic
   coarse quantizer (queries_ann.py) as the clustering; the pairwise
-  cosine join is blocked on ``cluster_id``, so pair volume is
-  Σ_cell n_cell² — never corpus².
+  cosine join is blocked on ``(cluster_id, sub-bucket)`` with pairing
+  groups capped at ``SEMDEDUP_CELL_CAP`` vectors, so pair volume is
+  ≤ n·cap/2 — linear in the corpus (the uncapped per-cell pairing
+  went quadratic at the 30× tier; see SCALE.md §10b).
 * ``bloom_prune_join`` — a runtime Bloom-filter semi-join: the build
   side aggregates to an m-bit filter (metadata-scale, like Spark's own
   ``runtime.bloomFilter``), the probe scan prunes before any shuffle,

@@ -444,6 +444,14 @@ def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _long_array_lit(vals) -> "F.Column":
+    """Large integer-array literal via ONE SQL parse.  ``F.lit(list)``
+    issues a py4j call per element — measured 2.2 s for 4096 entries —
+    while the parser swallows the same array expression in
+    milliseconds."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
 # --------------------------------------------------------------- new
 # dq_audit — data-quality gate (completeness / uniqueness / integrity)
 
@@ -636,9 +644,11 @@ CMS_W = 1024  # sketch width (buckets per row)
 CMS_THRESHOLD = 80  # heavy-hitter cutoff on the ESTIMATE
 
 
+# row d's bucket = the d-th 8-hex-digit word of ONE md5(key) — one
+# hash per row instead of CMS_D (the dominant sketch-build cost)
 def _cms_bucket_sql(key: str, d: str) -> str:
     return (
-        f"(('0x' || substr(md5({key}::VARCHAR || '#' || {d}), 1, 8))"
+        f"(('0x' || substr(md5({key}::VARCHAR), 1 + 8 * {d}, 8))"
         f"::BIGINT % {CMS_W})"
     )
 
@@ -679,16 +689,17 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per hash row — scan-stage, no join.  The exact counts exist here
     only to exhibit the guarantee; production queries the sketch
     alone."""
-    ev = load_table(spark, sf_dir, "events")
+    # key column only — measured: the one-md5-per-row agg on the
+    # single-row-group scan beats paying a widening shuffle + 32-task
+    # scheduling for it (and a production multi-file scan is already
+    # parallel)
+    ev = load_table(spark, sf_dir, "events").select("user_id")
 
     def bucket(key, d: int):
+        # word d of ONE md5 — see _cms_bucket_sql
         return (
             F.conv(
-                F.substring(
-                    F.md5(F.concat(key.cast("string"), F.lit(f"#{d}"))), 1, 8
-                ),
-                16,
-                10,
+                F.substring(F.md5(key.cast("string")), 1 + 8 * d, 8), 16, 10
             ).cast("bigint")
             % CMS_W
         )
@@ -722,7 +733,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return (
-        cand.withColumn("sk", F.lit(flat))
+        cand.withColumn("sk", _long_array_lit(flat))
         .withColumn("cms_est", est)
         .drop("sk")
         .filter(F.col("cms_est") >= CMS_THRESHOLD)
@@ -1023,9 +1034,12 @@ _BLOOM_M_SQL = (
 )
 
 
+# k positions from ONE md5: the 32 hex digits carry four independent
+# 32-bit words; hashing once per row (not per hash function) is the
+# dominant-cost fix for the probe scan
 def _bloom_pos_sql(key: str, i: int) -> str:
     return (
-        f"(('0x' || substr(md5({key}::VARCHAR || ':{i}'), 1, 8))::BIGINT"
+        f"(('0x' || substr(md5({key}::VARCHAR), {8 * i + 1}, 8))::BIGINT"
         f" % m)"
     )
 
@@ -1103,7 +1117,8 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     production keeps the bloom pass as a pre-filter in front of the
     real join."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    # probe-side md5 membership tests dominate: widen the scan
+    orders = spread(load_table(spark, sf_dir, "orders"))
     dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("k")
     )
@@ -1111,13 +1126,10 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = max(BLOOM_MIN_BITS, 1 << (16 * max(nk, 1) - 1).bit_length())
 
     def pos(key, i: int):
+        # substring i of ONE md5 — see _bloom_pos_sql
         return (
             F.conv(
-                F.substring(
-                    F.md5(F.concat(key.cast("string"), F.lit(f":{i}"))), 1, 8
-                ),
-                16,
-                10,
+                F.substring(F.md5(key.cast("string")), 8 * i + 1, 8), 16, 10
             ).cast("bigint")
             % m
         )
@@ -1138,8 +1150,8 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def test(i: int):
         p = (
-            f"(cast(conv(substring(md5(concat(cast(o_custkey as string), "
-            f"':{i}')), 1, 8), 16, 10) as bigint) % {m})"
+            f"(cast(conv(substring(md5(cast(o_custkey as string)), "
+            f"{8 * i + 1}, 8), 16, 10) as bigint) % {m})"
         )
         return (
             f"((shiftright(element_at(bw, cast({p} div 32 as int) + 1), "
@@ -1149,7 +1161,7 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom_pass = F.expr(
         " AND ".join(test(i) for i in range(BLOOM_K))
     )
-    probed = orders.withColumn("bw", F.lit(words)).withColumn(
+    probed = orders.withColumn("bw", _long_array_lit(words)).withColumn(
         "bloom_pass", bloom_pass
     ).drop("bw").join(
         F.broadcast(dim.withColumn("exact", F.lit(True))),

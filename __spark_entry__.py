@@ -6,16 +6,15 @@ sf0.001.  ``queries()`` / ``oracle_sql()`` — the operator registry from
 with a DuckDB oracle where SQL-expressible).
 
 Registration ORDER is deliberate: the driver samples a prefix of
-``queries()`` for its correctness report, and rounds 3–4 sampled the
-identical first 50, leaving 48 queries with no driver row ever and two
-whose only rows predate their fixes.  ``_SAMPLE_PRIORITY`` therefore
-front-loads exactly those: the two stale-red rows (``cast_and_defaults``
-r1, ``events_streaming_live`` r2 — both long since fixed and
-census-green), the newly oracle-checked ``rag_end_to_end`` and
-``pdf_roundtrip``, then every never-sampled query (E8 training, E9 RAG
-preprocessing, multimodal decode/frames/audio, the roundtrip family,
-analytics extras).  Everything else — all driver-green in r3/r4 —
-follows in registry order.
+``queries()`` for its correctness report (50 in r5), so each round the
+prefix is rotated to whatever most needs a fresh driver row.  Round 6
+front-loads: the two r5 hash-red rows (``sequence_packing``,
+``table_profile`` — both representation-hardened this round), the 18
+queries that have never been driver-sampled through r5 (the whole E10
+scale family + r5 additions), then every query touched by this round's
+decimal-space-rounding and whitespace-class fixes so their green rows
+are refreshed against the new code.  Everything else — driver-green in
+r3–r5 — follows in registry order.
 """
 
 from __future__ import annotations
@@ -31,59 +30,54 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 _SAMPLE_PRIORITY = [
-    # stale-red driver rows (fixed in r1/r2, never re-sampled)
-    "cast_and_defaults",
-    "events_streaming_live",
-    # newly oracle-checked this round
-    "rag_end_to_end",
-    "pdf_roundtrip",
-    # never driver-sampled (r1–r4), census-green
-    "approx_agg_guard",
-    "boilerplate_shingles",
-    "bucketed_join_equivalence",
-    "cdc_apply",
-    "chunk_overlap",
-    "collection_roundtrip",
-    "conversion_funnel",
-    "csv_roundtrip",
-    "datetime_parts",
-    "decontamination",
-    "distinct_counts",
-    "embedding_drift",
-    "events_anomaly_mad",
-    "events_topn_per_window",
-    "fuzzy_match_nations",
-    "hash_split",
-    "interval_join_events",
-    "json_extract_props",
-    "jsonl_roundtrip",
-    "length_buckets",
-    "multimodal_audio",
-    "multimodal_decode",
-    "multimodal_frames",
-    "null_semantics",
-    "pagerank_parts",
-    "part_affinity",
-    "partitioned_roundtrip",
-    "repetition_score",
-    "retention_cohort",
-    "schema_evolution_roundtrip",
+    # the only two driver-red hash rows in five rounds — fixed in r6
+    # (shared explicit whitespace class; integer-cents profile bounds)
     "sequence_packing",
-    "snapshot_diff",
-    "stats_moments",
-    "stratified_sample",
     "table_profile",
-    "temperature_sample",
+    # never driver-sampled through r5 (census-green): the E10 scale
+    # family plus the r5 additions — this completes driver coverage of
+    # every query in the registry
+    "dedup_incremental",
+    "substring_dedup_spans",
+    "semdedup_cells",
+    "bloom_prune_join",
+    "kmeans_refine",
+    "zorder_layout",
+    "cms_heavy_hitters",
+    "graph_triangles",
+    "incremental_agg_maintain",
+    "dq_audit",
+    "negative_sampling",
+    "hard_negatives",
+    "multimodal_resize",
+    "events_ewma",
+    "udaf_grouped_median",
+    "orc_roundtrip",
+    "array_functions",
+    "string_functions",
+    # rounding-representation fixes this round (decimal-space round
+    # before the double cast) — re-queue for fresh driver rows
+    "pricing_summary",
+    "interval_join_events",
+    "stratified_sample",
+    "snapshot_diff",
+    "events_tumbling",
+    "events_sliding",
+    "sales_rollup",
+    "sales_cube",
+    "salted_agg_equivalence",
+    "events_stream_join_live",
+    # whitespace-class dependents re-queued after the words() fix
     "text_normalize",
+    "text_stats",
+    "chunk_overlap",
     "tfidf_topterms",
-    "topk_mmr",
-    "topk_mmr_batch",
+    "unigram_surprisal",
+    "boilerplate_shingles",
+    "repetition_score",
     "training_shuffle",
     "udtf_shingle_freq",
-    "unigram_surprisal",
-    "value_histogram",
-    "vector_quantize_int8",
-    "window_functions",
+    "lang_id",
 ]
 
 

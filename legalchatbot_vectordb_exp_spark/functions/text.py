@@ -15,18 +15,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
+# One explicit ASCII whitespace class shared between Spark (Java regex)
+# and the DuckDB oracle (RE2).  Java's \s includes \x0B (vertical tab);
+# RE2's does not, so a bare \s in any paired pattern silently diverges
+# on \x0B-bearing text (the CORRECTNESS_r05 sequence_packing hash
+# mismatch).  \x{000b} parses identically in both engines — never use
+# an implicit \s in a pattern that has an oracle twin.
+ASCII_WS = r" \t\n\x{000b}\f\r"
+WS_SPLIT = rf"[{ASCII_WS}]+"
+
 # token pattern shared with the DuckDB oracle: words, digit runs, or a
 # single non-space symbol (BPE-ish pre-tokenizer shape)
-TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+TOKEN_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{ASCII_WS}]"
 
-PUNCT_PATTERN = r"[^\w\s]"
+PUNCT_PATTERN = rf"[^\w{ASCII_WS}]"
 
-# Python str.strip() whitespace (str.isspace() == True): ASCII \s plus
-# the C1/Unicode space characters.  Java regex and RE2 (DuckDB) both
-# accept the \x{...} escapes, so the same class works in both engines.
+# Python str.strip() whitespace (str.isspace() == True): ASCII
+# whitespace plus the C1/Unicode space characters.  Java regex and RE2
+# (DuckDB) both accept the \x{...} escapes, so the same class works in
+# both engines.
 PY_SPACE_CLASS = (
-    r"[\s\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}"
-    r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"
+    rf"[{ASCII_WS}\x{{001c}}-\x{{001f}}\x{{0085}}\x{{00a0}}\x{{1680}}"
+    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"
 )
 
 
@@ -52,9 +62,14 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def words(text: Column | str) -> Column:
-    """Whitespace words, trimmed, empties dropped."""
+    """Whitespace words, trimmed, empties dropped.
+
+    Splits on the explicit ``WS_SPLIT`` class (identical to Java
+    ``\\s+``) so the DuckDB oracle twin ``registry.sql_words`` can use
+    the very same pattern — RE2's ``\\s`` lacks ``\\x0B``.
+    """
     text = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    return F.filter(F.split(F.trim(text), WS_SPLIT), lambda w: w != "")
 
 
 def token_count(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:

@@ -423,12 +423,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(l_quantity::DECIMAL(18,4)) AS DOUBLE), 2)
+           CAST(round(sum(l_quantity::DECIMAL(18,4)), 2) AS DOUBLE)
              AS sum_qty,
-           round(CAST(sum(l_extendedprice::DECIMAL(18,4)) AS DOUBLE), 2)
+           CAST(round(sum(l_extendedprice::DECIMAL(18,4)), 2) AS DOUBLE)
              AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(18,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
@@ -449,11 +449,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dec("l_quantity", 4)).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice", 4)).cast("double"), 2).alias(
+            F.round(F.sum(dec("l_quantity", 4)), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice", 4)), 2).cast("double").alias(
                 "sum_base_price"
             ),
-            F.round(F.sum(disc).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

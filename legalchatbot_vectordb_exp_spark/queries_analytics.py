@@ -185,7 +185,7 @@ def q_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT l.event_id AS click_id,
            count(*) AS n_purchases,
-           round(CAST(sum(CAST(r.value AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(r.value AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS purchase_value
     FROM events l
     JOIN events r
@@ -220,8 +220,8 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("event_id").alias("click_id")).agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(
-            F.sum(F.col("r_value").cast("decimal(18,4)")).cast("double"), 2
-        ).alias("purchase_value"),
+            F.sum(F.col("r_value").cast("decimal(18,4)")), 2
+        ).cast("double").alias("purchase_value"),
     )
 
 
@@ -307,7 +307,7 @@ def q_approx_agg_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            count(*) AS n_sampled,
-           round(CAST(sum(o_totalprice::DECIMAL(18,4)) AS DOUBLE), 2)
+           CAST(round(sum(o_totalprice::DECIMAL(18,4)), 2) AS DOUBLE)
              AS sum_sampled
     FROM s
     WHERE h < CASE WHEN o_orderpriority = '1-URGENT'
@@ -339,11 +339,8 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
-                    "double"
-                ),
-                2,
-            ).alias("sum_sampled"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            ).cast("double").alias("sum_sampled"),
         )
     )
 
@@ -370,7 +367,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN n.custkey IS NULL THEN 'delete'
                 ELSE 'update' END AS op,
            coalesce(n.n, 0) AS new_n,
-           round(CAST(coalesce(n.total, 0) AS DOUBLE), 2) AS new_total
+           CAST(round(coalesce(n.total, 0::DECIMAL(18,4)), 2) AS DOUBLE) AS new_total
     FROM old o FULL OUTER JOIN new n ON o.custkey = n.custkey
     WHERE o.custkey IS NULL OR n.custkey IS NULL
        OR o.n <> n.n OR o.total <> n.total
@@ -419,8 +416,8 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.coalesce(F.col("n.n"), F.lit(0)).alias("new_n"),
         F.round(
-            F.coalesce(F.col("n.total"), F.lit(0)).cast("double"), 2
-        ).alias("new_total"),
+            F.coalesce(F.col("n.total"), F.lit(0).cast("decimal(18,4)")), 2
+        ).cast("double").alias("new_total"),
     )
 
 
@@ -1079,20 +1076,23 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
              AS n_null,
            count(DISTINCT o_custkey)::BIGINT AS n_distinct,
-           round(min(o_custkey)::DOUBLE, 2) AS min_v,
-           round(max(o_custkey)::DOUBLE, 2) AS max_v
+           CAST(floor(min(o_custkey)::DOUBLE * 100 + 0.5) AS BIGINT)
+             AS min_cents,
+           CAST(floor(max(o_custkey)::DOUBLE * 100 + 0.5) AS BIGINT)
+             AS max_cents
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', count(*),
            sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
            count(DISTINCT o_totalprice),
-           round(min(o_totalprice)::DOUBLE, 2),
-           round(max(o_totalprice)::DOUBLE, 2)
+           CAST(floor(min(o_totalprice)::DOUBLE * 100 + 0.5) AS BIGINT),
+           CAST(floor(max(o_totalprice)::DOUBLE * 100 + 0.5) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', count(*),
            sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
-           count(DISTINCT o_orderstatus), NULL, NULL
+           count(DISTINCT o_orderstatus),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM orders
     """,
 )
@@ -1100,8 +1100,14 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profile pass (null count, distinct count, min/max per
     column) — the data-quality snapshot a 100 TB warehouse runs after
     every load.  One wide aggregate per profiled column family over a
-    single scan; numeric bounds rounded, non-numerics profile nulls +
-    cardinality only."""
+    single scan; non-numerics profile nulls + cardinality only.
+
+    Numeric bounds are emitted as integer *cents* via
+    ``floor(x*100 + 0.5)`` — identical IEEE double ops in Spark and
+    DuckDB — never as a rounded DOUBLE: ``round(double, 2)`` is
+    half-even on the binary value in DuckDB but HALF_UP on the
+    shortest-decimal repr in Spark, so any min/max near a ``.xx5``
+    boundary hash-diverges (CORRECTNESS_r05 ``table_profile``)."""
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -1109,14 +1115,18 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
         ).alias("null_ck"),
         F.count_distinct("o_custkey").alias("nd_ck"),
-        F.round(F.min("o_custkey").cast("double"), 2).alias("min_ck"),
-        F.round(F.max("o_custkey").cast("double"), 2).alias("max_ck"),
+        F.floor(F.min("o_custkey").cast("double") * 100 + 0.5)
+        .cast("bigint").alias("min_ck"),
+        F.floor(F.max("o_custkey").cast("double") * 100 + 0.5)
+        .cast("bigint").alias("max_ck"),
         F.sum(
             F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
         ).alias("null_tp"),
         F.count_distinct("o_totalprice").alias("nd_tp"),
-        F.round(F.min("o_totalprice").cast("double"), 2).alias("min_tp"),
-        F.round(F.max("o_totalprice").cast("double"), 2).alias("max_tp"),
+        F.floor(F.min("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("bigint").alias("min_tp"),
+        F.floor(F.max("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("bigint").alias("max_tp"),
         F.sum(
             F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
         ).alias("null_st"),
@@ -1135,11 +1145,11 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_rows").cast("bigint").alias("n_rows"),
                 F.col(nl).cast("bigint").alias("n_null"),
                 F.col(nd).cast("bigint").alias("n_distinct"),
-                (F.col(mn) if mn else F.lit(None).cast("double")).alias(
-                    "min_v"
+                (F.col(mn) if mn else F.lit(None).cast("bigint")).alias(
+                    "min_cents"
                 ),
-                (F.col(mx) if mx else F.lit(None).cast("double")).alias(
-                    "max_v"
+                (F.col(mx) if mx else F.lit(None).cast("bigint")).alias(
+                    "max_cents"
                 ),
             )
         )

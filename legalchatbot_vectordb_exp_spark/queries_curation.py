@@ -22,6 +22,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from legalchatbot_vectordb_exp_spark.functions.text import (
+    ASCII_WS,
+    WS_SPLIT,
     word_shingles,
     words,
 )
@@ -41,14 +43,16 @@ TARGET_FRACTION = 0.5
 
 @register(
     "text_normalize",
-    sql=r"""
+    sql=rf"""
     SELECT doc_id,
            regexp_replace(
-             trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
-             '\s+', ' ', 'g') AS norm_text,
+             trim(regexp_replace(lower(text),
+               '[^a-z0-9{ASCII_WS}]', ' ', 'g')),
+             '{WS_SPLIT}', ' ', 'g') AS norm_text,
            len(list_filter(regexp_split_to_array(
-             trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
-             '\s+'), w -> w <> ''))::BIGINT AS n_tokens_norm
+             trim(regexp_replace(lower(text),
+               '[^a-z0-9{ASCII_WS}]', ' ', 'g')),
+             '{WS_SPLIT}'), w -> w <> ''))::BIGINT AS n_tokens_norm
     FROM documents
     """,
 )
@@ -61,8 +65,10 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
-            r"\s+",
+            F.regexp_replace(
+                F.lower(F.col("text")), rf"[^a-z0-9{ASCII_WS}]", " "
+            ),
+            WS_SPLIT,
             " ",
         )
     )

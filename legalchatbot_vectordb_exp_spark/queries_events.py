@@ -22,7 +22,7 @@ from legalchatbot_vectordb_exp_spark.registry import register
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
            event_type,
            count(*) AS n,
-           round(CAST(sum(value::DECIMAL(18,4)) AS DOUBLE), 2) AS total_value
+           CAST(round(sum(value::DECIMAL(18,4)), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -38,8 +38,8 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
-            ).alias("total_value"),
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+            ).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -61,7 +61,7 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e
     )
     SELECT window_start, count(*) AS n,
-           round(CAST(sum(value::DECIMAL(18,4)) AS DOUBLE), 2) AS total_value
+           CAST(round(sum(value::DECIMAL(18,4)), 2) AS DOUBLE) AS total_value
     FROM starts
     GROUP BY window_start
     """,
@@ -75,8 +75,8 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
-            ).alias("total_value"),
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+            ).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )
@@ -195,7 +195,7 @@ def _replay_checkpoint_dir() -> str:
     WITH agg AS (
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
              event_type, count(*) AS n,
-             round(CAST(sum(value::DECIMAL(18,4)) AS DOUBLE), 2)
+             CAST(round(sum(value::DECIMAL(18,4)), 2) AS DOUBLE)
                AS total_value
       FROM events GROUP BY 1, 2
     ),
@@ -282,7 +282,7 @@ def q_events_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
         "n",
-        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
+        F.round(F.col("total_value"), 2).cast("double").alias("total_value"),
     )
 
 
@@ -310,7 +310,7 @@ def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT l.event_id AS click_id,
            count(*) AS n_purchases,
-           round(CAST(sum(CAST(r.value AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(r.value AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS purchase_value
     FROM events l
     JOIN events r
@@ -413,11 +413,8 @@ def q_events_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
             F.round(
-                F.sum(F.col("r_value").cast("decimal(18,4)")).cast(
-                    "double"
-                ),
-                2,
-            ).alias("purchase_value"),
+                F.sum(F.col("r_value").cast("decimal(18,4)")), 2
+            ).cast("double").alias("purchase_value"),
         )
     )
 

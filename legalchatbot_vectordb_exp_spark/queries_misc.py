@@ -109,7 +109,7 @@ def q_cast_and_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(CAST(sum(l_quantity::DECIMAL(18,4)) AS DOUBLE), 2)
+           CAST(round(sum(l_quantity::DECIMAL(18,4)), 2) AS DOUBLE)
              AS sum_qty,
            count(*) AS n
     FROM lineitem
@@ -124,9 +124,8 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.round(
-                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"),
-                2,
-            ).alias("sum_qty"),
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2
+            ).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
@@ -143,7 +142,7 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(CAST(sum(l_extendedprice::DECIMAL(18,4)) AS DOUBLE), 2)
+           CAST(round(sum(l_extendedprice::DECIMAL(18,4)), 2) AS DOUBLE)
              AS sum_price,
            count(*) AS n
     FROM lineitem
@@ -160,11 +159,8 @@ def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,4)")
-                ).cast("double"),
-                2,
-            ).alias("sum_price"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2
+            ).cast("double").alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
@@ -217,7 +213,7 @@ def q_set_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_type,
            count(*) AS n,
-           round(CAST(sum(value::DECIMAL(18,4)) AS DOUBLE), 2) AS total
+           CAST(round(sum(value::DECIMAL(18,4)), 2) AS DOUBLE) AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -237,5 +233,5 @@ def q_salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         "n",
-        F.round(F.col("total_dec").cast("double"), 2).alias("total"),
+        F.round(F.col("total_dec"), 2).cast("double").alias("total"),
     )

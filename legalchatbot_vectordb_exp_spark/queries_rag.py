@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from legalchatbot_vectordb_exp_spark.functions.text import words
 from legalchatbot_vectordb_exp_spark.io_tables import load_table
 from legalchatbot_vectordb_exp_spark.registry import register, sql_words
 
@@ -62,9 +63,7 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.filter(
-            F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""
-        ).alias("ws"),
+        words("text").alias("ws"),
     ).withColumn("n", F.size("ws").cast("bigint"))
     starts = toks.filter(F.col("n") > 0).select(
         "doc_id",

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from legalchatbot_vectordb_exp_spark.functions.text import (
     LANG_STOPWORDS,
+    PUNCT_PATTERN,
     TOKEN_PATTERN,
     punct_count,
     stopword_count,
@@ -36,7 +37,7 @@ from legalchatbot_vectordb_exp_spark.registry import register, sql_dot, sql_word
            len(regexp_extract_all(text,
                '{TOKEN_PATTERN}'))::BIGINT AS n_tokens,
            len(regexp_extract_all(text,
-               '[^\\w\\s]'))::BIGINT AS n_punct,
+               '{PUNCT_PATTERN}'))::BIGINT AS n_punct,
            round(len(list_filter(ws, x -> length(x) >= 6))::DOUBLE
                  / greatest(len(ws), 1)::DOUBLE, 6) AS long_word_ratio,
            round(length(text)::DOUBLE

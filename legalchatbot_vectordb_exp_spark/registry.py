@@ -12,6 +12,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from legalchatbot_vectordb_exp_spark.functions import text as _text
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
@@ -46,20 +48,19 @@ def sql_norm(v: str) -> str:
     )
 
 
-# whitespace words, trimmed, empties dropped — mirrors functions.text.words
+# whitespace words, trimmed, empties dropped — mirrors
+# functions.text.words, using the SAME explicit class (RE2 \s lacks
+# \x0B, Java \s has it; CORRECTNESS_r05 sequence_packing)
 def sql_words(text: str) -> str:
     return (
-        f"list_filter(regexp_split_to_array(trim({text}), '\\s+'), "
-        f"w -> w <> '')"
+        f"list_filter(regexp_split_to_array(trim({text}), "
+        f"'{_text.WS_SPLIT}'), w -> w <> '')"
     )
 
 
 # Python str.strip() twin — mirrors functions.text.py_strip (RE2 takes
 # the same \x{...} escapes as Java regex)
-_PY_SPACE = (
-    r"[\s\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}"
-    r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"
-)
+_PY_SPACE = _text.PY_SPACE_CLASS
 
 
 def sql_py_strip(expr: str) -> str:

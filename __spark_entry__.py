@@ -30,22 +30,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 _SAMPLE_PRIORITY = [
-    # the only two driver-red hash rows in five rounds — fixed in r6
-    # (shared explicit whitespace class; integer-cents profile bounds)
+    # the four driver-red rows of rounds 1-6, root-caused in r6's
+    # VERDICT: their oracles emitted DuckDB HUGEINT columns
+    # (sum(BIGINT) -> HUGEINT), which the driver's pandas fetch
+    # coerces to float64 and hash-diverges.  Fixed in r7 with
+    # ::BIGINT casts; kept at the head to convert to driver-green.
     "sequence_packing",
     "table_profile",
-    # never driver-sampled through r5 (census-green): the E10 scale
-    # family plus the r5 additions — this completes driver coverage of
-    # every query in the registry
+    "kmeans_refine",
+    "incremental_agg_maintain",
+    # E10 scale family — driver-green r6, keep warm
     "dedup_incremental",
     "substring_dedup_spans",
     "semdedup_cells",
     "bloom_prune_join",
-    "kmeans_refine",
     "zorder_layout",
     "cms_heavy_hitters",
     "graph_triangles",
-    "incremental_agg_maintain",
     "dq_audit",
     "negative_sampling",
     "hard_negatives",

@@ -1083,14 +1083,17 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', count(*),
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           -- ::BIGINT on EVERY union branch: DuckDB sum(INT) -> HUGEINT,
+           -- and union type promotion widens the column to the widest
+           -- branch, overriding branch 1's cast.
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
            count(DISTINCT o_totalprice),
            CAST(floor(min(o_totalprice)::DOUBLE * 100 + 0.5) AS BIGINT),
            CAST(floor(max(o_totalprice)::DOUBLE * 100 + 0.5) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', count(*),
-           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
            count(DISTINCT o_orderstatus),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM orders

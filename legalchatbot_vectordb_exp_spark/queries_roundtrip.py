@@ -349,7 +349,9 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           sum(round(o_totalprice * 1000)::BIGINT) AS revenue_milli
+           -- outer ::BIGINT: DuckDB sum(BIGINT) -> HUGEINT; uncast it
+           -- hash-diverges via the driver's float64 fetch path.
+           sum(round(o_totalprice * 1000)::BIGINT)::BIGINT AS revenue_milli
     FROM orders
     WHERE o_orderkey % 10 = 0
        OR (o_orderkey % 10 <> 0 AND o_orderkey % 97 <> 0)

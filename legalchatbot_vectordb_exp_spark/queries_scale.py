@@ -887,7 +887,9 @@ def _km_sql() -> str:
     ),{assign('e', 'c0', 'a1')},{update('a1', 'c1')},{assign('e', 'c1', 'a2')}
     SELECT cid AS cluster_id,
            count(*) AS n_members,
-           sum(v[1]) // count(*) AS centroid_c0
+           -- ::BIGINT: sum(BIGINT) is HUGEINT in DuckDB and // keeps it;
+           -- uncast it hash-diverges via the driver's float64 fetch.
+           (sum(v[1]) // count(*))::BIGINT AS centroid_c0
     FROM a2 GROUP BY cid
     """
 

@@ -86,8 +86,12 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     off AS (
       SELECT doc_id, shard, n_toks,
-             sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
-                               ROWS UNBOUNDED PRECEDING) - n_toks
+             -- ::BIGINT: DuckDB sum(BIGINT) returns HUGEINT, which the
+             -- driver's pandas fetch coerces to float64 (3 -> 3.0) and
+             -- hash-diverges from Spark's int.  Cast before it propagates
+             -- into first_seq/last_seq.
+             (sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING))::BIGINT - n_toks
                AS tok_start
       FROM toks
     )

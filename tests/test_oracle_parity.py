@@ -28,6 +28,31 @@ def test_all_queries_return_rows(spark, sf_smoke):
         assert n >= 0, name
 
 
+def test_no_hugeint_or_decimal_oracle_columns(sf_smoke, con):
+    """Registry-wide oracle type-discipline guard (r6 VERDICT #2).
+
+    DuckDB sum(BIGINT) returns HUGEINT (int128); the driver's hasher
+    fetches HUGEINT through a pandas path that coerces it to float64,
+    so value 3 hashes as '3.0' against Spark's '3' — rows and schema
+    still match, the hash diverges.  This was the root cause of every
+    driver hash-red in rounds 1-6 (sequence_packing, table_profile,
+    kmeans_refine, incremental_agg_maintain).  Guard: no oracle may
+    emit a HUGEINT/UHUGEINT column, and no DECIMAL either (the arrow
+    fetch path turns HUGEINT into decimal128, and DECIMAL round-trips
+    are equally hash-fragile).  Fix offenders with ::BIGINT casts —
+    on EVERY branch of a UNION (type promotion picks the widest)."""
+    offenders = []
+    for name, sql in sorted(ORACLES.items()):
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, (str(t).upper() for t in rel.types)):
+            if "HUGEINT" in typ or typ.startswith("DECIMAL"):
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        f"oracles emitting hash-fragile column types: {offenders} — "
+        "add ::BIGINT casts (all UNION branches)"
+    )
+
+
 def test_no_nested_columns_in_oracle_queries(spark, sf_smoke):
     """The driver's canonicalizer sorts a pandas frame over all columns
     and dies on unhashable list/dict cells — every oracle-checked query

@@ -17,10 +17,14 @@ import pyspark.sql.functions as F
 
 # One explicit ASCII whitespace class shared between Spark (Java regex)
 # and the DuckDB oracle (RE2).  Java's \s includes \x0B (vertical tab);
-# RE2's does not, so a bare \s in any paired pattern silently diverges
-# on \x0B-bearing text (the CORRECTNESS_r05 sequence_packing hash
-# mismatch).  \x{000b} parses identically in both engines — never use
-# an implicit \s in a pattern that has an oracle twin.
+# RE2's does not, so a bare \s in any paired pattern can silently
+# diverge on \x0B-bearing text.  This is defensive cross-engine parity
+# hardening (pinned by tests/test_whitespace_parity.py), NOT the cause
+# of the r5 sequence_packing driver mismatch — that was the oracle
+# emitting a DuckDB HUGEINT column, which the driver's pandas fetch
+# coerces to float64 (fixed in queries_training.py with ::BIGINT).
+# \x{000b} parses identically in both engines — never use an implicit
+# \s in a pattern that has an oracle twin.
 ASCII_WS = r" \t\n\x{000b}\f\r"
 WS_SPLIT = rf"[{ASCII_WS}]+"
 

@@ -1110,7 +1110,18 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB — never as a rounded DOUBLE: ``round(double, 2)`` is
     half-even on the binary value in DuckDB but HALF_UP on the
     shortest-decimal repr in Spark, so any min/max near a ``.xx5``
-    boundary hash-diverges (CORRECTNESS_r05 ``table_profile``)."""
+    boundary could hash-diverge.  That is portability hardening; the
+    actual r5/r6 driver mismatch was the oracle's uncast
+    ``sum(CASE...)`` columns — DuckDB widens them to HUGEINT, union
+    promotion overrides the one cast branch, and the driver's pandas
+    fetch coerces HUGEINT to float64 (fixed with ::BIGINT on ALL
+    three branches).
+
+    NOTE ``floor(x*100 + 0.5)`` is half-UP only for x ≥ 0
+    (``floor(-267.5 + 0.5) = -267``, where half-away-from-zero gives
+    −268).  Safe here: o_custkey/o_totalprice are positive TPC-H
+    domains.  Do not copy this pattern to signed columns without a
+    sign-aware variant."""
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),

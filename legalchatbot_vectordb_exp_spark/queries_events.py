@@ -574,10 +574,16 @@ EWMA_SPAN = 8  # trailing rows in the half-decay window
     """,
 )
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially-weighted moving average per actor — decay ½ per
+    f"""Exponentially-weighted *decayed sum* per actor — decay ½ per
     step over the trailing {EWMA_SPAN} rows — in **exact fixed
-    point**: the output is EWMA × 1000 × 2^{EWMA_SPAN - 1} as BIGINT
-    (milli-units scaled so every half-decay weight is an integer).
+    point**.  Note this is the unnormalized EWMA numerator, not the
+    average: the output column ``ewma_fp`` is
+    ``sum(value_age × 1000 × 2^({EWMA_SPAN - 1} − age))`` over ages
+    0..len(vs)−1 (age 0 = current row, halving each step back), i.e.
+    the decayed-weight numerator × 1000 as BIGINT; a caller wanting
+    the normalized EWMA divides by the weight sum
+    (2^{EWMA_SPAN} − 2^({EWMA_SPAN} − len(vs))) downstream.  Keeping
+    the numerator keeps every half-decay weight an integer.
 
     Why fixed point: a float EWMA here is a dyadic sum whose decimal
     expansion terminates with a '5' at the 7th digit for a large

@@ -766,14 +766,14 @@ def _z_sql() -> str:
     )
     return f"""
     WITH z AS (
-      SELECT user_id,
+      SELECT {x} AS ux,
              {_MINUTE_NO_SQL} AS minute_no,
              ({terms}) AS zaddr
       FROM events
     )
     SELECT zaddr >> {Z_BUCKET_SHIFT} AS bucket,
            count(*) AS n_events,
-           (max(user_id) - min(user_id))::BIGINT AS user_span,
+           (max(ux) - min(ux))::BIGINT AS user_span,
            (max(minute_no) - min(minute_no))::BIGINT AS minute_span
     FROM z GROUP BY 1
     """
@@ -815,14 +815,17 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).bitwiseOR(
             F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
+    # spans are over the MASKED coordinates actually interleaved into
+    # the address — a raw-user_id span would overstate locality the
+    # moment ids exceed 2^16 (the mask width)
     z = ev.select(
-        "user_id", minute_no.alias("minute_no"), zaddr.alias("zaddr")
+        x.alias("ux"), minute_no.alias("minute_no"), zaddr.alias("zaddr")
     )
     return z.groupBy(
         F.shiftright("zaddr", Z_BUCKET_SHIFT).alias("bucket")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max("user_id") - F.min("user_id"))
+        (F.max("ux") - F.min("ux"))
         .cast("bigint")
         .alias("user_span"),
         (F.max("minute_no") - F.min("minute_no"))
@@ -1090,10 +1093,12 @@ _BLOOM_SQL = f"""
            count(*) FILTER (WHERE exact_match) AS n_exact,
            count(*) FILTER (WHERE bloom_pass AND NOT exact_match)
              AS n_false_positive,
-           round(
+           -- 0.0 (not NULL) when every probe is a true match: with no
+           -- negatives there are no false positives by definition
+           coalesce(round(
              (count(*) FILTER (WHERE bloom_pass AND NOT exact_match))::DOUBLE
-             / (count(*) FILTER (WHERE NOT exact_match))::DOUBLE, 6)
-             AS fp_rate
+             / nullif(count(*) FILTER (WHERE NOT exact_match), 0)::DOUBLE,
+             6), 0.0) AS fp_rate
     FROM probe
 """
 
@@ -1176,9 +1181,14 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("bloom_pass")).alias("n_bloom_pass"),
         F.count_if(exact).alias("n_exact"),
         F.count_if(F.col("bloom_pass") & ~exact).alias("n_false_positive"),
-        F.round(
-            F.count_if(F.col("bloom_pass") & ~exact).cast("double")
-            / F.count_if(~exact).cast("double"),
-            6,
+        # 0.0 (not NULL) when every probe is a true match — mirrors the
+        # oracle's coalesce(.../nullif(den,0), 0.0)
+        F.coalesce(
+            F.round(
+                F.count_if(F.col("bloom_pass") & ~exact).cast("double")
+                / F.nullif(F.count_if(~exact), F.lit(0)).cast("double"),
+                6,
+            ),
+            F.lit(0.0),
         ).alias("fp_rate"),
     )

@@ -295,6 +295,11 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipWithIndex-style dense rank."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()  # parquet-footer count job
+    if n < 2:
+        raise ValueError(
+            f"negative_sampling needs >=2 embeddings to draw a negative "
+            f"distinct from the anchor; corpus has {n}"
+        )
     hv = lambda j: F.conv(  # noqa: E731
         F.substring(
             F.md5(

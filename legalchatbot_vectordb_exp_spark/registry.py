@@ -50,7 +50,8 @@ def sql_norm(v: str) -> str:
 
 # whitespace words, trimmed, empties dropped — mirrors
 # functions.text.words, using the SAME explicit class (RE2 \s lacks
-# \x0B, Java \s has it; CORRECTNESS_r05 sequence_packing)
+# \x0B, Java \s has it — defensive cross-engine parity hardening,
+# pinned by tests/test_whitespace_parity.py)
 def sql_words(text: str) -> str:
     return (
         f"list_filter(regexp_split_to_array(trim({text}), "

@@ -111,3 +111,27 @@ def test_semdedup_drops_planted_identical_vector(spark, tmp_path):
     assert got[0] is True  # smallest id in its cell always survives
     assert got[7] is False  # identical to a smaller id → dropped
     assert got[9] is True  # anti-parallel: cosine −1 < τ
+
+
+def test_bloom_fp_rate_zero_when_all_probes_match(spark, tmp_path):
+    """fp_rate must be 0.0 — not NULL — when every probe row is an
+    exact match (no negatives => no false positives by definition;
+    ADVICE r5/r6).  Both engines agree via coalesce(.../nullif, 0)."""
+    from legalchatbot_vectordb_exp_spark.queries_scale import (
+        q_bloom_prune_join,
+    )
+
+    cust = spark.range(8).selectExpr(
+        "id AS c_custkey", "'BUILDING' AS c_mktsegment"
+    )
+    cust.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.range(32).selectExpr(
+        "id AS o_orderkey", "(id % 8) AS o_custkey"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    row = q_bloom_prune_join(spark, str(tmp_path)).collect()[0]
+    assert row.n_exact == row.n_orders == 32
+    assert row.fp_rate == 0.0

@@ -86,3 +86,24 @@ def test_decontamination_pairs_really_overlap(spark, sf_correct):
         assert r.bench_id % BENCH_MOD == 0
         shared = shingles(docs[r.train_id]) & shingles(docs[r.bench_id])
         assert len(shared) == r.n_shared >= CONTAM_MIN_SHARED
+
+
+def test_negative_sampling_rejects_singleton_corpus(spark, tmp_path):
+    """n < 2 must raise a clear error instead of a mod-by-zero in the
+    `% (n-1)` slot expression (ADVICE r5/r6)."""
+    import pytest
+
+    from legalchatbot_vectordb_exp_spark.queries_training import (
+        q_negative_sampling,
+    )
+
+    one = spark.range(1).selectExpr(
+        "id AS vec_id",
+        "array(0.1D, 0.2D) AS embedding",
+        "0L AS label",
+    )
+    one.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    with pytest.raises(ValueError, match=">=2 embeddings"):
+        q_negative_sampling(spark, str(tmp_path))

@@ -40,6 +40,7 @@ Codec status is split honestly:
 from __future__ import annotations
 
 import zlib
+from collections import OrderedDict
 from collections.abc import Iterator
 
 import numpy as np
@@ -450,7 +451,22 @@ def _default_video_backend():
     return None
 
 
-def _resolve_pixels(data: bytes, backend):
+# Per-Python-worker decode memo: corpora with repeated blobs (tiled
+# fixtures, boilerplate logos, the MJPEG constant-gray frames — ≤256
+# distinct across the whole suite) hit ~100%; genuinely unique 100 TB
+# image corpora hit ~0% and pay only a dict probe per blob.  Strictly
+# bounded: only small compressed blobs are keyed (the key stores the
+# bytes themselves — exact, no digest-collision caveat), only small
+# decoded arrays are retained, LRU-evicted at _PIXEL_MEMO_MAX entries.
+# Worst case ≈ 512 × (64 KiB key + 256 KiB array) ≈ 160 MiB/worker.
+_PIXEL_MEMO: "OrderedDict[tuple, object]" = OrderedDict()
+_PIXEL_MEMO_MAX = 512
+_PIXEL_MEMO_MAX_BLOB = 1 << 16  # don't key blobs > 64 KiB
+_PIXEL_MEMO_MAX_PIXELS = 1 << 18  # don't retain arrays > 256 KiB
+_MEMO_MISS = object()
+
+
+def _resolve_pixels_uncached(data: bytes, backend):
     """Backend first (native-code throughput at scale), pure decoders
     for everything the backend is absent for or rejects."""
     if backend is not None:
@@ -458,6 +474,25 @@ def _resolve_pixels(data: bytes, backend):
         if px is not None:
             return px
     return decode_pixels(data)
+
+
+def _resolve_pixels(data: bytes, backend):
+    if len(data) > _PIXEL_MEMO_MAX_BLOB:
+        return _resolve_pixels_uncached(data, backend)
+    key = (type(backend).__name__ if backend is not None else None, data)
+    hit = _PIXEL_MEMO.get(key, _MEMO_MISS)
+    if hit is not _MEMO_MISS:
+        _PIXEL_MEMO.move_to_end(key)
+        return hit
+    px = _resolve_pixels_uncached(data, backend)
+    if px is not None and px.nbytes > _PIXEL_MEMO_MAX_PIXELS:
+        return px
+    if px is not None:
+        px.setflags(write=False)  # shared across rows — freeze it
+    _PIXEL_MEMO[key] = px
+    if len(_PIXEL_MEMO) > _PIXEL_MEMO_MAX:
+        _PIXEL_MEMO.popitem(last=False)
+    return px
 
 
 def decode_pixels(data: bytes):

@@ -65,6 +65,59 @@ def ivf_mod_for(n_rows: int) -> int:
     return max(IVF_MOD, n_rows // IVF_TARGET_NLIST)
 
 
+def ivf_best_cells(E, cids, cmat):
+    """THE coarse quantizer — nearest deterministic centroid per row.
+
+    Single definition shared by every IVF consumer (ann_ivf_topk,
+    ann_ivf_topk_batch, ann_ivfpq_topk's assign_encode, and SemDeDup's
+    cell blocking in queries_scale.py), so an IVF change can never
+    silently shift dedup groups relative to search cells.  Dims fold
+    column-sequentially (same IEEE order as the SQL oracle's
+    aggregate(zip_with(...))); argmax ties break toward the SMALLER
+    centroid id via the tiny id-proportional penalty, matching the
+    oracle's max_by ordering."""
+    import numpy as np
+
+    C = np.asarray(cmat, dtype=np.float64)  # nlist × dim
+    penal = 1e-12 * (-np.asarray(cids, dtype=np.float64))
+    scores = np.zeros((E.shape[0], C.shape[0]))
+    for j in range(C.shape[1]):  # sequential across dims
+        scores = scores + E[:, j, None] * C[None, :, j]
+    best = np.argmax(scores + penal[None, :], axis=1)
+    return np.asarray(cids, dtype=np.int64)[best]
+
+
+def make_ivf_assign(cids, cmat, probe=None):
+    """mapInPandas kernel factory over :func:`ivf_best_cells`: emits
+    (vec_id, embedding, cluster_id), pruned in-kernel to the probed
+    cells when ``probe`` is given (the pruned rows never cross the
+    Arrow boundary back to the JVM)."""
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster_id": ivf_best_cells(E, cids, cmat),
+                }
+            )
+            yield out if probe is None else out[
+                out["cluster_id"].isin(probe)
+            ]
+
+    return assign
+
+
+IVF_ASSIGN_SCHEMA = "vec_id long, embedding array<double>, cluster_id long"
+
+
 LSH_TARGET_OCCUPANCY = 4  # expected vectors per bucket (uniform case)
 SQL_N_PLANES = (
     f"(SELECT greatest({N_PLANES}, least(62, "
@@ -264,31 +317,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[:NPROBE]
     )
 
-    def assign(batches):
-        import pandas as pd
-
-        C = np.array(cmat, dtype=np.float64)  # nlist × dim
-        penal = 1e-12 * (-np.array(cids, dtype=np.float64))
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            E = np.array(list(pdf["embedding"]), dtype=np.float64)
-            scores = np.zeros((len(pdf), C.shape[0]))
-            for j in range(C.shape[1]):  # sequential across dims
-                scores = scores + E[:, j, None] * C[None, :, j]
-            best = np.argmax(scores + penal[None, :], axis=1)
-            out = pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cluster_id": [cids[i] for i in best],
-                }
-            )
-            yield out[out["cluster_id"].isin(probe)]
-
     qlit = F.array(*[F.lit(x) for x in qvec])
     probed = emb.mapInPandas(
-        assign, schema="vec_id long, embedding array<double>, cluster_id long"
+        make_ivf_assign(cids, cmat, probe=probe), schema=IVF_ASSIGN_SCHEMA
     )
     return (
         probed.withColumn("score", dot("embedding", qlit))
@@ -418,30 +449,9 @@ def ivf_batch_topk(
         probe_rows.extend((qid, cid, qv) for _, cid in top)
     probe_cells = set(cid for _, cid, _ in probe_rows)
 
-    def assign(batches):
-        import pandas as pd
-
-        C = np.array(cmat, dtype=np.float64)  # nlist × dim
-        penal = 1e-12 * (-np.array(cids, dtype=np.float64))
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            E = np.array(list(pdf["embedding"]), dtype=np.float64)
-            scores = np.zeros((len(pdf), C.shape[0]))
-            for j in range(C.shape[1]):  # sequential across dims
-                scores = scores + E[:, j, None] * C[None, :, j]
-            best = np.argmax(scores + penal[None, :], axis=1)
-            out = pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cluster_id": [cids[i] for i in best],
-                }
-            )
-            yield out[out["cluster_id"].isin(probe_cells)]
-
     probed = emb.mapInPandas(
-        assign, schema="vec_id long, embedding array<double>, cluster_id long"
+        make_ivf_assign(cids, cmat, probe=probe_cells),
+        schema=IVF_ASSIGN_SCHEMA,
     )
     qdf = spark.createDataFrame(
         probe_rows, "query_id long, cluster_id long, qv array<double>"
@@ -712,18 +722,13 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def assign_encode(batches):
         import pandas as pd
 
-        C = np.array(cmat_b, dtype=np.float64)
-        penal = 1e-12 * (-np.array(cids_b, dtype=np.float64))
         allow = np.asarray(union_b, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
             E = np.array(list(pdf["embedding"]), dtype=np.float64)
-            scores = np.zeros((len(pdf), C.shape[0]))
-            for j in range(C.shape[1]):  # sequential across dims
-                scores = scores + E[:, j, None] * C[None, :, j]
-            best = np.argmax(scores + penal[None, :], axis=1)
-            cells = np.array([cids_b[i] for i in best], dtype=np.int64)
+            # same shared coarse quantizer as every other IVF consumer
+            cells = ivf_best_cells(E, cids_b, cmat_b)
             keep = np.isin(cells, allow)
             if not keep.any():
                 continue

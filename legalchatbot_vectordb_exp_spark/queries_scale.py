@@ -377,29 +377,15 @@ def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cids = [int(r[0]) for r in cmeta]
     cmat = [list(map(float, r[1])) for r in cmeta]
 
-    def assign(batches):
-        import pandas as pd
-
-        C = np.array(cmat, dtype=np.float64)  # nlist × dim
-        penal = 1e-12 * (-np.array(cids, dtype=np.float64))
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            E = np.array(list(pdf["embedding"]), dtype=np.float64)
-            scores = np.zeros((len(pdf), C.shape[0]))
-            for j in range(C.shape[1]):  # sequential across dims
-                scores = scores + E[:, j, None] * C[None, :, j]
-            best = np.argmax(scores + penal[None, :], axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cluster_id": [cids[i] for i in best],
-                }
-            )
+    from legalchatbot_vectordb_exp_spark.queries_ann import (
+        IVF_ASSIGN_SCHEMA,
+        make_ivf_assign,
+    )
 
     assigned = emb.mapInPandas(
-        assign, schema="vec_id long, embedding array<double>, cluster_id long"
+        # SHARED coarse quantizer with the ANN family — an IVF change
+        # cannot shift dedup cells independently of search cells
+        make_ivf_assign(cids, cmat), schema=IVF_ASSIGN_SCHEMA
     ).cache()  # one assignment pass feeds both join sides + the output
     # cap pairing-group size: cells beyond SEMDEDUP_CELL_CAP split
     # into deterministic md5 sub-buckets (sizes frame is nlist rows —

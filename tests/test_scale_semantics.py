@@ -135,3 +135,43 @@ def test_bloom_fp_rate_zero_when_all_probes_match(spark, tmp_path):
     row = q_bloom_prune_join(spark, str(tmp_path)).collect()[0]
     assert row.n_exact == row.n_orders == 32
     assert row.fp_rate == 0.0
+
+
+def test_semdedup_and_ann_share_one_quantizer(spark, sf_smoke):
+    """SemDeDup's cell blocking and the ANN family must assign every
+    vector to the SAME IVF cell (r5/r6 VERDICT ask): both now route
+    through queries_ann.make_ivf_assign / ivf_best_cells, and this
+    pins the distributed kernel against an independent driver-side
+    evaluation so a quantizer change can't silently shift dedup
+    groups relative to search cells."""
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.io_tables import load_table
+    from legalchatbot_vectordb_exp_spark.queries_ann import (
+        IVF_ASSIGN_SCHEMA,
+        ivf_best_cells,
+        ivf_mod_for,
+        make_ivf_assign,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    rows = emb.collect()
+    mod = ivf_mod_for(len(rows))
+    cids = [int(r[0]) for r in rows if int(r[0]) % mod == 0]
+    cmat = [list(map(float, r[1])) for r in rows if int(r[0]) % mod == 0]
+
+    # distributed path (exactly what semdedup_cells / ann_ivf_topk run)
+    dist = {
+        int(r["vec_id"]): int(r["cluster_id"])
+        for r in emb.mapInPandas(
+            make_ivf_assign(cids, cmat), schema=IVF_ASSIGN_SCHEMA
+        ).collect()
+    }
+    # independent driver-side evaluation of the same quantizer
+    E = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
+    want = ivf_best_cells(E, cids, cmat)
+    assert len(dist) == len(rows)
+    for r, cell in zip(rows, want):
+        assert dist[int(r[0])] == int(cell), int(r[0])

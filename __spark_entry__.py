@@ -39,18 +39,26 @@ _SAMPLE_PRIORITY = [
     "table_profile",
     "kmeans_refine",
     "incremental_agg_maintain",
+    # new in r7: dim-contract probe (driver-red if the in-UDF embed
+    # dimension assert is removed) and behavior-changed queries
+    "embed_dim_contract",
+    "zorder_layout",
+    "bloom_prune_join",
+    "negative_sampling",
+    "semdedup_cells",
+    "ann_ivf_topk",
+    "ann_ivf_topk_batch",
+    "ann_ivfpq_topk",
+    "multimodal_frames",
+    "multimodal_decode",
+    "multimodal_resize",
     # E10 scale family — driver-green r6, keep warm
     "dedup_incremental",
     "substring_dedup_spans",
-    "semdedup_cells",
-    "bloom_prune_join",
-    "zorder_layout",
     "cms_heavy_hitters",
     "graph_triangles",
     "dq_audit",
-    "negative_sampling",
     "hard_negatives",
-    "multimodal_resize",
     "events_ewma",
     "udaf_grouped_median",
     "orc_roundtrip",

@@ -185,12 +185,18 @@ def embed_text_relational_udf(dim: int = 16):
     return embed
 
 
-def embed_text_udf(dim: int = DEFAULT_DIM):
+def embed_text_udf(
+    dim: int = DEFAULT_DIM,
+    factory: Callable[[], object] | None = None,
+):
     """Returns a pandas_udf: text column → ARRAY<DOUBLE> unit vector.
 
     Iterator form so the per-executor model loads once, not per batch.
-    """
-    factory = _MODEL_FACTORY  # captured now; serialized with the UDF
+    ``factory`` overrides the installed global backend for this one
+    UDF (used by the embed_dim_contract query to prove the in-UDF
+    dimension assert fires on a mismatched backend)."""
+    if factory is None:
+        factory = _MODEL_FACTORY  # captured now; serialized with the UDF
 
     @pandas_udf("array<double>")
     def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:

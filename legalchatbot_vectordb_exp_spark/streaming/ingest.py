@@ -95,3 +95,49 @@ def stream_index_into_collection(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_merge_into_versioned(
+    docs: DataFrame,
+    collection,
+    checkpoint_dir: str,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous index build into a ``VersionedCollection``
+    (``sources/versioned.py``): embed each micro-batch, COW-MERGE it.
+
+    vs ``stream_index_into_collection``: every micro-batch becomes one
+    committed VERSION — the ingest history is queryable (``history()``
+    shows one ``merge:update`` per non-empty batch) and any past index
+    state is time-travel readable while ingest keeps running (readers
+    resolve immutable snapshots; the stream never overwrites what a
+    concurrent query has open).  Restart semantics: checkpointed
+    source offsets make re-processing rare, and a re-merged batch is
+    value-idempotent (same keys → same rows) — it just burns an extra
+    version, which ``vacuum`` retires.  Duplicate ids *within* one
+    batch are rejected by merge's write-time validation: dedup
+    upstream (e.g. ``dropDuplicatesWithinWatermark``) for sources
+    that can repeat a key inside a trigger.
+    """
+    props = collection.properties
+    vector_col = props["vector_col"]
+    cid = props["id_col"]
+
+    embedded = docs.select(
+        F.col(id_col).alias(cid),
+        embed_text_udf(dim)(F.col(text_col)).alias(vector_col),
+    )
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.isEmpty():
+            collection.merge(batch)
+
+    writer = embedded.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -185,3 +185,79 @@ def test_validation_rejects_bad_vectors_and_dup_ids(coll, spark):
         )
     with pytest.raises(ValueError, match="duplicate ids"):
         coll.merge(_mk(spark, [(1, 1), (1, 2)]))
+
+
+def test_compact_commits_new_version_and_preserves_history(spark, tmp_path):
+    c = VersionedCollection(spark, str(tmp_path), "cp")
+    base = _mk(spark, [(i, i) for i in range(12)]).repartition(6, "id")
+    c.create(base, dim=3, metric="dot", normalize=False)
+    c.merge(_mk(spark, [(0, 100)]))
+    before = _state(c)
+    m1 = c.manifest(1)
+    stats = c.compact(target_file_bytes=1 << 20)  # everything is small
+    assert stats["version"] == 2
+    assert stats["files_after"] < stats["files_before"]
+    assert c.manifest(2)["operation"] == "compact"
+    # data unchanged, pre-compaction snapshots still readable
+    assert _state(c) == before
+    assert _state(c, version=1) == before
+    assert set(c.manifest(1)["files"]) == set(m1["files"])
+
+
+def test_compact_noop_below_min_files(spark, tmp_path):
+    c = VersionedCollection(spark, str(tmp_path), "cp1")
+    c.create(
+        _mk(spark, [(0, 0)]).coalesce(1), dim=3, metric="dot",
+        normalize=False,
+    )
+    stats = c.compact(min_files=2)
+    assert stats["compacted"] == 0
+    assert c.latest_version() == 0  # no empty commit
+
+
+def test_stream_merge_into_versioned(spark, tmp_path):
+    """readStream → embed → foreachBatch COW-MERGE: one version per
+    micro-batch, time travel across ingest, idempotent restart."""
+    from legalchatbot_vectordb_exp_spark.streaming.ingest import (
+        read_document_stream,
+        stream_merge_into_versioned,
+    )
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    c = VersionedCollection(spark, str(tmp_path / "wh"), "sv")
+    seed = spark.createDataFrame(
+        [(2, [1.0] + [0.0] * 63, 0)],
+        "id long, vector array<double>, label long",
+    )
+    c.create(seed.drop("label"), dim=64)
+
+    q = stream_merge_into_versioned(
+        read_document_stream(spark, src), c, ckpt, dim=64
+    )
+    q.awaitTermination(120)
+
+    assert c.latest_version() >= 1
+    ids = {r.id for r in c.read().select("id").collect()}
+    assert ids == {1, 2}
+    # pre-ingest snapshot still readable mid-history
+    assert {r.id for r in c.read(version=0).select("id").collect()} == {2}
+    ops = [m["operation"] for m in c.history()]
+    assert ops[0] == "create" and all(
+        o == "merge:update" for o in ops[1:]
+    )
+
+    # restart with new files: only new offsets process
+    spark.createDataFrame(
+        [(3, "epsilon zeta")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_merge_into_versioned(
+        read_document_stream(spark, src), c, ckpt, dim=64
+    )
+    q2.awaitTermination(120)
+    ids = {r.id for r in c.read().select("id").collect()}
+    assert ids == {1, 2, 3}

@@ -361,6 +361,11 @@ class VersionedCollection:
                 )
             else:
                 out = survivors
+            # bound output file count to the rewritten-input count:
+            # without this, survivors' partitions + incoming's
+            # partitions each emit a file and every merge multiplies
+            # small files (measured: 8 rewritten -> 18 written)
+            out = out.coalesce(max(1, len(matched_files)))
 
             try:
                 self._commit(

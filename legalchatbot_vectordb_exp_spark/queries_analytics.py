@@ -8,7 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.io_tables import load_table, spread
 from legalchatbot_vectordb_exp_spark.operators.asof import asof_join
 from legalchatbot_vectordb_exp_spark.registry import register
 
@@ -549,8 +549,13 @@ def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded constant), never in table size; pair/frequency aggregates
     are key-partitioned with partial agg.  Lift is one multiply and
     one divide over exact integer counts → bit-identical floats."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+    # spread(): pair generation + partial agg run on all cores
+    # (single-row-group test files arrive as 3 scan partitions;
+    # no-op at production file counts)
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
     )
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
@@ -568,11 +573,9 @@ def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = li.groupBy("l_partkey").agg(
         F.count_distinct("l_orderkey").alias("n_orders")
     )
-    n_orders = (
-        load_table(spark, sf_dir, "orders")
-        .agg(F.count_distinct("o_orderkey"))
-        .collect()[0][0]
-    )  # metadata scalar
+    # o_orderkey is the orders primary key, so the basket count is the
+    # row count — a parquet-footer metadata read, not a distinct agg
+    n_orders = load_table(spark, sf_dir, "orders").count()
     fa = freq.select(
         F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na")
     )

@@ -647,13 +647,17 @@ def q_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(F.col("vec_id").alias("doc_id"))
     )
-    k_bm = bm_top.count()
-    k_cos = cos_top.count()
-    n_overlap = bm_top.join(cos_top, "doc_id").count()
-    return spark.range(1).select(
-        F.lit(k_bm).cast("bigint").alias("k_bm25"),
-        F.lit(k_cos).cast("bigint").alias("k_cosine"),
-        F.lit(n_overlap).cast("bigint").alias("n_overlap"),
+    # ONE lazy job: full-outer join of the two (≤100-row) top lists,
+    # three count_if columns — the previous three eager .count() jobs
+    # each recomputed the BM25 pipeline from scratch
+    a = bm_top.select("doc_id", F.lit(True).alias("in_bm"))
+    b = cos_top.select("doc_id", F.lit(True).alias("in_cos"))
+    return a.join(b, "doc_id", "full").agg(
+        F.count_if(F.col("in_bm").isNotNull()).alias("k_bm25"),
+        F.count_if(F.col("in_cos").isNotNull()).alias("k_cosine"),
+        F.count_if(
+            F.col("in_bm").isNotNull() & F.col("in_cos").isNotNull()
+        ).alias("n_overlap"),
     )
 
 

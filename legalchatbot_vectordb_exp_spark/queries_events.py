@@ -574,7 +574,7 @@ EWMA_SPAN = 8  # trailing rows in the half-decay window
     """,
 )
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Exponentially-weighted *decayed sum* per actor — decay ½ per
+    """Exponentially-weighted *decayed sum* per actor — decay ½ per
     step over the trailing {EWMA_SPAN} rows — in **exact fixed
     point**.  Note this is the unnormalized EWMA numerator, not the
     average: the output column ``ewma_fp`` is

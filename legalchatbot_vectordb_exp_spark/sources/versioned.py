@@ -13,6 +13,7 @@ Layout::
     <warehouse>/<name>/
         _collection.json            # static props (dim, metric, cols)
         _versions/v00000042.json    # manifest per committed version
+        _versions/_checkpoint.json  # periodic (version, ts) index
         data/c<version>-<token>/    # immutable files, append-only
             part-*.parquet
 
@@ -25,35 +26,54 @@ Core properties, each pinned by ``tests/test_versioned_collection.py``:
 * **Atomic publish / optimistic concurrency** — a commit is the
   creation of ``_versions/v{n}.json`` via ``os.link`` (create-if-
   absent; atomic on POSIX).  Two writers racing to version n: exactly
-  one link succeeds, the loser gets ``ConcurrentWriteError`` and
-  ``merge``/``delete_where`` rebase on the winner's snapshot and
-  retry.  (On object stores this maps to a put-if-absent / DynamoDB
-  mutex, as in Delta-on-S3.)
+  one link succeeds, the loser gets ``ConcurrentWriteError``, sweeps
+  its own freshly written data subdir, and ``merge``/``delete_where``
+  rebase on the winner's snapshot and retry.  (On object stores this
+  maps to a put-if-absent / DynamoDB mutex, as in Delta-on-S3.)
 * **File-level copy-on-write MERGE** — ``merge`` rewrites ONLY the
   data files that contain a matched key (found with a semi-join on
   ``input_file_name``); untouched files carry into the new manifest
   by reference.  An upsert hitting 3 of 4096 files rewrites 3 files,
   not the table — the scale property ``collection.upsert``'s full
   rewrite lacks.
+* **Per-file id stats → scan pruning** — every manifest entry carries
+  the file's parquet-footer min/max of the id column; matched-file
+  discovery first drops every file whose id range cannot intersect
+  the merge-key range (driver-side arithmetic, no read), then scans
+  only the survivors' id columns.  A key-local CDC batch against a
+  range-clustered table prunes almost the whole snapshot before any
+  data is opened (``last_merge_stats`` records the split).
+* **Checkpointed log** — every ``checkpoint_interval`` commits the
+  (version, timestamp) index is rolled into
+  ``_versions/_checkpoint.json``; latest-version and as-of-timestamp
+  resolution read ONE checkpoint plus the post-checkpoint tail
+  instead of listing / reading the whole log (O(1) in history length;
+  ``io_counters`` proves it).
 * **Time travel** — ``read(version=...)`` / ``read(as_of_timestamp_ms
   =...)``; ``history()`` lists every commit with operation metadata.
 * **Vacuum with retention** — data files referenced by no retained
-  manifest are deleted; time travel inside the retention window is
-  never broken by cleanup.
+  manifest are deleted *once older than* ``min_file_age_ms``
+  (mtime-based, like Delta VACUUM's retention hours).  The age guard
+  is what makes vacuum safe under concurrent writers: an in-flight
+  commit writes its data files BEFORE publishing its manifest, so a
+  zero-retention sweep could delete a racing writer's just-written
+  files and corrupt the snapshot it publishes moments later.  Time
+  travel inside the retention window is never broken by cleanup.
 
-At 100 TB the only driver-side state is the manifest (file list) —
-data never collects.  The per-commit file listing is O(files written),
-and the matched-file discovery reads just the id column of the current
-snapshot (parquet column pruning) plus a broadcast of the merge keys.
+At 100 TB the only driver-side state is the manifest (file list +
+footer stats) — data never collects.  The per-commit file listing is
+O(files written); matched-file discovery is manifest arithmetic plus
+an id-column scan of just the stats-surviving files.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -63,7 +83,12 @@ from legalchatbot_vectordb_exp_spark.functions.vector import l2_normalize
 
 _PROPS_FILE = "_collection.json"
 _VERSIONS_DIR = "_versions"
+_CHECKPOINT_FILE = "_checkpoint.json"
 _DATA_DIR = "data"
+
+# Unreferenced files younger than this are presumed to belong to an
+# in-flight (not yet published) commit and survive vacuum by default.
+_DEFAULT_VACUUM_AGE_MS = 24 * 3600 * 1000
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -87,15 +112,59 @@ def _validate(
     return df
 
 
+def _footer_minmax(path: str, id_col: str):
+    """[min, max] of ``id_col`` from the parquet footer's row-group
+    statistics — a metadata read, never the data pages.  ``None`` when
+    the footer carries no usable stats (the file then simply skips
+    range pruning and goes to the id-column scan)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+        idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.schema.column(i).path == id_col
+        )
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None
+        if isinstance(lo, bytes):
+            lo, hi = lo.decode("utf-8", "replace"), hi.decode(
+                "utf-8", "replace"
+            )
+        return [lo, hi]
+    except Exception:
+        return None
+
+
 class VersionedCollection:
     """Versioned vector table: create → merge/delete_where (each commit
     = one new immutable version) → read(any version) → vacuum."""
+
+    #: roll the (version, timestamp) index into _checkpoint.json every
+    #: this many commits (Delta's checkpoint cadence)
+    checkpoint_interval = 10
 
     def __init__(self, spark: SparkSession, warehouse: str, name: str):
         self.spark = spark
         self.warehouse = warehouse
         self.name = name
         self.path = os.path.join(warehouse, name)
+        #: log-resolution I/O accounting (tests pin O(1) resolution)
+        self.io_counters = {
+            "manifest_reads": 0,
+            "listdirs": 0,
+            "checkpoint_reads": 0,
+        }
+        #: populated by the most recent merge() on this instance
+        self.last_merge_stats: dict | None = None
 
     # ---------------------------------------------------------- manifests
 
@@ -105,10 +174,51 @@ class VersionedCollection:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._versions_dir(), f"v{version:08d}.json")
 
+    def _checkpoint_path(self) -> str:
+        return os.path.join(self._versions_dir(), _CHECKPOINT_FILE)
+
+    def _read_checkpoint(self) -> dict | None:
+        try:
+            with open(self._checkpoint_path()) as f:
+                ck = json.load(f)
+            self.io_counters["checkpoint_reads"] += 1
+            return ck
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _write_checkpoint(self, commits: list[list[int]]) -> None:
+        """Atomic last-writer-wins replace — the checkpoint is pure
+        derived data (re-derivable from the manifests), so two racing
+        writers producing it is harmless."""
+        d = self._versions_dir()
+        tmp = os.path.join(d, f".ckpt-tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": commits[-1][0], "commits": commits}, f
+            )
+        os.replace(tmp, self._checkpoint_path())
+
     def versions(self) -> list[int]:
+        """Committed versions, ascending.  With a checkpoint: the
+        checkpointed index (existence-filtered, tolerating vacuum)
+        plus a forward probe for the post-checkpoint tail — no
+        directory listing, no manifest reads.  Without one: listdir."""
+        ck = self._read_checkpoint()
+        if ck is not None:
+            vs = [
+                v
+                for v, _ in ck["commits"]
+                if os.path.isfile(self._manifest_path(v))
+            ]
+            v = ck["version"] + 1
+            while os.path.isfile(self._manifest_path(v)):
+                vs.append(v)
+                v += 1
+            return vs
         d = self._versions_dir()
         if not os.path.isdir(d):
             return []
+        self.io_counters["listdirs"] += 1
         return sorted(
             int(f[1:9])
             for f in os.listdir(d)
@@ -124,6 +234,7 @@ class VersionedCollection:
         return vs[-1]
 
     def manifest(self, version: int) -> dict:
+        self.io_counters["manifest_reads"] += 1
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
@@ -142,22 +253,35 @@ class VersionedCollection:
 
     # ------------------------------------------------------------- commit
 
-    def _write_files(self, df: DataFrame, version: int) -> list[str]:
+    def _write_files(
+        self, df: DataFrame, version: int, id_col: str | None
+    ) -> tuple[str, list[str], dict]:
         """Write a commit's data files into a fresh immutable subdir;
-        returns collection-relative paths.  The subdir token makes
-        concurrent losers' orphan files harmless (vacuum sweeps them)."""
+        returns (subdir, collection-relative paths, per-file id-column
+        [min, max] footer stats).  The subdir token makes concurrent
+        losers' orphan files harmless (vacuum sweeps them once aged
+        out)."""
         sub = os.path.join(_DATA_DIR, f"c{version:08d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.path, sub)
         df.write.mode("error").parquet(out)
-        return sorted(
+        files = sorted(
             os.path.join(sub, f)
             for f in os.listdir(out)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
+        stats = {}
+        if id_col:
+            for rel in files:
+                mm = _footer_minmax(os.path.join(self.path, rel), id_col)
+                if mm is not None:
+                    stats[rel] = mm
+        return out, files, stats
 
     def _publish(self, manifest: dict) -> None:
         """Atomic put-if-absent of the manifest: os.link fails with
-        FileExistsError when the version was already committed."""
+        FileExistsError when the version was already committed.  Every
+        ``checkpoint_interval``-th commit also rolls the (version,
+        timestamp) index into the checkpoint."""
         d = self._versions_dir()
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
@@ -173,6 +297,31 @@ class VersionedCollection:
             ) from exc
         finally:
             os.unlink(tmp)
+        v = manifest["version"]
+        if v > 0 and v % self.checkpoint_interval == 0:
+            self._maybe_checkpoint(v, manifest["timestamp_ms"])
+
+    def _maybe_checkpoint(self, version: int, timestamp_ms: int) -> None:
+        """Extend the previous checkpoint's index with the tail of
+        manifests up to ``version`` — O(interval) manifest reads, not
+        O(history) — then atomically replace the checkpoint."""
+        ck = self._read_checkpoint()
+        if ck is not None:
+            commits = [
+                [v, t]
+                for v, t in ck["commits"]
+                if v < version
+                and os.path.isfile(self._manifest_path(v))
+            ]
+            start = ck["version"] + 1
+        else:
+            commits = []
+            start = 0
+        for v in range(start, version):
+            if os.path.isfile(self._manifest_path(v)):
+                commits.append([v, self.manifest(v)["timestamp_ms"]])
+        commits.append([version, timestamp_ms])
+        self._write_checkpoint(commits)
 
     def _commit(
         self,
@@ -182,22 +331,38 @@ class VersionedCollection:
         operation: str,
         carried: list[str],
         schema: StructType,
+        carried_stats: dict | None = None,
+        id_col: str | None = None,
     ) -> None:
-        new_files = (
-            self._write_files(df, version) if df is not None else []
-        )
-        self._publish(
-            {
-                "version": version,
-                "parent": parent,
-                "timestamp_ms": int(time.time() * 1000),
-                "operation": operation,
-                "files": carried + new_files,
-                "n_carried": len(carried),
-                "n_written": len(new_files),
-                "schema": schema.json(),
-            }
-        )
+        """Write-then-publish.  On a lost publish race the freshly
+        written data subdir is swept best-effort before re-raising, so
+        retry loops don't strew orphans (vacuum's age guard covers any
+        sweep that itself fails)."""
+        out_dir = None
+        new_files: list[str] = []
+        new_stats: dict = {}
+        if df is not None:
+            out_dir, new_files, new_stats = self._write_files(
+                df, version, id_col
+            )
+        try:
+            self._publish(
+                {
+                    "version": version,
+                    "parent": parent,
+                    "timestamp_ms": int(time.time() * 1000),
+                    "operation": operation,
+                    "files": carried + new_files,
+                    "stats": {**(carried_stats or {}), **new_stats},
+                    "n_carried": len(carried),
+                    "n_written": len(new_files),
+                    "schema": schema.json(),
+                }
+            )
+        except ConcurrentWriteError:
+            if out_dir is not None:
+                shutil.rmtree(out_dir, ignore_errors=True)
+            raise
 
     # --------------------------------------------------------------- DDL
 
@@ -212,7 +377,10 @@ class VersionedCollection:
     ) -> "VersionedCollection":
         """Commit version 0.  Refuses to clobber an existing versioned
         collection — there is no destructive recreate here; the
-        history IS the collection."""
+        history IS the collection.  ``normalize`` is persisted in the
+        collection props so every later ``merge`` applies the same
+        vector scaling the base rows got (a cosine collection created
+        with ``normalize=False`` must not get normalized merge rows)."""
         if self.exists():
             raise FileExistsError(
                 f"collection {self.name} already exists (latest "
@@ -229,11 +397,13 @@ class VersionedCollection:
                     "metric": metric,
                     "vector_col": vector_col,
                     "id_col": id_col,
+                    "normalize": normalize,
                 },
                 f,
             )
         self._commit(
-            out, 0, None, "create", carried=[], schema=out.schema
+            out, 0, None, "create", carried=[], schema=out.schema,
+            id_col=id_col,
         )
         return self
 
@@ -253,8 +423,8 @@ class VersionedCollection:
         if as_of_timestamp_ms is not None:
             eligible = [
                 v
-                for v in self.versions()
-                if self.manifest(v)["timestamp_ms"] <= as_of_timestamp_ms
+                for v, t in self._commit_index()
+                if t <= as_of_timestamp_ms
             ]
             if not eligible:
                 raise FileNotFoundError(
@@ -263,6 +433,33 @@ class VersionedCollection:
                 )
             return eligible[-1]
         return self.latest_version()
+
+    def _commit_index(self) -> list[tuple[int, int]]:
+        """(version, timestamp_ms) ascending — checkpointed versions
+        come from the ONE checkpoint read; only the post-checkpoint
+        tail opens manifests."""
+        ck = self._read_checkpoint()
+        out: list[tuple[int, int]] = []
+        start = 0
+        if ck is not None:
+            out = [
+                (v, t)
+                for v, t in ck["commits"]
+                if os.path.isfile(self._manifest_path(v))
+            ]
+            start = ck["version"] + 1
+        v = start
+        while os.path.isfile(self._manifest_path(v)):
+            out.append((v, self.manifest(v)["timestamp_ms"]))
+            v += 1
+        if not out and ck is None:
+            # no checkpoint and no contiguous-from-0 tail: fall back
+            # to the listed log (vacuumed histories start above 0)
+            out = [
+                (v, self.manifest(v)["timestamp_ms"])
+                for v in self.versions()
+            ]
+        return out
 
     def read(
         self,
@@ -287,8 +484,16 @@ class VersionedCollection:
     # -------------------------------------------------------------- MERGE
 
     def _rel_of_uri(self, uri: str) -> str:
-        p = urlparse(uri).path or uri
-        return os.path.relpath(p, os.path.abspath(self.path))
+        """Manifest-relative path of a Spark ``input_file_name`` URI.
+        The URI's path is percent-encoded and may traverse symlinks
+        Spark resolved differently than Python would (macOS /tmp →
+        /private/tmp), so unquote and realpath BOTH sides before
+        relpath — a mismatch here would silently carry a rewritten
+        file by reference (row duplication)."""
+        p = unquote(urlparse(uri).path or uri)
+        return os.path.relpath(
+            os.path.realpath(p), os.path.realpath(self.path)
+        )
 
     def merge(
         self,
@@ -306,10 +511,16 @@ class VersionedCollection:
           unmatched source rows are ignored (``WHEN MATCHED THEN
           DELETE``).
 
-        Only data files containing at least one matched key are
-        rewritten; every other file carries into the new manifest by
-        reference.  On a publish race the merge rebases on the winning
-        snapshot and retries (optimistic concurrency)."""
+        Matched-file discovery is two-tier: files whose footer id
+        range cannot intersect the merge-key range are carried without
+        being opened (manifest arithmetic), the rest get the id-column
+        semi-join scan.  Only files containing at least one matched
+        key are rewritten.  On a publish race the merge rebases on the
+        winning snapshot and retries (optimistic concurrency); the
+        discovery/prune split of the winning attempt lands in
+        ``self.last_merge_stats``."""
+        if max_retries < 1:
+            raise ValueError(f"max_retries must be >= 1, got {max_retries}")
         if when_matched not in ("update", "delete"):
             raise ValueError(f"unknown when_matched={when_matched!r}")
         props = self.properties
@@ -318,27 +529,50 @@ class VersionedCollection:
             incoming = _validate(
                 source, props["dim"], vector_col, id_col, self.name
             )
-            if props["metric"] == "cosine":
+            if props["metric"] == "cosine" and props.get("normalize", True):
                 incoming = incoming.withColumn(
                     vector_col, l2_normalize(vector_col)
                 )
         else:
             incoming = source
         keys = incoming.select(id_col).distinct()
+        kb = keys.agg(
+            F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+        ).first()
+        key_lo, key_hi = kb["lo"], kb["hi"]
 
         last_err: Exception | None = None
-        for _ in range(max_retries):
+        for attempt in range(max_retries):
             base = self.latest_version()
             m = self.manifest(base)
-            cur = self._read_manifest(m)
-            schema = cur.schema
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            stats = m.get("stats", {})
 
-            # which immutable files hold a matched key? (id column +
-            # file name only — parquet prunes every other column)
-            matched_files = set()
-            if m["files"]:
+            # tier 1 — footer-stats range pruning, no file opened:
+            # all keys lie in [key_lo, key_hi], so a file whose id
+            # range is entirely outside cannot contain a match
+            candidates = []
+            pruned = 0
+            for f in m["files"]:
+                mm = stats.get(f)
+                if (
+                    mm is not None
+                    and key_lo is not None
+                    and (mm[1] < key_lo or mm[0] > key_hi)
+                ):
+                    pruned += 1
+                else:
+                    candidates.append(f)
+
+            # tier 2 — id column + file name only on the candidates
+            # (parquet prunes every other column)
+            matched_files: set[str] = set()
+            if candidates:
+                cand = self.spark.read.schema(schema).parquet(
+                    *(os.path.join(self.path, f) for f in candidates)
+                )
                 hit_rows = (
-                    cur.withColumn("_vc_file", F.input_file_name())
+                    cand.withColumn("_vc_file", F.input_file_name())
                     .join(F.broadcast(keys), id_col, "semi")
                     .select("_vc_file")
                     .distinct()
@@ -348,6 +582,9 @@ class VersionedCollection:
                     self._rel_of_uri(r[0]) for r in hit_rows
                 }
             carried = [f for f in m["files"] if f not in matched_files]
+            carried_stats = {
+                f: stats[f] for f in carried if f in stats
+            }
 
             if matched_files:
                 survivors = self.spark.read.schema(schema).parquet(
@@ -375,7 +612,16 @@ class VersionedCollection:
                     f"merge:{when_matched}",
                     carried=carried,
                     schema=schema,
+                    carried_stats=carried_stats,
+                    id_col=id_col,
                 )
+                self.last_merge_stats = {
+                    "files_total": len(m["files"]),
+                    "files_pruned_by_stats": pruned,
+                    "files_scanned": len(candidates),
+                    "files_rewritten": len(matched_files),
+                    "retries": attempt,
+                }
                 return self
             except ConcurrentWriteError as exc:
                 last_err = exc  # rebase on the winner's snapshot
@@ -414,6 +660,7 @@ class VersionedCollection:
 
         base = self.latest_version()
         m = self.manifest(base)
+        stats = m.get("stats", {})
         sized = [
             (f, os.path.getsize(os.path.join(self.path, f)))
             for f in m["files"]
@@ -441,6 +688,8 @@ class VersionedCollection:
             "compact",
             carried=carried,
             schema=schema,
+            carried_stats={f: stats[f] for f in carried if f in stats},
+            id_col=self.properties.get("id_col"),
         )
         m1 = self.manifest(base + 1)
         return {
@@ -452,17 +701,33 @@ class VersionedCollection:
 
     # -------------------------------------------------------------- vacuum
 
-    def vacuum(self, keep_last: int = 2) -> dict:
+    def vacuum(
+        self,
+        keep_last: int = 2,
+        min_file_age_ms: int = _DEFAULT_VACUUM_AGE_MS,
+    ) -> dict:
         """Drop manifests older than the ``keep_last`` most recent and
-        every data file none of the retained manifests references
-        (including orphans from lost concurrent commits).  Time travel
-        within the retention window is untouched."""
+        every data file none of the retained manifests references —
+        but ONLY once the file is older than ``min_file_age_ms``
+        (mtime), because an in-flight commit writes data files before
+        publishing its manifest: an unreferenced-but-young file is
+        indistinguishable from a racing writer's work in progress.
+        With the default retention, vacuum is safe to run alongside
+        writers; ``min_file_age_ms=0`` (tests, single-writer batch
+        jobs) sweeps orphans from lost commits immediately.  Time
+        travel within the retention window is untouched; the commit
+        checkpoint is rewritten to the retained set."""
         vs = self.versions()
         keep = vs[-keep_last:] if keep_last > 0 else vs[-1:]
         referenced = set()
+        keep_ts = {}
         for v in keep:
-            referenced.update(self.manifest(v)["files"])
+            m = self.manifest(v)
+            referenced.update(m["files"])
+            keep_ts[v] = m["timestamp_ms"]
+        now = time.time()
         removed_files = 0
+        skipped_young = 0
         data_root = os.path.join(self.path, _DATA_DIR)
         for sub in sorted(os.listdir(data_root)) if os.path.isdir(
             data_root
@@ -472,22 +737,32 @@ class VersionedCollection:
                 continue
             for f in sorted(os.listdir(subdir)):
                 rel = os.path.join(_DATA_DIR, sub, f)
-                if f.endswith(".parquet") and rel not in referenced:
-                    os.unlink(os.path.join(subdir, f))
-                    removed_files += 1
+                if not f.endswith(".parquet") or rel in referenced:
+                    continue
+                full = os.path.join(subdir, f)
+                try:
+                    age_ms = (now - os.path.getmtime(full)) * 1000
+                except OSError:
+                    continue  # already gone (concurrent vacuum)
+                if age_ms < min_file_age_ms:
+                    skipped_young += 1
+                    continue
+                os.unlink(full)
+                removed_files += 1
             if not any(
                 x.endswith(".parquet") for x in os.listdir(subdir)
             ):
-                import shutil
-
                 shutil.rmtree(subdir)
         removed_manifests = 0
         for v in vs:
             if v not in keep:
                 os.unlink(self._manifest_path(v))
                 removed_manifests += 1
+        if keep:
+            self._write_checkpoint([[v, keep_ts[v]] for v in keep])
         return {
             "removed_files": removed_files,
+            "skipped_young_files": skipped_young,
             "removed_manifests": removed_manifests,
             "retained_versions": keep,
         }

@@ -138,7 +138,9 @@ def test_vacuum_respects_retention(coll, spark):
     coll.merge(_mk(spark, [(0, 1)]))
     coll.merge(_mk(spark, [(0, 2)]))
     coll.merge(_mk(spark, [(0, 3)]))
-    stats = coll.vacuum(keep_last=2)
+    # min_file_age_ms=0: single-writer test, sweep immediately (the
+    # default retention would protect these seconds-old files)
+    stats = coll.vacuum(keep_last=2, min_file_age_ms=0)
     assert stats["retained_versions"] == [2, 3]
     assert stats["removed_manifests"] == 2
     # retained versions still readable; vacuumed ones are gone
@@ -261,3 +263,179 @@ def test_stream_merge_into_versioned(spark, tmp_path):
     q2.awaitTermination(120)
     ids = {r.id for r in c.read().select("id").collect()}
     assert ids == {1, 2, 3}
+
+
+# ------------------------- round-8 hardening: stats, checkpoint, races
+
+
+def test_vacuum_age_guard_protects_in_flight_files(coll, spark):
+    """An unreferenced-but-young data file is indistinguishable from a
+    racing writer's not-yet-published commit — default-retention
+    vacuum must skip it (the r7 ADVICE race: _write_files runs before
+    _publish, so a zero-retention sweep corrupts the snapshot the
+    racer publishes moments later)."""
+    orphan_dir = os.path.join(coll.path, "data", "c99999999-orphan")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1 not really parquet")
+
+    stats = coll.vacuum(keep_last=2)  # default min_file_age_ms: 24 h
+    assert os.path.exists(orphan)
+    assert stats["skipped_young_files"] >= 1
+    assert stats["removed_files"] == 0
+
+    stats0 = coll.vacuum(keep_last=2, min_file_age_ms=0)
+    assert not os.path.exists(orphan)
+    assert stats0["removed_files"] >= 1
+
+
+def test_merge_stats_prune_skips_out_of_range_files(spark, tmp_path):
+    """Key-local merge against a range-clustered table: files whose
+    footer id range cannot intersect the key range are carried
+    WITHOUT an id-column scan (tier-1 manifest arithmetic), and the
+    result is still exactly the upsert semantics."""
+    c = VersionedCollection(spark, str(tmp_path), "stats")
+    base = _mk(spark, [(i, i) for i in range(64)]).repartitionByRange(
+        8, "id"
+    )
+    c.create(base, dim=3, metric="dot", normalize=False)
+    m0 = c.manifest(0)
+    assert len(m0["files"]) >= 4
+    # every new file carries footer [min, max] id stats
+    assert set(m0["stats"]) == set(m0["files"])
+
+    # keys 0..3 live in the lowest range slice only
+    c.merge(_mk(spark, [(0, 100), (1, 101), (2, 102)]))
+    st = c.last_merge_stats
+    assert st["files_pruned_by_stats"] >= len(m0["files"]) - 2
+    assert st["files_scanned"] < st["files_total"]
+    assert (
+        st["files_pruned_by_stats"] + st["files_scanned"]
+        == st["files_total"]
+    )
+    assert st["files_rewritten"] >= 1
+    want = {(i, i) for i in range(64) if i > 2} | {
+        (0, 100), (1, 101), (2, 102)
+    }
+    assert _state(c) == want
+    # carried files keep their stats entries in the child manifest
+    m1 = c.manifest(1)
+    for f in m1["files"]:
+        assert f in m1["stats"]
+
+
+def test_checkpoint_gives_o1_log_resolution(coll, spark):
+    """100-commit history: latest-version and as-of-timestamp
+    resolution go through ONE checkpoint read + the post-checkpoint
+    tail — no directory listing, no O(history) manifest reads."""
+    m0 = coll.manifest(0)
+    for v in range(1, 101):
+        coll._publish(
+            {
+                **m0,
+                "version": v,
+                "parent": v - 1,
+                "operation": "touch",
+                "timestamp_ms": m0["timestamp_ms"] + v,
+            }
+        )
+    assert os.path.exists(coll._checkpoint_path())
+
+    fresh = VersionedCollection(spark, coll.warehouse, coll.name)
+    assert fresh.latest_version() == 100
+    assert fresh.io_counters["checkpoint_reads"] == 1
+    assert fresh.io_counters["listdirs"] == 0
+    assert fresh.io_counters["manifest_reads"] == 0
+
+    fresh2 = VersionedCollection(spark, coll.warehouse, coll.name)
+    v = fresh2._resolve_version(
+        None, as_of_timestamp_ms=m0["timestamp_ms"] + 57
+    )
+    assert v == 57
+    assert fresh2.io_counters["checkpoint_reads"] == 1
+    assert fresh2.io_counters["listdirs"] == 0
+    # only the post-checkpoint tail (if any) opens manifests
+    assert fresh2.io_counters["manifest_reads"] <= 1
+
+    # vacuum rewrites the checkpoint to the retained set
+    coll.vacuum(keep_last=3, min_file_age_ms=0)
+    fresh3 = VersionedCollection(spark, coll.warehouse, coll.name)
+    assert fresh3.versions() == [98, 99, 100]
+    assert fresh3.io_counters["listdirs"] == 0
+
+
+def test_normalize_false_persisted_and_honored_on_merge(spark, tmp_path):
+    """ADVICE r7: a cosine collection created with normalize=False
+    must NOT normalize merge rows either — the flag is persisted in
+    _collection.json and honored by every later merge."""
+    c = VersionedCollection(spark, str(tmp_path), "raw")
+    c.create(
+        _mk(spark, [(0, 0), (1, 10)]),
+        dim=3,
+        metric="cosine",
+        normalize=False,
+    )
+    assert c.properties["normalize"] is False
+    c.merge(_mk(spark, [(2, 20)]))  # _vec(2) = [2, 1, 0], |v| != 1
+    vecs = {r.id: list(r.vector) for r in c.read().collect()}
+    assert vecs[2] == [2.0, 1.0, 0.0]  # stored raw, not unit-scaled
+    assert vecs[1] == [1.0, 1.0, 0.0]
+
+
+def test_merge_rejects_nonpositive_max_retries(coll, spark):
+    with pytest.raises(ValueError, match="max_retries"):
+        coll.merge(_mk(spark, [(0, 1)]), max_retries=0)
+
+
+def test_lost_publish_race_sweeps_its_own_files(coll, spark):
+    """A commit that loses the put-if-absent race must remove the data
+    subdir it just wrote (no orphan accumulation across retries)."""
+    before = set(os.listdir(os.path.join(coll.path, "data")))
+    with pytest.raises(ConcurrentWriteError):
+        coll._commit(
+            _mk(spark, [(50, 50)]),
+            version=0,  # already committed -> publish loses
+            parent=None,
+            operation="race",
+            carried=[],
+            schema=coll.read().schema,
+            id_col="id",
+        )
+    after = set(os.listdir(os.path.join(coll.path, "data")))
+    assert after == before
+
+
+def test_two_writer_race_both_land(spark, tmp_path):
+    """Two real threads merging concurrently into one collection:
+    exactly one wins each version, the loser rebases — afterwards the
+    history has both commits and the table has both effects."""
+    import threading
+
+    c = VersionedCollection(spark, str(tmp_path), "race2")
+    c.create(
+        _mk(spark, [(i, i) for i in range(4)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+    )
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def writer(key: int, label: int):
+        w = VersionedCollection(spark, str(tmp_path), "race2")
+        try:
+            barrier.wait(timeout=60)
+            w.merge(_mk(spark, [(key, label)]), max_retries=8)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(0, 111))
+    t2 = threading.Thread(target=writer, args=(1, 222))
+    t1.start(); t2.start()
+    t1.join(120); t2.join(120)
+    assert not errs, errs
+    assert c.versions() == [0, 1, 2]
+    st = _state(c)
+    assert (0, 111) in st and (1, 222) in st
+    assert st == {(0, 111), (1, 222), (2, 2), (3, 3)}

@@ -149,6 +149,25 @@ def main() -> None:
     for name in sorted(timings, key=timings.get, reverse=True)[:10]:
         timings[name] = round(min(timings[name], _run(name, QUERIES[name])), 2)
 
+    # Codec-library tier (Pillow), when the optional dep is present:
+    # the image-decode queries re-run with the native backend routed
+    # in, recorded as *_libtier — the production decode path gets a
+    # measured number wherever the container ships the library.
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        from legalchatbot_vectordb_exp_spark.multimodal import binary as B
+
+        B.set_codec_backend_factory(B.PillowBackend)
+        try:
+            for name in ("multimodal_decode", "multimodal_resize"):
+                lt = f"{name}_libtier"
+                timings[lt] = round(
+                    min(_run(lt, QUERIES[name]), _run(lt, QUERIES[name])), 2
+                )
+        finally:
+            B.set_codec_backend_factory(None)
+
     # max/min across repeats: a judge separates host drift (variance
     # high, best stable) from a plan regression (variance ~1, best up)
     # without a re-run

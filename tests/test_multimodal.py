@@ -437,3 +437,103 @@ def test_video_backend_tier_contract():
         assert got is not None and pure is not None
         assert got[0] == pure[0] and got[1:3] == pure[1:3]
         assert len(got[3]) == len(pure[3])
+
+
+def _encode_bmp24(px) -> bytes:
+    """Minimal bottom-up 24-bit BITMAPINFOHEADER BMP (the format
+    _decode_bmp reads) — test-local so the parity corpus covers BMP
+    without shipping an encoder the engine doesn't need."""
+    import struct
+
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        px[y, :, ::-1].tobytes() + b"\x00" * pad
+        for y in range(h - 1, -1, -1)
+    )
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return hdr + info + body
+
+
+def test_pillow_library_decode_pixel_parity():
+    """Round-7 item 5: REAL Pillow (not the recorded stand-in) must
+    reproduce the pure decoders pixel-for-pixel across the whole
+    lossless fixture corpus — BMP, PPM, PNG (every filter type,
+    RGB + grayscale), GIF palette, DC-exact JPEG.  Skips only when
+    Pillow is absent; where it runs, the production decode path is
+    the tested path."""
+    import importlib.util
+
+    import numpy as np
+
+    from legalchatbot_vectordb_exp_spark.multimodal import binary as B
+    from legalchatbot_vectordb_exp_spark.multimodal.gif import encode_gif
+    from legalchatbot_vectordb_exp_spark.multimodal.jpeg import (
+        encode_gray_jpeg_dcexact,
+    )
+
+    if importlib.util.find_spec("PIL") is None:
+        import pytest
+
+        pytest.skip("Pillow not installed — library tier unavailable")
+
+    backend = B.PillowBackend()
+    rgb = (np.arange(16 * 9 * 3, dtype=np.uint8) * 7 % 251).reshape(
+        16, 9, 3
+    )
+    gray = (np.arange(8 * 11, dtype=np.uint8) * 13 % 256).reshape(
+        8, 11, 1
+    ).astype(np.uint8)
+    fixtures = {
+        "bmp24": _encode_bmp24(rgb),
+        "ppm": B.encode_ppm(rgb),
+        "png_rgb_filters": B.encode_png(rgb, row_filters=[0, 1, 2, 3, 4]),
+        "png_gray": B.encode_png(gray),
+        "gif": encode_gif(rgb),
+        "jpeg_dcexact": encode_gray_jpeg_dcexact(64),
+    }
+    for name, data in fixtures.items():
+        pure = B.decode_pixels(data)
+        lib = backend.decode_pixels(data)
+        assert pure is not None, name
+        assert lib is not None, f"{name}: Pillow rejected fixture"
+        np.testing.assert_array_equal(pure, lib, err_msg=name)
+
+
+def test_pyav_library_frame_parity():
+    """REAL PyAV frame sampling must agree with the pure ISO BMFF
+    parser on the MJPEG-in-MP4 fixture: same codec label, geometry,
+    frame count, and per-frame bitstream bytes.  Skips only when PyAV
+    is absent."""
+    import importlib.util
+
+    from legalchatbot_vectordb_exp_spark.multimodal import binary as B
+    from legalchatbot_vectordb_exp_spark.multimodal.mp4 import (
+        encode_mp4_mjpeg,
+        parse_mp4_frames,
+    )
+
+    if importlib.util.find_spec("av") is None:
+        import pytest
+
+        pytest.skip("PyAV not installed — library tier unavailable")
+
+    from legalchatbot_vectordb_exp_spark.multimodal.jpeg import (
+        encode_gray_jpeg_dcexact,
+    )
+
+    jpegs = [encode_gray_jpeg_dcexact(40 * (i + 1)) for i in range(3)]
+    mp4 = encode_mp4_mjpeg(jpegs, width=8, height=8)
+    pure = parse_mp4_frames(mp4)
+    lib = B.PyAVFrameSampler().parse_frames(mp4)
+    assert pure is not None and lib is not None
+    assert pure[0] == lib[0]  # codec label
+    assert (pure[1], pure[2]) == (lib[1], lib[2])  # geometry
+    assert len(pure[3]) == len(lib[3])
+    for i, (a, b) in enumerate(zip(pure[3], lib[3])):
+        assert bytes(a) == bytes(b), f"frame {i} bitstream differs"

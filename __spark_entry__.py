@@ -6,15 +6,16 @@ sf0.001.  ``queries()`` / ``oracle_sql()`` — the operator registry from
 with a DuckDB oracle where SQL-expressible).
 
 Registration ORDER is deliberate: the driver samples a prefix of
-``queries()`` for its correctness report (50 in r5), so each round the
-prefix is rotated to whatever most needs a fresh driver row.  Round 6
-front-loads: the two r5 hash-red rows (``sequence_packing``,
-``table_profile`` — both representation-hardened this round), the 18
-queries that have never been driver-sampled through r5 (the whole E10
-scale family + r5 additions), then every query touched by this round's
-decimal-space-rounding and whitespace-class fixes so their green rows
-are refreshed against the new code.  Everything else — driver-green in
-r3–r5 — follows in registry order.
+``queries()`` for its correctness report (50 in r7), so each round the
+prefix is rotated to whatever most needs a fresh driver row.  Round 8
+front-loads: the two queries whose plans were rewritten after their
+last driver sample (``part_affinity``, ``ranker_agreement``), the one
+query whose engine path changed this round (``merge_time_travel`` —
+versioned sink gained stats pruning / checkpointing / vacuum age
+guard), then every remaining query ordered by the age of its latest
+driver-green row (r1 rows first, then r2, r4, r5, r6) so the sample
+window always lands on the stalest evidence.  The 50 queries sampled
+in r7 follow in registry order.
 """
 
 from __future__ import annotations
@@ -30,64 +31,106 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 _SAMPLE_PRIORITY = [
-    # the four driver-red rows of rounds 1-6, root-caused in r6's
-    # VERDICT: their oracles emitted DuckDB HUGEINT columns
-    # (sum(BIGINT) -> HUGEINT), which the driver's pandas fetch
-    # coerces to float64 and hash-diverges.  Fixed in r7 with
-    # ::BIGINT casts; kept at the head to convert to driver-green.
-    "sequence_packing",
-    "table_profile",
-    "kmeans_refine",
-    "incremental_agg_maintain",
-    # new in r7: dim-contract probe (driver-red if the in-UDF embed
-    # dimension assert is removed) and behavior-changed queries
-    "embed_dim_contract",
+    # (1) plan-rewritten AFTER their last driver rows (r7 judge item 1:
+    # part_affinity rewritten in bbaa9b1, ranker_agreement in 455e159 —
+    # their green rows predate the current code; hardest signal first)
+    "part_affinity",
+    "ranker_agreement",
+    # (2) behavior-touched this round: versioned sink gained footer-
+    # stats pruning + checkpointed log + vacuum age guard — refresh the
+    # end-to-end row against the new code
     "merge_time_travel",
-    "zorder_layout",
-    "bloom_prune_join",
-    "negative_sampling",
-    "semdedup_cells",
-    "ann_ivf_topk",
-    "ann_ivf_topk_batch",
-    "ann_ivfpq_topk",
-    "multimodal_frames",
-    "multimodal_decode",
-    "multimodal_resize",
-    # E10 scale family — driver-green r6, keep warm
-    "dedup_incremental",
-    "substring_dedup_spans",
-    "cms_heavy_hitters",
-    "graph_triangles",
-    "dq_audit",
-    "hard_negatives",
-    "events_ewma",
-    "udaf_grouped_median",
-    "orc_roundtrip",
-    "array_functions",
-    "string_functions",
-    # rounding-representation fixes this round (decimal-space round
-    # before the double cast) — re-queue for fresh driver rows
-    "pricing_summary",
-    "interval_join_events",
-    "stratified_sample",
-    "snapshot_diff",
-    "events_tumbling",
-    "events_sliding",
-    "sales_rollup",
-    "sales_cube",
-    "salted_agg_equivalence",
-    "events_stream_join_live",
-    # whitespace-class dependents re-queued after the words() fix
-    "text_normalize",
-    "text_stats",
-    "chunk_overlap",
-    "tfidf_topterms",
-    "unigram_surprisal",
-    "boilerplate_shingles",
-    "repetition_score",
-    "training_shuffle",
-    "udtf_shingle_freq",
-    "lang_id",
+    # (3) oldest driver rows first (r7 judge item 2: rotate so no green
+    # row predates r6).  Last sampled r1:
+    "payload_filter_eq",
+    "deterministic_ids",
+    "set_operators",
+    "asof_join_events",
+    "label_centroids",
+    "value_percentiles",
+    "events_pivot",
+    # last sampled r2:
+    "events_sessionize",
+    "events_dedup",
+    "events_unpivot",
+    "time_gapfill",
+    "multimodal_meta",
+    # last sampled r4:
+    "dedup_minhash_signature",
+    "dedup_minhash_pairs",
+    "dedup_groups",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_keep_one",
+    "corpus_curation",
+    "dedup_containment",
+    "ann_lsh_buckets",
+    "ann_lsh_pairs",
+    "ann_pq_guard",
+    "ann_ivf_recall_guard",
+    "ann_lsh_recall_guard",
+    "quality_score",
+    "doc_fingerprint",
+    "token_vocab",
+    "bm25_rank",
+    "hybrid_rrf",
+    "pii_redact",
+    "bigram_topk",
+    "charset_profile",
+    "revenue_by_nation",
+    "top_customers",
+    "top_parts_per_brand",
+    "running_revenue",
+    "order_priority_counts",
+    "shipping_priority",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "idle_high_balance_customers",
+    # last sampled r5 (overflow past the ~50-query sample window lands
+    # here; next round rotates the remainder forward):
+    "events_streaming_live",
+    "rag_end_to_end",
+    "multimodal_audio",
+    "pdf_roundtrip",
+    "cast_and_defaults",
+    "vector_quantize_int8",
+    "stats_moments",
+    "approx_agg_guard",
+    "events_topn_per_window",
+    "retention_cohort",
+    "pagerank_parts",
+    "conversion_funnel",
+    "cdc_apply",
+    "embedding_drift",
+    "length_buckets",
+    "events_anomaly_mad",
+    "value_histogram",
+    "window_functions",
+    "datetime_parts",
+    "fuzzy_match_nations",
+    "json_extract_props",
+    "distinct_counts",
+    "null_semantics",
+    "csv_roundtrip",
+    "collection_roundtrip",
+    "bucketed_join_equivalence",
+    "jsonl_roundtrip",
+    "schema_evolution_roundtrip",
+    "temperature_sample",
+    "hash_split",
+    "decontamination",
+    "partitioned_roundtrip",
+    "topk_mmr",
+    "topk_mmr_batch",
+    # last sampled r6:
+    "doc_chunks",
+    "chunk_format",
+    "eval_recall_mrr",
+    "eval_means",
+    "context_assembly",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -299,7 +299,12 @@ class VersionedCollection:
             os.unlink(tmp)
         v = manifest["version"]
         if v > 0 and v % self.checkpoint_interval == 0:
-            self._maybe_checkpoint(v, manifest["timestamp_ms"])
+            # best-effort: the commit is durable once the link lands;
+            # a checkpoint is derived data and must never fail it
+            try:
+                self._maybe_checkpoint(v, manifest["timestamp_ms"])
+            except OSError:
+                pass
 
     def _maybe_checkpoint(self, version: int, timestamp_ms: int) -> None:
         """Extend the previous checkpoint's index with the tail of
@@ -374,13 +379,22 @@ class VersionedCollection:
         vector_col: str = "vector",
         id_col: str = "id",
         normalize: bool = True,
+        cluster_files: int | None = None,
     ) -> "VersionedCollection":
         """Commit version 0.  Refuses to clobber an existing versioned
         collection — there is no destructive recreate here; the
         history IS the collection.  ``normalize`` is persisted in the
         collection props so every later ``merge`` applies the same
         vector scaling the base rows got (a cosine collection created
-        with ``normalize=False`` must not get normalized merge rows)."""
+        with ``normalize=False`` must not get normalized merge rows).
+
+        ``cluster_files=n`` range-clusters the initial layout on the
+        id into ``n`` files (1-D Z-order on the merge key): each
+        file's footer min/max id range is tight and disjoint, so
+        key-local merges prune almost the whole table from the
+        manifest alone (measured 959/960 files at the 30× stress
+        tier).  ``recluster()`` restores the property after merges
+        have mixed key ranges."""
         if self.exists():
             raise FileExistsError(
                 f"collection {self.name} already exists (latest "
@@ -389,6 +403,10 @@ class VersionedCollection:
         out = _validate(df, dim, vector_col, id_col, self.name)
         if normalize and metric == "cosine":
             out = out.withColumn(vector_col, l2_normalize(vector_col))
+        if cluster_files is not None:
+            out = out.repartitionByRange(
+                cluster_files, id_col
+            ).sortWithinPartitions(id_col)
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, _PROPS_FILE), "w") as f:
             json.dump(
@@ -694,6 +712,39 @@ class VersionedCollection:
         m1 = self.manifest(base + 1)
         return {
             "compacted": len(small),
+            "version": base + 1,
+            "files_before": len(m["files"]),
+            "files_after": len(m1["files"]),
+        }
+
+    def recluster(self, target_files: int | None = None) -> dict:
+        """Full re-clustering as a COMMIT (Delta ``OPTIMIZE ZORDER``'s
+        single-key analogue): rewrite the ENTIRE latest snapshot
+        range-partitioned and sorted on the id, so every file's footer
+        min/max range is tight and disjoint and later key-local merges
+        prune on manifest arithmetic alone.  Unlike ``compact`` this
+        rewrites all files — it is the periodic maintenance op that
+        restores clustering after merges have mixed key ranges.
+        History is preserved: older versions still read the old
+        layout until ``vacuum`` retires them."""
+        base = self.latest_version()
+        m = self.manifest(base)
+        if not m["files"]:
+            return {"version": base, "files_before": 0, "files_after": 0}
+        id_col = self.properties["id_col"]
+        n_out = target_files if target_files else max(1, len(m["files"]))
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        df = (
+            self._read_manifest(m)
+            .repartitionByRange(n_out, id_col)
+            .sortWithinPartitions(id_col)
+        )
+        self._commit(
+            df, base + 1, base, "recluster",
+            carried=[], schema=schema, id_col=id_col,
+        )
+        m1 = self.manifest(base + 1)
+        return {
             "version": base + 1,
             "files_before": len(m["files"]),
             "files_after": len(m1["files"]),

@@ -439,3 +439,50 @@ def test_two_writer_race_both_land(spark, tmp_path):
     st = _state(c)
     assert (0, 111) in st and (1, 222) in st
     assert st == {(0, 111), (1, 222), (2, 2), (3, 3)}
+
+
+def test_recluster_restores_prunable_layout(spark, tmp_path):
+    """recluster() (OPTIMIZE ZORDER's 1-D analogue) rewrites the
+    snapshot range-sorted on id so later key-local merges prune on
+    manifest stats; history before the recluster stays readable."""
+    c = VersionedCollection(spark, str(tmp_path), "zc")
+    base = _mk(spark, [(i, i) for i in range(64)]).repartition(8, "id")
+    c.create(base, dim=3, metric="dot", normalize=False)
+
+    r = c.recluster()
+    assert r["version"] == 1 and r["files_after"] >= 4
+    m1 = c.manifest(1)
+    assert m1["operation"] == "recluster"
+    # disjoint, ordered ranges: files sorted by min id do not overlap
+    ranges = sorted(m1["stats"][f] for f in m1["files"])
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi < lo2
+
+    c.merge(_mk(spark, [(0, 100), (1, 101)]))
+    st = c.last_merge_stats
+    assert st["files_scanned"] == 1
+    assert st["files_rewritten"] == 1
+    assert st["files_pruned_by_stats"] == st["files_total"] - 1
+    assert _state(c) == {(i, i) for i in range(64) if i > 1} | {
+        (0, 100), (1, 101)
+    }
+    # pre-recluster snapshot untouched
+    assert _state(c, version=0) == {(i, i) for i in range(64)}
+
+
+def test_create_cluster_files_layout(spark, tmp_path):
+    c = VersionedCollection(spark, str(tmp_path), "cf")
+    c.create(
+        _mk(spark, [(i, i) for i in range(32)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=4,
+    )
+    m0 = c.manifest(0)
+    assert len(m0["files"]) == 4
+    ranges = sorted(m0["stats"][f] for f in m0["files"])
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi < lo2
+    c.merge(_mk(spark, [(31, 310)]))
+    assert c.last_merge_stats["files_scanned"] == 1

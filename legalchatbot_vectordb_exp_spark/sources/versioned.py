@@ -90,6 +90,11 @@ _DATA_DIR = "data"
 # in-flight (not yet published) commit and survive vacuum by default.
 _DEFAULT_VACUUM_AGE_MS = 24 * 3600 * 1000
 
+# Protocol version this reader/writer speaks (Delta-style gate): a
+# manifest written by a newer engine with incompatible semantics bumps
+# this, and older readers fail loudly instead of misreading the table.
+_FORMAT_VERSION = 1
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first (lost the
@@ -236,7 +241,15 @@ class VersionedCollection:
     def manifest(self, version: int) -> dict:
         self.io_counters["manifest_reads"] += 1
         with open(self._manifest_path(version)) as f:
-            return json.load(f)
+            m = json.load(f)
+        fv = m.get("format_version", 1)
+        if fv > _FORMAT_VERSION:
+            raise RuntimeError(
+                f"collection {self.name} v{version} was written with "
+                f"format_version={fv}; this reader speaks "
+                f"{_FORMAT_VERSION} — upgrade before reading"
+            )
+        return m
 
     def history(self) -> list[dict]:
         """Every commit, oldest first — operation, timestamp, file
@@ -354,6 +367,7 @@ class VersionedCollection:
             self._publish(
                 {
                     "version": version,
+                    "format_version": _FORMAT_VERSION,
                     "parent": parent,
                     "timestamp_ms": int(time.time() * 1000),
                     "operation": operation,
@@ -411,6 +425,7 @@ class VersionedCollection:
         with open(os.path.join(self.path, _PROPS_FILE), "w") as f:
             json.dump(
                 {
+                    "format_version": _FORMAT_VERSION,
                     "dim": dim,
                     "metric": metric,
                     "vector_col": vector_col,
@@ -554,10 +569,7 @@ class VersionedCollection:
         else:
             incoming = source
         keys = incoming.select(id_col).distinct()
-        kb = keys.agg(
-            F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-        ).first()
-        key_lo, key_hi = kb["lo"], kb["hi"]
+        key_bounds: tuple | None = None  # computed once, on first need
 
         last_err: Exception | None = None
         for attempt in range(max_retries):
@@ -568,7 +580,18 @@ class VersionedCollection:
 
             # tier 1 — footer-stats range pruning, no file opened:
             # all keys lie in [key_lo, key_hi], so a file whose id
-            # range is entirely outside cannot contain a match
+            # range is entirely outside cannot contain a match.  The
+            # key-bounds job (one tiny agg) only runs when enough
+            # stats-bearing files exist for pruning to beat just
+            # scanning them — at driver-scale tables (a handful of
+            # files) the scan is cheaper than the extra job.
+            n_prunable = sum(1 for f in m["files"] if f in stats)
+            if n_prunable >= 4 and key_bounds is None:
+                kb = keys.agg(
+                    F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+                ).first()
+                key_bounds = (kb["lo"], kb["hi"])
+            key_lo, key_hi = key_bounds or (None, None)
             candidates = []
             pruned = 0
             for f in m["files"]:

@@ -486,3 +486,18 @@ def test_create_cluster_files_layout(spark, tmp_path):
         assert hi < lo2
     c.merge(_mk(spark, [(31, 310)]))
     assert c.last_merge_stats["files_scanned"] == 1
+
+
+def test_format_version_gate_rejects_newer_manifests(coll):
+    """A manifest stamped by a newer protocol must fail loudly on
+    read, never silently misread (Delta-style protocol gate)."""
+    import json
+
+    assert coll.manifest(0)["format_version"] == 1
+    p = coll._manifest_path(0)
+    m = json.load(open(p))
+    m["format_version"] = 99
+    with open(p, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(RuntimeError, match="format_version=99"):
+        coll.read()

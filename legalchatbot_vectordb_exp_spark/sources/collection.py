@@ -101,16 +101,23 @@ class VectorCollection:
     def _validated(
         self, df: DataFrame, dim: int, vector_col: str, id_col: str
     ) -> DataFrame:
-        bad = df.filter(
-            F.col(vector_col).isNull() | (F.size(vector_col) != dim)
-        ).count()
+        # one aggregation job for both invariants (dim violations as a
+        # conditional sum, duplicates as rows minus distinct ids),
+        # not two full scans — this runs on every create/upsert
+        row = df.agg(
+            F.sum(
+                (F.col(vector_col).isNull() | (F.size(vector_col) != dim))
+                .cast("int")
+            ).alias("bad"),
+            (F.count(F.lit(1)) - F.countDistinct(F.col(id_col))).alias(
+                "dupes"
+            ),
+        ).first()
+        bad, dupes = row["bad"] or 0, row["dupes"] or 0
         if bad:
             raise ValueError(
                 f"collection {self.name}: {bad} rows violate dim={dim}"
             )
-        dupes = (
-            df.groupBy(id_col).count().filter(F.col("count") > 1).count()
-        )
         if dupes:
             raise ValueError(
                 f"collection {self.name}: {dupes} duplicate ids"

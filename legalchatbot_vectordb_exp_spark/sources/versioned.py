@@ -105,13 +105,24 @@ def _validate(
     df: DataFrame, dim: int, vector_col: str, id_col: str, name: str
 ) -> DataFrame:
     """Write-time invariants (same contract as VectorCollection):
-    every vector non-null and exactly ``dim`` wide, ids unique."""
-    bad = df.filter(
-        F.col(vector_col).isNull() | (F.size(vector_col) != dim)
-    ).count()
+    every vector non-null and exactly ``dim`` wide, ids unique.  Both
+    checks fold into ONE aggregation job (dim violations as a
+    conditional sum, duplicates as rows minus distinct ids — null ids
+    count as duplicates) instead of two full scans; validation runs
+    on every create/merge/stream micro-batch, so the saved job is per
+    commit."""
+    row = df.agg(
+        F.sum(
+            (F.col(vector_col).isNull() | (F.size(vector_col) != dim))
+            .cast("int")
+        ).alias("bad"),
+        (F.count(F.lit(1)) - F.countDistinct(F.col(id_col))).alias(
+            "dupes"
+        ),
+    ).first()
+    bad, dupes = row["bad"] or 0, row["dupes"] or 0
     if bad:
         raise ValueError(f"collection {name}: {bad} rows violate dim={dim}")
-    dupes = df.groupBy(id_col).count().filter(F.col("count") > 1).count()
     if dupes:
         raise ValueError(f"collection {name}: {dupes} duplicate ids")
     return df

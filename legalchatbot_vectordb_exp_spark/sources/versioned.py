@@ -77,7 +77,7 @@ from urllib.parse import unquote, urlparse
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from legalchatbot_vectordb_exp_spark.functions.vector import l2_normalize
 
@@ -544,6 +544,7 @@ class VersionedCollection:
         source: DataFrame,
         when_matched: str = "update",
         max_retries: int = 3,
+        schema_evolution: bool = False,
     ) -> "VersionedCollection":
         """File-level copy-on-write MERGE keyed on the collection id:
 
@@ -562,7 +563,17 @@ class VersionedCollection:
         key are rewritten.  On a publish race the merge rebases on the
         winning snapshot and retries (optimistic concurrency); the
         discovery/prune split of the winning attempt lands in
-        ``self.last_merge_stats``."""
+        ``self.last_merge_stats``.
+
+        ``schema_evolution=True`` (update mode) appends columns the
+        source carries beyond the table schema, Delta ``mergeSchema``
+        style: the committed schema gains the new columns (nullable),
+        carried files simply read them as null (parquet
+        missing-column semantics), and rows the merge does not touch
+        are never rewritten.  Columns the source LACKS become null on
+        the rows it replaces/inserts (full-row last-writer-wins).
+        Without the flag, a source column set that differs from the
+        table schema is an error — evolution is always explicit."""
         if max_retries < 1:
             raise ValueError(f"max_retries must be >= 1, got {max_retries}")
         if when_matched not in ("update", "delete"):
@@ -588,6 +599,15 @@ class VersionedCollection:
             m = self.manifest(base)
             schema = StructType.fromJson(json.loads(m["schema"]))
             stats = m.get("stats", {})
+            if schema_evolution and when_matched == "update":
+                new_fields = [
+                    StructField(f.name, f.dataType, True)
+                    for f in incoming.schema.fields
+                    if f.name not in schema.fieldNames()
+                ]
+                out_schema = StructType(list(schema.fields) + new_fields)
+            else:
+                out_schema = schema
 
             # tier 1 — footer-stats range pruning, no file opened:
             # all keys lie in [key_lo, key_hi], so a file whose id
@@ -645,9 +665,14 @@ class VersionedCollection:
             else:
                 survivors = self.spark.createDataFrame([], schema)
             if when_matched == "update":
-                out = survivors.unionByName(
-                    incoming.select(*schema.fieldNames())
-                )
+                if schema_evolution:
+                    out = survivors.unionByName(
+                        incoming, allowMissingColumns=True
+                    ).select(*out_schema.fieldNames())
+                else:
+                    out = survivors.unionByName(
+                        incoming.select(*schema.fieldNames())
+                    )
             else:
                 out = survivors
             # bound output file count to the rewritten-input count:
@@ -663,7 +688,7 @@ class VersionedCollection:
                     base,
                     f"merge:{when_matched}",
                     carried=carried,
-                    schema=schema,
+                    schema=out_schema,
                     carried_stats=carried_stats,
                     id_col=id_col,
                 )
@@ -750,6 +775,86 @@ class VersionedCollection:
             "files_before": len(m["files"]),
             "files_after": len(m1["files"]),
         }
+
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots (the Delta CDF
+        surface): one row per changed id, ``_change_type`` in
+        ``('insert', 'delete', 'update_postimage')``; deletes carry
+        the preimage values, updates the postimage.
+
+        Scale shape — manifest arithmetic first: rows in files carried
+        by BOTH manifests are bit-identical in the two snapshots and
+        cannot have changed, so only the files that differ (added or
+        removed between the versions) are read and full-outer-joined
+        on the id.  Cost is proportional to the span's copy-on-write
+        touch set, never the table — a 3-file merge on an 800k-file
+        table diffs ~6 files.  Rewritten-but-equal rows (recluster,
+        compact, merge survivors) join equal and are filtered out."""
+        if to_version is None:
+            to_version = self.latest_version()
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to_version}"
+            )
+        ma = self.manifest(from_version)
+        mb = self.manifest(to_version)
+        id_col = self.properties["id_col"]
+        sa = StructType.fromJson(json.loads(ma["schema"]))
+        sb = StructType.fromJson(json.loads(mb["schema"]))
+        only_a = [f for f in ma["files"] if f not in set(mb["files"])]
+        only_b = [f for f in mb["files"] if f not in set(ma["files"])]
+
+        def _read(files: list[str], schema: StructType) -> DataFrame:
+            if not files:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *(os.path.join(self.path, f) for f in files)
+            )
+
+        # the "to" schema defines the feed shape; pre-evolution rows
+        # surface the appended columns as null
+        cols = sb.fieldNames()
+        a = _read(only_a, sa)
+        for f in sb.fields:
+            if f.name not in a.columns:
+                a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
+        a = a.select(*cols).alias("a")
+        b = _read(only_b, sb).select(*cols).alias("b")
+
+        val_cols = [c for c in cols if c != id_col]
+        differs = F.lit(False)
+        for c in val_cols:
+            differs = differs | ~F.col(f"a.{c}").eqNullSafe(
+                F.col(f"b.{c}")
+            )
+        change = (
+            F.when(F.col(f"a.{id_col}").isNull(), F.lit("insert"))
+            .when(F.col(f"b.{id_col}").isNull(), F.lit("delete"))
+            .when(differs, F.lit("update_postimage"))
+        )
+        sel = [
+            F.coalesce(
+                F.col(f"b.{id_col}"), F.col(f"a.{id_col}")
+            ).alias(id_col)
+        ]
+        for c in val_cols:
+            sel.append(
+                F.when(F.col(f"b.{id_col}").isNull(), F.col(f"a.{c}"))
+                .otherwise(F.col(f"b.{c}"))
+                .alias(c)
+            )
+        sel.append(change.alias("_change_type"))
+        return (
+            a.join(
+                b,
+                F.col(f"a.{id_col}") == F.col(f"b.{id_col}"),
+                "full_outer",
+            )
+            .select(*sel)
+            .filter(F.col("_change_type").isNotNull())
+        )
 
     def recluster(self, target_files: int | None = None) -> dict:
         """Full re-clustering as a COMMIT (Delta ``OPTIMIZE ZORDER``'s

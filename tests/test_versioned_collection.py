@@ -501,3 +501,83 @@ def test_format_version_gate_rejects_newer_manifests(coll):
         json.dump(m, f)
     with pytest.raises(RuntimeError, match="format_version=99"):
         coll.read()
+
+
+def test_schema_evolution_on_merge(spark, tmp_path):
+    """Delta mergeSchema semantics: an evolution merge appends the
+    source's new columns (nullable), untouched rows read them as null
+    without being rewritten, older snapshots keep the old schema, and
+    a differing source without the flag stays an error."""
+    c = VersionedCollection(spark, str(tmp_path), "evo")
+    c.create(
+        _mk(spark, [(i, 10 * i) for i in range(8)]).repartition(2, "id"),
+        dim=3,
+        metric="dot",
+        normalize=False,
+    )
+    src = spark.createDataFrame(
+        [(0, _vec(0), 999, "fresh"), (8, _vec(8), 888, "new-row")],
+        "id long, vector array<double>, label long, tag string",
+    )
+    c.merge(src, schema_evolution=True)
+
+    cur = c.read()
+    assert cur.schema.fieldNames() == ["id", "vector", "label", "tag"]
+    rows = {r.id: (r.label, r.tag) for r in cur.collect()}
+    assert rows[0] == (999, "fresh")
+    assert rows[8] == (888, "new-row")
+    assert rows[3] == (30, None)  # untouched row: appended col is null
+    # untouched rows were carried, not rewritten
+    assert c.manifest(1)["n_carried"] >= 1
+    # time travel: v0 still has the 3-column schema
+    assert c.read(version=0).schema.fieldNames() == [
+        "id", "vector", "label",
+    ]
+    # source lacking a column: replaced/inserted rows get null there
+    c.merge(
+        spark.createDataFrame(
+            [(1, _vec(1), 111)], "id long, vector array<double>, label long"
+        ),
+        schema_evolution=True,
+    )
+    assert {
+        r.tag for r in c.read().filter("id = 1").collect()
+    } == {None}
+
+
+def test_changes_feed_between_versions(spark, tmp_path):
+    """changes(from, to): insert/delete/update_postimage rows derived
+    from only the files that DIFFER between the manifests; rows in
+    carried files never surface, and a recluster (rewrite-equal)
+    produces an empty feed."""
+    c = VersionedCollection(spark, str(tmp_path), "cdf")
+    c.create(
+        _mk(spark, [(i, 10 * i) for i in range(8)]).repartition(4, "id"),
+        dim=3,
+        metric="dot",
+        normalize=False,
+    )
+    c.merge(_mk(spark, [(0, 999), (8, 888)]))  # update 0, insert 8
+    c.delete_where("id = 3")  # delete 3
+
+    f01 = {
+        r.id: (r.label, r._change_type)
+        for r in c.changes(0, 1).collect()
+    }
+    assert f01[0] == (999, "update_postimage")
+    assert f01[8] == (888, "insert")
+    assert set(f01) == {0, 8}  # untouched ids never surface
+
+    f12 = {r.id: r for r in c.changes(1, 2).collect()}
+    assert set(f12) == {3}
+    assert f12[3]._change_type == "delete"
+    assert f12[3].label == 30  # preimage values on deletes
+
+    f02 = {r.id: r._change_type for r in c.changes(0).collect()}
+    assert f02 == {0: "update_postimage", 8: "insert", 3: "delete"}
+
+    # rewrite-equal commits produce an EMPTY feed
+    c.recluster()
+    assert c.changes(2, 3).count() == 0
+    with pytest.raises(ValueError, match="from_version"):
+        c.changes(3, 2)

@@ -40,6 +40,8 @@ _SAMPLE_PRIORITY = [
     # stats pruning + checkpointed log + vacuum age guard — refresh the
     # end-to-end row against the new code
     "merge_time_travel",
+    # new in r8: evolution-merge + recluster + change feed end-to-end
+    "cdc_changes_feed",
     # (3) oldest driver rows first (r7 judge item 2: rotate so no green
     # row predates r6).  Last sampled r1:
     "payload_filter_eq",

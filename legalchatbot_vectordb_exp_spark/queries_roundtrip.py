@@ -506,3 +506,85 @@ def q_incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") > 0)
     )
     return merged
+
+
+@register(
+    "cdc_changes_feed",
+    sql="""
+    WITH v0 AS (
+      SELECT vec_id AS id, label FROM embeddings WHERE vec_id < 400
+    ),
+    vfinal AS (
+      SELECT id, label, CAST(NULL AS VARCHAR) AS tag
+      FROM v0 WHERE id < 350 AND id % 7 <> 0
+      UNION ALL
+      SELECT vec_id, label + 1000, 'm1' FROM embeddings
+      WHERE vec_id >= 350 AND vec_id < 450 AND vec_id % 7 <> 0
+    )
+    SELECT 'merge+delete' AS span, vfinal.id, vfinal.label, vfinal.tag,
+           CASE WHEN v0.id IS NULL THEN 'insert'
+                ELSE 'update_postimage' END AS _change_type
+    FROM vfinal LEFT JOIN v0 ON vfinal.id = v0.id
+    WHERE v0.id IS NULL OR v0.label <> vfinal.label
+    UNION ALL
+    SELECT 'merge+delete', v0.id, v0.label, CAST(NULL AS VARCHAR),
+           'delete'
+    FROM v0 LEFT JOIN vfinal ON v0.id = vfinal.id
+    WHERE vfinal.id IS NULL
+    """,
+)
+def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-collection change feed end-to-end (round-8 E11
+    additions, all on one history): v0 create (range-clustered via
+    ``cluster_files``), v1 evolution MERGE (source carries a new
+    ``tag`` column — Delta mergeSchema semantics), v2 copy-on-write
+    DELETE of ``id % 7 = 0``, v3 ``recluster()`` (rewrite-equal).
+
+    The returned frame is ``changes(0, 3)`` — the Delta-CDF row feed
+    derived from only the files differing between the manifests —
+    unioned with ``changes(2, 3)``, which MUST be empty: the
+    recluster rewrites every row with identical values, so any row it
+    contributes hash-fails the oracle.  The oracle reconstructs the
+    same feed relationally: inserts = [400,450) surviving the delete,
+    updates = [350,400) surviving with label+1000 and tag='m1',
+    deletes = id%7=0 of the base with PREIMAGE values (original
+    label, null tag — evolution backfills old rows as null)."""
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    warehouse = _scratch(sf_dir, "cdc")
+    coll = VersionedCollection(spark, warehouse, "emb_cdc")
+    if os.path.isdir(coll.path):
+        shutil.rmtree(coll.path)  # fresh history per run
+
+    dim = len(emb.select("embedding").head()[0])
+    base = emb.filter(F.col("vec_id") < 400).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    coll.create(
+        base, dim=dim, metric="dot", normalize=False, cluster_files=8
+    )
+    coll.merge(
+        emb.filter(
+            (F.col("vec_id") >= 350) & (F.col("vec_id") < 450)
+        ).select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("vector"),
+            (F.col("label") + 1000).alias("label"),
+            F.lit("m1").alias("tag"),
+        ),
+        schema_evolution=True,
+    )
+    coll.delete_where("id % 7 = 0")
+    coll.recluster()
+
+    cols = ["id", "label", "tag", "_change_type"]
+    feed = coll.changes(0, 3).select(*cols)
+    silent = coll.changes(2, 3).select(*cols)
+    return (
+        feed.withColumn("span", F.lit("merge+delete"))
+        .unionByName(silent.withColumn("span", F.lit("recluster")))
+        .select("span", *cols)
+    )

@@ -327,7 +327,7 @@ class VersionedCollection:
             # a checkpoint is derived data and must never fail it
             try:
                 self._maybe_checkpoint(v, manifest["timestamp_ms"])
-            except OSError:
+            except Exception:
                 pass
 
     def _maybe_checkpoint(self, version: int, timestamp_ms: int) -> None:

@@ -866,6 +866,10 @@ class VersionedCollection:
         restores clustering after merges have mixed key ranges.
         History is preserved: older versions still read the old
         layout until ``vacuum`` retires them."""
+        if target_files is not None and target_files < 1:
+            raise ValueError(
+                f"target_files must be >= 1, got {target_files}"
+            )
         base = self.latest_version()
         m = self.manifest(base)
         if not m["files"]:

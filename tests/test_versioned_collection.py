@@ -581,3 +581,26 @@ def test_changes_feed_between_versions(spark, tmp_path):
     assert c.changes(2, 3).count() == 0
     with pytest.raises(ValueError, match="from_version"):
         c.changes(3, 2)
+
+
+def test_changes_reads_only_differing_files(spark, tmp_path):
+    """The change feed's scan set must be the manifest DIFF, not the
+    snapshots: after a 1-key merge on a 4-file table, changes(0, 1)
+    physically reads only the rewritten file, its replacement, and
+    nothing carried (pinned via DataFrame.inputFiles)."""
+    c = VersionedCollection(spark, str(tmp_path), "cdf2")
+    c.create(
+        _mk(spark, [(i, i) for i in range(16)]).repartition(4, "id"),
+        dim=3,
+        metric="dot",
+        normalize=False,
+    )
+    c.merge(_mk(spark, [(5, 555)]))
+    m0, m1 = c.manifest(0), c.manifest(1)
+    diff = (set(m0["files"]) ^ set(m1["files"]))
+    carried = set(m0["files"]) & set(m1["files"])
+    assert carried  # the table mostly carries
+
+    scanned = {f.split("/")[-1] for f in c.changes(0, 1).inputFiles()}
+    assert scanned == {f.split("/")[-1] for f in diff}
+    assert not scanned & {f.split("/")[-1] for f in carried}

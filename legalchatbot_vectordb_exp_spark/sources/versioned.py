@@ -525,6 +525,46 @@ class VersionedCollection:
             *(os.path.join(self.path, f) for f in m["files"])
         )
 
+    def read_range(
+        self,
+        lower,
+        upper,
+        version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """Key-range read with manifest-level data skipping (the read-
+        path twin of merge's footer-stats pruning): files whose id
+        range cannot intersect ``[lower, upper]`` are excluded from
+        the scan entirely — on a range-clustered table a key-local
+        read opens O(range locality) files, not the snapshot.  The
+        range filter is still applied to the surviving files (exact
+        results even with overlapping or absent stats; parquet
+        row-group skipping then prunes within each file)."""
+        if lower is None or upper is None:
+            raise ValueError("read_range needs non-null lower and upper")
+        m = self.manifest(
+            self._resolve_version(version, as_of_timestamp_ms)
+        )
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        id_col = self.properties["id_col"]
+        stats = m.get("stats", {})
+        keep = [
+            f
+            for f in m["files"]
+            if f not in stats
+            or not (stats[f][1] < lower or stats[f][0] > upper)
+        ]
+        if not keep:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(
+                *(os.path.join(self.path, f) for f in keep)
+            )
+        return df.filter(
+            (F.col(id_col) >= F.lit(lower))
+            & (F.col(id_col) <= F.lit(upper))
+        )
+
     # -------------------------------------------------------------- MERGE
 
     def _rel_of_uri(self, uri: str) -> str:

@@ -604,3 +604,28 @@ def test_changes_reads_only_differing_files(spark, tmp_path):
     scanned = {f.split("/")[-1] for f in c.changes(0, 1).inputFiles()}
     assert scanned == {f.split("/")[-1] for f in diff}
     assert not scanned & {f.split("/")[-1] for f in carried}
+
+
+def test_read_range_skips_files_by_manifest_stats(spark, tmp_path):
+    """read_range on a range-clustered table must scan only the files
+    whose footer range intersects the requested key range (pinned via
+    inputFiles), and still return exactly the rows in range."""
+    c = VersionedCollection(spark, str(tmp_path), "rr")
+    c.create(
+        _mk(spark, [(i, i) for i in range(64)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=8,
+    )
+    df = c.read_range(10, 13)
+    assert len(df.inputFiles()) < len(c.manifest(0)["files"])
+    assert {r.id for r in df.collect()} == {10, 11, 12, 13}
+    # exactness does not depend on stats: same result via plain read
+    want = {
+        r.id
+        for r in c.read().filter("id between 10 and 13").collect()
+    }
+    assert {r.id for r in df.collect()} == want
+    with pytest.raises(ValueError, match="non-null"):
+        c.read_range(None, 5)

@@ -629,3 +629,68 @@ def test_read_range_skips_files_by_manifest_stats(spark, tmp_path):
     assert {r.id for r in df.collect()} == want
     with pytest.raises(ValueError, match="non-null"):
         c.read_range(None, 5)
+
+
+# ---------------------------- model-based property test (hypothesis)
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_op = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.dictionaries(
+            st.integers(0, 15), st.integers(0, 99), min_size=1, max_size=5
+        ),
+    ),
+    st.tuples(
+        st.just("delete"),
+        st.sets(st.integers(0, 15), min_size=1, max_size=4),
+    ),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("recluster"), st.none()),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=5))
+def test_versioned_state_machine_matches_model(spark, tmp_path_factory, ops):
+    """Model-based check of the whole commit state machine: a random
+    sequence of merge/delete/compact/recluster against a plain-dict
+    model, verifying the FINAL state and EVERY historical snapshot
+    (time travel) after the run — compact/recluster must be
+    state-preserving commits, merges last-writer-wins, deletes exact."""
+    tmp = tmp_path_factory.mktemp("vcprop")
+    c = VersionedCollection(spark, str(tmp), "m")
+    model: dict[int, int] = {i: 10 * i for i in range(4)}
+    c.create(
+        _mk(spark, sorted(model.items())),
+        dim=3,
+        metric="dot",
+        normalize=False,
+    )
+    history = [dict(model)]
+    for kind, arg in ops:
+        if kind == "merge":
+            c.merge(_mk(spark, sorted(arg.items())))
+            model.update(arg)
+        elif kind == "delete":
+            ids = ",".join(map(str, sorted(arg)))
+            c.delete_where(f"id in ({ids})")
+            for i in arg:
+                model.pop(i, None)
+        elif kind == "compact":
+            c.compact(target_file_bytes=1 << 20, min_files=1)
+        else:
+            c.recluster()
+        history.append(dict(model))
+
+    assert c.latest_version() == len(ops)
+    for v, snap in enumerate(history):
+        assert _state(c, version=v) == {
+            (i, lbl) for i, lbl in snap.items()
+        }, f"version {v} diverged from model"

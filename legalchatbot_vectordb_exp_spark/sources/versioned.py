@@ -90,6 +90,11 @@ _DATA_DIR = "data"
 # in-flight (not yet published) commit and survive vacuum by default.
 _DEFAULT_VACUUM_AGE_MS = 24 * 3600 * 1000
 
+# Above this many distinct merge keys the semi/anti joins stop
+# broadcasting and shuffle instead (a 100 M-key backfill must not be
+# shipped to every executor as a broadcast table).
+_BROADCAST_KEY_LIMIT = 4_000_000
+
 # Protocol version this reader/writer speaks (Delta-style gate): a
 # manifest written by a newer engine with incompatible semantics bumps
 # this, and older readers fail loudly instead of misreading the table.
@@ -585,6 +590,7 @@ class VersionedCollection:
         when_matched: str = "update",
         max_retries: int = 3,
         schema_evolution: bool = False,
+        broadcast_keys: bool | None = None,
     ) -> "VersionedCollection":
         """File-level copy-on-write MERGE keyed on the collection id:
 
@@ -613,7 +619,16 @@ class VersionedCollection:
         are never rewritten.  Columns the source LACKS become null on
         the rows it replaces/inserts (full-row last-writer-wins).
         Without the flag, a source column set that differs from the
-        table schema is an error — evolution is always explicit."""
+        table schema is an error — evolution is always explicit.
+
+        ``broadcast_keys`` controls the join strategy for the
+        discovery semi-join and survivor anti-join: ``True`` forces a
+        broadcast of the distinct merge keys (right for typical CDC
+        batches), ``False`` forces a shuffle join (right for huge
+        backfills whose key set exceeds executor memory), ``None``
+        (default) broadcasts unless the key count — measured by the
+        same aggregation that computes the pruning bounds — exceeds
+        ``_BROADCAST_KEY_LIMIT``."""
         if max_retries < 1:
             raise ValueError(f"max_retries must be >= 1, got {max_retries}")
         if when_matched not in ("update", "delete"):
@@ -632,6 +647,7 @@ class VersionedCollection:
             incoming = source
         keys = incoming.select(id_col).distinct()
         key_bounds: tuple | None = None  # computed once, on first need
+        n_keys: int | None = None
 
         last_err: Exception | None = None
         for attempt in range(max_retries):
@@ -659,10 +675,18 @@ class VersionedCollection:
             n_prunable = sum(1 for f in m["files"] if f in stats)
             if n_prunable >= 4 and key_bounds is None:
                 kb = keys.agg(
-                    F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+                    F.min(id_col).alias("lo"),
+                    F.max(id_col).alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
                 ).first()
                 key_bounds = (kb["lo"], kb["hi"])
+                n_keys = kb["n"]
             key_lo, key_hi = key_bounds or (None, None)
+            if broadcast_keys is None:
+                use_bcast = n_keys is None or n_keys <= _BROADCAST_KEY_LIMIT
+            else:
+                use_bcast = broadcast_keys
+            kdf = F.broadcast(keys) if use_bcast else keys
             candidates = []
             pruned = 0
             for f in m["files"]:
@@ -685,7 +709,7 @@ class VersionedCollection:
                 )
                 hit_rows = (
                     cand.withColumn("_vc_file", F.input_file_name())
-                    .join(F.broadcast(keys), id_col, "semi")
+                    .join(kdf, id_col, "semi")
                     .select("_vc_file")
                     .distinct()
                     .collect()
@@ -701,7 +725,7 @@ class VersionedCollection:
             if matched_files:
                 survivors = self.spark.read.schema(schema).parquet(
                     *(os.path.join(self.path, f) for f in matched_files)
-                ).join(F.broadcast(keys), id_col, "left_anti")
+                ).join(kdf, id_col, "left_anti")
             else:
                 survivors = self.spark.createDataFrame([], schema)
             if when_matched == "update":

@@ -694,3 +694,25 @@ def test_versioned_state_machine_matches_model(spark, tmp_path_factory, ops):
         assert _state(c, version=v) == {
             (i, lbl) for i, lbl in snap.items()
         }, f"version {v} diverged from model"
+
+
+def test_merge_broadcast_keys_override_same_result(spark, tmp_path):
+    """broadcast_keys=False (the huge-backfill path: shuffle semi/anti
+    joins instead of broadcasting the key set) must produce exactly
+    the broadcast path's result."""
+    for flag, name in ((True, "bk1"), (False, "bk0")):
+        c = VersionedCollection(spark, str(tmp_path), name)
+        c.create(
+            _mk(spark, [(i, 10 * i) for i in range(12)]).repartition(
+                3, "id"
+            ),
+            dim=3,
+            metric="dot",
+            normalize=False,
+        )
+        c.merge(
+            _mk(spark, [(2, 222), (20, 200)]), broadcast_keys=flag
+        )
+        assert _state(c) == {
+            (i, 10 * i) for i in range(12) if i != 2
+        } | {(2, 222), (20, 200)}, f"broadcast_keys={flag}"

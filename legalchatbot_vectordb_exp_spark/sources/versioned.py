@@ -90,6 +90,15 @@ _DATA_DIR = "data"
 # in-flight (not yet published) commit and survive vacuum by default.
 _DEFAULT_VACUUM_AGE_MS = 24 * 3600 * 1000
 
+# Up to this many distinct merge keys, discovery collects them and
+# pushes an IN() predicate into the parquet scan (engaging row-group
+# stats + bloom skipping); beyond it, the broadcast semi-join plan.
+# Note Spark rewrites IN lists longer than
+# spark.sql.parquet.pushdown.inFilterThreshold (default 10) to a
+# range predicate at the parquet layer — still stats-skipping; raise
+# that conf to push exact lists (and hit the bloom) for bigger sets.
+_ISIN_PUSHDOWN_LIMIT = 1024
+
 # Above this many distinct merge keys the semi/anti joins stop
 # broadcasting and shuffle instead (a 100 M-key backfill must not be
 # shipped to every executor as a broadcast table).
@@ -292,7 +301,21 @@ class VersionedCollection:
         out)."""
         sub = os.path.join(_DATA_DIR, f"c{version:08d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.path, sub)
-        df.write.mode("error").parquet(out)
+        writer = df.write.mode("error")
+        if id_col:
+            # parquet-native bloom filter on the id column: merge
+            # discovery pushes an IN() filter for small key sets, and
+            # the reader then skips row groups by bloom + stats even
+            # on hash-distributed layouts where min/max can't prune
+            # cap the bloom: parquet's default max (1 MiB) is written
+            # IN FULL when NDV is unknown, ballooning small files
+            # ~1 MiB each (measured).  128 KiB ≈ 109k NDV at 1% fpp —
+            # right-sized for a 128 MB file of wide vector rows, 0.1%
+            # overhead at production file sizes.
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{id_col}", "true"
+            ).option("parquet.bloom.filter.max.bytes", str(128 << 10))
+        writer.parquet(out)
         files = sorted(
             os.path.join(sub, f)
             for f in os.listdir(out)
@@ -648,6 +671,7 @@ class VersionedCollection:
         keys = incoming.select(id_col).distinct()
         key_bounds: tuple | None = None  # computed once, on first need
         n_keys: int | None = None
+        key_list: list | None = None  # collected once when small
 
         last_err: Exception | None = None
         for attempt in range(max_retries):
@@ -701,18 +725,33 @@ class VersionedCollection:
                     candidates.append(f)
 
             # tier 2 — id column + file name only on the candidates
-            # (parquet prunes every other column)
+            # (parquet prunes every other column).  Small key sets
+            # push an IN() literal filter instead of the semi-join:
+            # the predicate reaches the parquet reader, which then
+            # skips row groups by column stats AND the write-time
+            # bloom filter — effective even on hash layouts where
+            # manifest min/max ranges overlap every file.
             matched_files: set[str] = set()
             if candidates:
+                if (
+                    key_list is None
+                    and n_keys is not None
+                    and n_keys <= _ISIN_PUSHDOWN_LIMIT
+                ):
+                    key_list = [r[0] for r in keys.collect()]
                 cand = self.spark.read.schema(schema).parquet(
                     *(os.path.join(self.path, f) for f in candidates)
                 )
+                if key_list is not None:
+                    probe = cand.filter(
+                        F.col(id_col).isin(key_list)
+                    ).withColumn("_vc_file", F.input_file_name())
+                else:
+                    probe = cand.withColumn(
+                        "_vc_file", F.input_file_name()
+                    ).join(kdf, id_col, "semi")
                 hit_rows = (
-                    cand.withColumn("_vc_file", F.input_file_name())
-                    .join(kdf, id_col, "semi")
-                    .select("_vc_file")
-                    .distinct()
-                    .collect()
+                    probe.select("_vc_file").distinct().collect()
                 )
                 matched_files = {
                     self._rel_of_uri(r[0]) for r in hit_rows

@@ -27,6 +27,8 @@ DataFrame plans so Catalyst handles pushdown/broadcast:
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -950,4 +952,135 @@ def q_ann_lsh_recall_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         mean.alias("mean_pair_cos"),
         (mean >= LSH_MEAN_COS_FLOOR).alias("lsh_enrichment_ok"),
+    )
+
+
+# --------------------------------------------------------- persisted IVF
+
+CELL_SHIFT = 2**32  # composite key: cluster_id * 2^32 + vec_id
+
+
+@register(
+    "ann_ivf_persisted",
+    sql=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             arg_max(c.cid, {sql_dot('e.embedding', 'c.cv')}
+                            + 1e-12 * (-c.cid)) AS cluster_id
+      FROM embeddings e CROSS JOIN centroids c
+      GROUP BY e.vec_id, e.embedding
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    probe AS (
+      SELECT c.cid
+      FROM centroids c, q
+      ORDER BY {sql_dot('q.qv', 'c.cv')} DESC, c.cid ASC
+      LIMIT {NPROBE}
+    )
+    SELECT a.vec_id, a.cluster_id,
+           round({sql_dot('a.embedding', 'q.qv')}, 6) AS score
+    FROM assign a, probe p, q
+    WHERE a.cluster_id = p.cid
+    ORDER BY {sql_dot('a.embedding', 'q.qv')} DESC, a.vec_id ASC
+    LIMIT 5
+    """,
+)
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector database AT REST (E3 ⨝ E11): the IVF index is not a
+    query-time structure but the physical LAYOUT of a versioned
+    collection — what Qdrant's segment files are to the reference
+    (``Qdrant/VectorDB/Database.py:7-20``), re-expressed as a
+    manifest-tracked table whose sort order IS the index.
+
+    Write path (once): every vector is assigned to its nearest
+    deterministic centroid by THE shared coarse quantizer
+    (:func:`ivf_best_cells`) and persisted under a cell-major
+    composite key ``cluster_id * 2^32 + vec_id``, range-clustered so
+    each file covers a tight key span — i.e. one or a few whole
+    cells — and the manifest records each file's key min/max.
+
+    Search path (per query): centroid scores are driver-side
+    arithmetic (nlist rows are metadata); each probed cell becomes a
+    ``read_range`` over its key interval, where MANIFEST STATS prune
+    every file whose span cannot intersect the cell — the 100 TB scan
+    reads nprobe/nlist of the files without any assignment recompute,
+    Spark partition-pruning style but driven by the sink's own
+    metadata.  Exact rescoring within the probed cells, top-5.
+
+    The oracle recomputes assignment + probe + rescore relationally
+    from the raw parquet, so a mis-keyed write, a stats-pruned file
+    that should have been read, or a stale snapshot all fail the
+    hash.  ``test_versioned_collection.py`` additionally pins that
+    the probed scan OPENS fewer files than the snapshot holds."""
+    import shutil
+
+    import numpy as np  # noqa: F401  (make_ivf_assign kernel dep)
+
+    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
+    from legalchatbot_vectordb_exp_spark.sources.versioned import (
+        VersionedCollection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mod = ivf_mod_for(emb.count())  # parquet-footer count job
+    meta = emb.filter(
+        (F.col("vec_id") % mod == 0) | (F.col("vec_id") == 1)
+    ).collect()
+    cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
+    cmat = [
+        list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0
+    ]
+    qvec = [float(x) for r in meta if int(r[0]) == 1 for x in r[1]]
+
+    def seq_dot(a, b):  # sequential fold — same IEEE order as the oracle
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    probe = sorted(
+        cid
+        for _, cid in sorted(
+            ((-seq_dot(qvec, cv), cid) for cid, cv in zip(cids, cmat))
+        )[:NPROBE]
+    )
+
+    # ---- write path: assign every vector, persist cell-major
+    warehouse = _scratch(sf_dir, "ivf_persisted")
+    coll = VersionedCollection(spark, warehouse, "emb_ivf")
+    if os.path.isdir(coll.path):
+        shutil.rmtree(coll.path)  # fresh layout per run
+    keyed = emb.mapInPandas(
+        make_ivf_assign(cids, cmat), schema=IVF_ASSIGN_SCHEMA
+    ).select(
+        (F.col("cluster_id") * CELL_SHIFT + F.col("vec_id")).alias("id"),
+        F.col("embedding").alias("vector"),
+        "vec_id",
+        "cluster_id",
+    )
+    coll.create(
+        keyed, dim=len(qvec), metric="dot", normalize=False,
+        cluster_files=16,
+    )
+
+    # ---- search path: one stats-pruned range read per probed cell
+    parts = [
+        coll.read_range(c * CELL_SHIFT, c * CELL_SHIFT + (CELL_SHIFT - 1))
+        for c in probe
+    ]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        cand.withColumn("score", dot("vector", qlit))
+        .orderBy(F.desc("score"), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", "cluster_id", F.round("score", 6).alias("score"))
     )

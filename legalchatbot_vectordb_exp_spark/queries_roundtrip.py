@@ -588,3 +588,114 @@ def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(silent.withColumn("span", F.lit("recluster")))
         .select("span", *cols)
     )
+
+
+@register(
+    "mv_cdc_maintain",
+    sql="""
+    WITH v2 AS (
+      SELECT vec_id AS id, label FROM embeddings
+      WHERE vec_id < 350 AND vec_id % 7 <> 0
+      UNION ALL
+      SELECT vec_id, label + 1000 FROM embeddings
+      WHERE vec_id >= 350 AND vec_id < 450 AND vec_id % 7 <> 0
+    )
+    SELECT (id % 10)::BIGINT AS grp,
+           count(*)::BIGINT AS n_rows,
+           sum(label)::BIGINT AS sum_label
+    FROM v2 GROUP BY id % 10
+    """,
+)
+def q_mv_cdc_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view maintained from the versioned sink's OWN
+    change feed (E11 ⨝ the incremental-agg pattern): the downstream
+    half of a warehouse — a stored rollup that tracks a mutating
+    100 TB table at O(changes) cost, with the deltas coming from
+    ``changes(..., preimages=True)`` (Delta CDF's four-type feed)
+    rather than a hand-built synthetic batch
+    (cf. ``incremental_agg_maintain``, which proves the algebra on a
+    deterministic key split; this query proves the *plumbing* —
+    sink → CDC feed → view — end-to-end).
+
+    History: v0 create (ids < 400), v1 COW MERGE upserting [350, 450)
+    with label+1000 (350–399 update, 400–449 insert), v2 delete of
+    ``id % 7 = 0``.  The MV (count + sum(label) by ``id % 10``) is
+    aggregated ONCE at v0, genuinely stored to parquet, then folded
+    forward with the v0→v2 feed: sign +1 on insert/update_postimage,
+    −1 on delete/update_preimage — valid because count/sum are
+    retractable (abelian-group) aggregates over exact integers.  The
+    oracle recomputes the v2 state from scratch, so a missing
+    preimage, a wrong delta sign, or a group dropped/invented by the
+    fold fails the hash.
+
+    Scale shape: the base is aggregated once at MV build; maintenance
+    reads only the manifest-diff touch set (the feed) plus the MV
+    itself, and the merge joins two ROLLUPS (group-key cardinality on
+    both sides — a full outer, so no broadcast build, but never
+    row-scale).  No snapshot is ever re-aggregated."""
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    warehouse = _scratch(sf_dir, "mv_cdc")
+    coll = VersionedCollection(spark, warehouse, "emb_mv")
+    if os.path.isdir(coll.path):
+        shutil.rmtree(coll.path)  # fresh history per run
+
+    dim = len(emb.select("embedding").head()[0])
+    base = emb.filter(F.col("vec_id") < 400).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    coll.create(base, dim=dim, metric="dot", normalize=False)
+    coll.merge(
+        emb.filter(
+            (F.col("vec_id") >= 350) & (F.col("vec_id") < 450)
+        ).select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("vector"),
+            (F.col("label") + 1000).alias("label"),
+        )
+    )
+    coll.delete_where("id % 7 = 0")
+
+    grp = (F.col("id") % 10).cast("bigint").alias("grp")
+    mv_path = _scratch(sf_dir, "mv_cdc_view")
+    (
+        coll.read(version=0)
+        .groupBy(grp)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("label").cast("bigint").alias("sum_label"),
+        )
+        .write.mode("overwrite")
+        .parquet(mv_path)
+    )
+    mv = spark.read.parquet(mv_path)  # the STORED rollup
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        coll.changes(0, 2, preimages=True)
+        .select(grp, sign.alias("s"), F.col("label"))
+        .groupBy("grp")
+        .agg(
+            F.sum("s").cast("bigint").alias("dn"),
+            F.sum(F.col("s") * F.col("label")).cast("bigint").alias("dl"),
+        )
+    )
+    return (
+        mv.join(delta, "grp", "full_outer")
+        .select(
+            "grp",
+            (
+                F.coalesce("n_rows", F.lit(0)) + F.coalesce("dn", F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce("sum_label", F.lit(0))
+                + F.coalesce("dl", F.lit(0))
+            ).alias("sum_label"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

@@ -880,12 +880,24 @@ class VersionedCollection:
         }
 
     def changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        preimages: bool = False,
     ) -> DataFrame:
         """Row-level change feed between two snapshots (the Delta CDF
         surface): one row per changed id, ``_change_type`` in
         ``('insert', 'delete', 'update_postimage')``; deletes carry
         the preimage values, updates the postimage.
+
+        ``preimages=True`` additionally emits an ``update_preimage``
+        row (the from-snapshot values) for every update, Delta CDF's
+        full four-type feed.  That is what makes the feed *retraction
+        complete*: a downstream consumer maintaining an abelian-group
+        aggregate (count/sum materialized view) can fold the feed with
+        sign +1 on insert/update_postimage and −1 on
+        delete/update_preimage and land exactly on the to-snapshot
+        state — cost O(changes), never O(table).
 
         Scale shape — manifest arithmetic first: rows in files carried
         by BOTH manifests are bit-identical in the two snapshots and
@@ -949,15 +961,28 @@ class VersionedCollection:
                 .alias(c)
             )
         sel.append(change.alias("_change_type"))
-        return (
-            a.join(
-                b,
-                F.col(f"a.{id_col}") == F.col(f"b.{id_col}"),
-                "full_outer",
-            )
-            .select(*sel)
-            .filter(F.col("_change_type").isNotNull())
+        joined = a.join(
+            b,
+            F.col(f"a.{id_col}") == F.col(f"b.{id_col}"),
+            "full_outer",
         )
+        feed = joined.select(*sel).filter(
+            F.col("_change_type").isNotNull()
+        )
+        if not preimages:
+            return feed
+        # second select over the SAME lazy join (touch-set-sized; AQE
+        # reuses the exchange when both branches materialize together)
+        pre = joined.filter(
+            F.col(f"a.{id_col}").isNotNull()
+            & F.col(f"b.{id_col}").isNotNull()
+            & differs
+        ).select(
+            F.col(f"a.{id_col}").alias(id_col),
+            *[F.col(f"a.{c}").alias(c) for c in val_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        return feed.unionByName(pre)
 
     def recluster(self, target_files: int | None = None) -> dict:
         """Full re-clustering as a COMMIT (Delta ``OPTIMIZE ZORDER``'s

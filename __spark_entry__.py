@@ -7,15 +7,12 @@ with a DuckDB oracle where SQL-expressible).
 
 Registration ORDER is deliberate: the driver samples a prefix of
 ``queries()`` for its correctness report (50 in r7), so each round the
-prefix is rotated to whatever most needs a fresh driver row.  Round 8
-front-loads: the two queries whose plans were rewritten after their
-last driver sample (``part_affinity``, ``ranker_agreement``), the one
-query whose engine path changed this round (``merge_time_travel`` —
-versioned sink gained stats pruning / checkpointing / vacuum age
-guard), then every remaining query ordered by the age of its latest
-driver-green row (r1 rows first, then r2, r4, r5, r6) so the sample
-window always lands on the stalest evidence.  The 50 queries sampled
-in r7 follow in registry order.
+prefix is rotated to whatever most needs a fresh driver row.  Round 10
+front-loads: the two queries that have NEVER had a driver row
+(``ann_ivf_persisted``, ``mv_cdc_maintain`` — the r8/r9 judges' top
+ask), then every remaining query ordered by the age of its latest
+driver-green row (r5 rows first, then r6, r7, r9) so the ~50-query
+sample window always lands on the stalest evidence.
 """
 
 from __future__ import annotations
@@ -31,108 +28,152 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 _SAMPLE_PRIORITY = [
-    # (1) plan-rewritten AFTER their last driver rows (r7 judge item 1:
-    # part_affinity rewritten in bbaa9b1, ranker_agreement in 455e159 —
-    # their green rows predate the current code; hardest signal first)
-    "part_affinity",
-    "ranker_agreement",
-    # (2) behavior-touched this round: versioned sink gained footer-
-    # stats pruning + checkpointed log + vacuum age guard — refresh the
-    # end-to-end row against the new code
-    "merge_time_travel",
-    # new in r8: evolution-merge + recluster + change feed end-to-end
-    "cdc_changes_feed",
-    # (3) oldest driver rows first (r7 judge item 2: rotate so no green
-    # row predates r6).  Last sampled r1:
-    "payload_filter_eq",
-    "deterministic_ids",
-    "set_operators",
-    "asof_join_events",
-    "label_centroids",
-    "value_percentiles",
-    "events_pivot",
-    # last sampled r2:
-    "events_sessionize",
-    "events_dedup",
-    "events_unpivot",
-    "time_gapfill",
-    "multimodal_meta",
-    # last sampled r4:
-    "dedup_minhash_signature",
-    "dedup_minhash_pairs",
-    "dedup_groups",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_keep_one",
-    "corpus_curation",
-    "dedup_containment",
-    "ann_lsh_buckets",
-    "ann_lsh_pairs",
-    "ann_pq_guard",
-    "ann_ivf_recall_guard",
-    "ann_lsh_recall_guard",
-    "quality_score",
-    "doc_fingerprint",
-    "token_vocab",
-    "bm25_rank",
-    "hybrid_rrf",
-    "pii_redact",
-    "bigram_topk",
-    "charset_profile",
-    "revenue_by_nation",
-    "top_customers",
-    "top_parts_per_brand",
-    "running_revenue",
-    "order_priority_counts",
-    "shipping_priority",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "idle_high_balance_customers",
-    # last sampled r5 (overflow past the ~50-query sample window lands
-    # here; next round rotates the remainder forward):
-    "events_streaming_live",
-    "rag_end_to_end",
-    "multimodal_audio",
-    "pdf_roundtrip",
-    "cast_and_defaults",
-    "vector_quantize_int8",
-    "stats_moments",
+    # (1) never driver-sampled (r8+r9 judge top ask): the persisted-IVF
+    # at-rest layout and the CDC-maintained MV get their first driver
+    # rows this round
+    "ann_ivf_persisted",
+    "mv_cdc_maintain",
+    # (next) latest driver-green row is r5 — oldest evidence first
     "approx_agg_guard",
-    "events_topn_per_window",
-    "retention_cohort",
-    "pagerank_parts",
-    "conversion_funnel",
-    "cdc_apply",
-    "embedding_drift",
-    "length_buckets",
-    "events_anomaly_mad",
-    "value_histogram",
-    "window_functions",
-    "datetime_parts",
-    "fuzzy_match_nations",
-    "json_extract_props",
-    "distinct_counts",
-    "null_semantics",
-    "csv_roundtrip",
-    "collection_roundtrip",
     "bucketed_join_equivalence",
-    "jsonl_roundtrip",
-    "schema_evolution_roundtrip",
-    "temperature_sample",
-    "hash_split",
+    "cast_and_defaults",
+    "cdc_apply",
+    "collection_roundtrip",
+    "conversion_funnel",
+    "csv_roundtrip",
+    "datetime_parts",
     "decontamination",
+    "distinct_counts",
+    "embedding_drift",
+    "events_anomaly_mad",
+    "events_topn_per_window",
+    "fuzzy_match_nations",
+    "hash_split",
+    "json_extract_props",
+    "jsonl_roundtrip",
+    "length_buckets",
+    "null_semantics",
+    "pagerank_parts",
     "partitioned_roundtrip",
+    "pdf_roundtrip",
+    "retention_cohort",
+    "schema_evolution_roundtrip",
+    "stats_moments",
+    "temperature_sample",
     "topk_mmr",
     "topk_mmr_batch",
-    # last sampled r6:
-    "doc_chunks",
+    "value_histogram",
+    "vector_quantize_int8",
+    "window_functions",
+    # (next) latest driver-green row is r6 — oldest evidence first
     "chunk_format",
-    "eval_recall_mrr",
-    "eval_means",
     "context_assembly",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "doc_chunks",
+    "eval_means",
+    "eval_recall_mrr",
+    # (next) latest driver-green row is r7 — oldest evidence first
+    "ann_ivf_topk",
+    "ann_ivf_topk_batch",
+    "ann_ivfpq_topk",
+    "array_functions",
+    "bloom_prune_join",
+    "boilerplate_shingles",
+    "chunk_overlap",
+    "cms_heavy_hitters",
+    "dedup_incremental",
+    "dq_audit",
+    "embed_dim_contract",
+    "events_ewma",
+    "events_sliding",
+    "events_stream_join_live",
+    "events_tumbling",
+    "graph_triangles",
+    "hard_negatives",
+    "incremental_agg_maintain",
+    "interval_join_events",
+    "kmeans_refine",
+    "lang_id",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_resize",
+    "negative_sampling",
+    "orc_roundtrip",
+    "pricing_summary",
+    "repetition_score",
+    "sales_cube",
+    "sales_rollup",
+    "salted_agg_equivalence",
+    "semdedup_cells",
+    "sequence_packing",
+    "snapshot_diff",
+    "stratified_sample",
+    "string_functions",
+    "substring_dedup_spans",
+    "table_profile",
+    "text_normalize",
+    "text_stats",
+    "tfidf_topterms",
+    "topk_batch",
+    "topk_cosine",
+    "training_shuffle",
+    "udaf_grouped_median",
+    "udtf_shingle_freq",
+    "unigram_surprisal",
+    "vector_normalize",
+    "zorder_layout",
+    # (next) latest driver-green row is r9 — oldest evidence first
+    "ann_ivf_recall_guard",
+    "ann_lsh_buckets",
+    "ann_lsh_pairs",
+    "ann_lsh_recall_guard",
+    "ann_pq_guard",
+    "asof_join_events",
+    "bigram_topk",
+    "bm25_rank",
+    "cdc_changes_feed",
+    "charset_profile",
+    "corpus_curation",
+    "customer_order_distribution",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_groups",
+    "dedup_keep_one",
+    "dedup_minhash_pairs",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "deterministic_ids",
+    "doc_fingerprint",
+    "events_dedup",
+    "events_pivot",
+    "events_sessionize",
+    "events_streaming_live",
+    "events_unpivot",
+    "hybrid_rrf",
+    "idle_high_balance_customers",
+    "label_centroids",
+    "merge_time_travel",
+    "multimodal_audio",
+    "multimodal_meta",
+    "order_priority_counts",
+    "part_affinity",
+    "payload_filter_eq",
+    "pii_redact",
+    "quality_score",
+    "rag_end_to_end",
+    "ranker_agreement",
+    "revenue_by_nation",
+    "running_revenue",
+    "set_operators",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "time_gapfill",
+    "token_vocab",
+    "top_customers",
+    "top_parts_per_brand",
+    "value_percentiles",
 ]
 
 

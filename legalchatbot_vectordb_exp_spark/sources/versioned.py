@@ -166,9 +166,15 @@ def _footer_minmax(path: str, id_col: str):
         if lo is None:
             return None
         if isinstance(lo, bytes):
-            lo, hi = lo.decode("utf-8", "replace"), hi.decode(
-                "utf-8", "replace"
-            )
+            # Strict decode only: replacement characters can REORDER
+            # the bounds (U+FFFD sorts above most text), and a
+            # too-narrow range prunes a file that actually contains a
+            # merge match — silent row loss.  Undecodable stats mean
+            # no pruning for this file, never wrong pruning.
+            try:
+                lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
         return [lo, hi]
     except Exception:
         return None
@@ -244,7 +250,14 @@ class VersionedCollection:
             while os.path.isfile(self._manifest_path(v)):
                 vs.append(v)
                 v += 1
-            return vs
+            if vs:
+                return vs
+            # Self-heal: a checkpoint that resolves to NOTHING while
+            # manifests exist on disk means the checkpoint is stale
+            # relative to a vacuum that crashed mid-cleanup (or was
+            # produced by the pre-fix unlink-then-checkpoint order).
+            # The manifests are the source of truth — fall through to
+            # the listdir path rather than reporting an empty log.
         d = self._versions_dir()
         if not os.path.isdir(d):
             return []
@@ -688,6 +701,20 @@ class VersionedCollection:
                 out_schema = StructType(list(schema.fields) + new_fields)
             else:
                 out_schema = schema
+                if when_matched == "update":
+                    # Evolution is explicit: silently dropping source
+                    # columns the table lacks loses data the caller
+                    # thought they wrote (Delta raises here too).
+                    extra = set(incoming.columns) - set(
+                        schema.fieldNames()
+                    )
+                    if extra:
+                        raise ValueError(
+                            f"collection {self.name}: source carries "
+                            f"columns not in the table schema "
+                            f"{sorted(extra)}; pass "
+                            f"schema_evolution=True to append them"
+                        )
 
             # tier 1 — footer-stats range pruning, no file opened:
             # all keys lie in [key_lo, key_hi], so a file whose id
@@ -918,8 +945,9 @@ class VersionedCollection:
         id_col = self.properties["id_col"]
         sa = StructType.fromJson(json.loads(ma["schema"]))
         sb = StructType.fromJson(json.loads(mb["schema"]))
-        only_a = [f for f in ma["files"] if f not in set(mb["files"])]
-        only_b = [f for f in mb["files"] if f not in set(ma["files"])]
+        files_a, files_b = set(ma["files"]), set(mb["files"])
+        only_a = [f for f in ma["files"] if f not in files_b]
+        only_b = [f for f in mb["files"] if f not in files_a]
 
         def _read(files: list[str], schema: StructType) -> DataFrame:
             if not files:
@@ -1047,6 +1075,19 @@ class VersionedCollection:
             m = self.manifest(v)
             referenced.update(m["files"])
             keep_ts[v] = m["timestamp_ms"]
+        # Crash consistency: publish the retained-set checkpoint
+        # BEFORE unlinking anything.  The old order (unlink manifests,
+        # then rewrite the checkpoint) had a window where a crash left
+        # a checkpoint naming only deleted versions — versions()'s
+        # existence filter emptied it and the forward probe started at
+        # a deleted manifest, making every retained version
+        # unreachable.  Writing first is safe in the mirror-image
+        # crash: a checkpoint naming only the retained versions plus
+        # not-yet-unlinked old manifests just leaves the old versions
+        # readable until the next vacuum (versions() also keeps a
+        # listdir fallback for logs vacuumed by the buggy order).
+        if keep:
+            self._write_checkpoint([[v, keep_ts[v]] for v in keep])
         now = time.time()
         removed_files = 0
         skipped_young = 0
@@ -1080,8 +1121,6 @@ class VersionedCollection:
             if v not in keep:
                 os.unlink(self._manifest_path(v))
                 removed_manifests += 1
-        if keep:
-            self._write_checkpoint([[v, keep_ts[v]] for v in keep])
         return {
             "removed_files": removed_files,
             "skipped_young_files": skipped_young,

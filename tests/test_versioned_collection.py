@@ -716,3 +716,114 @@ def test_merge_broadcast_keys_override_same_result(spark, tmp_path):
         assert _state(c) == {
             (i, 10 * i) for i in range(12) if i != 2
         } | {(2, 222), (20, 200)}, f"broadcast_keys={flag}"
+
+
+def test_vacuum_crash_before_manifest_unlink_keeps_log_readable(
+    coll, spark, monkeypatch
+):
+    """Crash injection for the checkpoint-ordering fix: vacuum now
+    publishes the retained-set checkpoint BEFORE unlinking manifests,
+    so a kill anywhere in the unlink loop leaves a log where every
+    retained version is still reachable (old manifests merely linger
+    until the next vacuum)."""
+    import os as _os
+
+    from legalchatbot_vectordb_exp_spark.sources import versioned as V
+
+    for i in range(4):
+        coll.merge(_mk(spark, [(100 + i, i)]))
+    vs_before = coll.versions()
+    assert len(vs_before) == 5
+
+    real_unlink = _os.unlink
+    state = {"manifest_unlinks": 0}
+
+    def killing_unlink(path):
+        if "_versions" in str(path):
+            state["manifest_unlinks"] += 1
+            raise RuntimeError("simulated kill -9 mid-vacuum")
+        return real_unlink(path)
+
+    monkeypatch.setattr(V.os, "unlink", killing_unlink)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        coll.vacuum(keep_last=2, min_file_age_ms=0)
+    monkeypatch.undo()
+
+    # the crash hit the FIRST manifest unlink — checkpoint was already
+    # on disk naming the retained versions
+    assert state["manifest_unlinks"] == 1
+    fresh = VersionedCollection(spark, coll.warehouse, coll.name)
+    vs = fresh.versions()
+    assert vs[-2:] == vs_before[-2:], "retained versions unreachable"
+    assert _state(fresh) == _state(coll)
+    # the interrupted sweep completes idempotently on retry
+    fresh.vacuum(keep_last=2, min_file_age_ms=0)
+    assert fresh.versions() == vs_before[-2:]
+
+
+def test_versions_self_heals_from_stale_checkpoint(coll, spark):
+    """The pre-fix failure state: a checkpoint whose versions were all
+    vacuumed and whose forward probe starts at a deleted manifest.
+    versions() must fall back to the on-disk manifests instead of
+    reporting an empty (bricked) log."""
+    import json as _json
+
+    for i in range(3):
+        coll.merge(_mk(spark, [(200 + i, i)]))  # versions 0..3
+    # hand-craft the brick: checkpoint knows only v0, then v0..v2 are
+    # vacuumed away; the probe from v1 dies on the missing manifest
+    ts = coll.manifest(0)["timestamp_ms"]
+    with open(coll._checkpoint_path(), "w") as f:
+        _json.dump({"version": 0, "commits": [[0, ts]]}, f)
+    for v in (0, 1, 2):
+        os.unlink(coll._manifest_path(v))
+
+    fresh = VersionedCollection(spark, coll.warehouse, coll.name)
+    assert fresh.versions() == [3], "listdir fallback did not engage"
+    assert fresh.latest_version() == 3
+    assert (300, 2) not in _state(fresh) and (202, 2) in _state(fresh)
+
+
+def test_merge_raises_on_extra_source_columns_without_evolution(
+    coll, spark
+):
+    """Silent column drop is data loss: a source carrying columns the
+    table lacks must error unless schema_evolution=True (Delta
+    parity)."""
+    src = spark.createDataFrame(
+        [(0, _vec(0), 999, "dropped?")],
+        "id long, vector array<double>, label long, tag string",
+    )
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        coll.merge(src)
+    # the table is untouched by the failed merge
+    assert coll.latest_version() == 0
+    assert _state(coll) == {(i, 10 * i) for i in range(8)}
+
+
+def test_footer_minmax_skips_undecodable_binary_stats(tmp_path):
+    """Non-UTF8 bytes in parquet min/max stats must disable pruning
+    for that file (return None), never produce replacement-char
+    bounds that can misorder and prune a matching file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from legalchatbot_vectordb_exp_spark.sources.versioned import (
+        _footer_minmax,
+    )
+
+    good = str(tmp_path / "good.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([b"aa", b"zz"], type=pa.binary())}),
+        good,
+    )
+    assert _footer_minmax(good, "id") == ["aa", "zz"]
+
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([b"\xff\xfe", b"\xff\xff"], type=pa.binary())}
+        ),
+        bad,
+    )
+    assert _footer_minmax(bad, "id") is None

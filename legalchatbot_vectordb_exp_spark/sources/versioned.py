@@ -107,7 +107,10 @@ _BROADCAST_KEY_LIMIT = 4_000_000
 # Protocol version this reader/writer speaks (Delta-style gate): a
 # manifest written by a newer engine with incompatible semantics bumps
 # this, and older readers fail loudly instead of misreading the table.
-_FORMAT_VERSION = 1
+# 2 = delta-encoded manifests (``base``/``remove``/``add`` instead of
+# the full file list); full manifests are still stamped 1 because a
+# v1 reader CAN read them — the gate is per-manifest, not per-table.
+_FORMAT_VERSION = 2
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -187,6 +190,14 @@ class VersionedCollection:
     #: roll the (version, timestamp) index into _checkpoint.json every
     #: this many commits (Delta's checkpoint cadence)
     checkpoint_interval = 10
+
+    #: write a FULL manifest (complete file list) at least every this
+    #: many commits; in between, commits whose touch set is smaller
+    #: than the table are delta-encoded so manifest bytes scale with
+    #: the touch set (a 1-file merge into an 800k-file table writes a
+    #: 2-entry delta, not an 800k-entry list).  Also the delta-chain
+    #: resolution depth cap.
+    full_manifest_interval = 10
 
     def __init__(self, spark: SparkSession, warehouse: str, name: str):
         self.spark = spark
@@ -276,7 +287,9 @@ class VersionedCollection:
             )
         return vs[-1]
 
-    def manifest(self, version: int) -> dict:
+    def _raw_manifest(self, version: int) -> dict:
+        """One manifest file as written — full (``files``/``stats``)
+        or delta-encoded (``base``/``remove``/``add``/``add_stats``)."""
         self.io_counters["manifest_reads"] += 1
         with open(self._manifest_path(version)) as f:
             m = json.load(f)
@@ -288,6 +301,32 @@ class VersionedCollection:
                 f"{_FORMAT_VERSION} — upgrade before reading"
             )
         return m
+
+    def manifest(self, version: int) -> dict:
+        """The RESOLVED snapshot manifest: always carries the full
+        ``files`` list and ``stats`` map.  Delta-encoded commits
+        (written when the touch set is small — commit cost ∝ touch
+        set, not table) are folded onto their base chain here; chain
+        depth is capped by ``full_manifest_interval``."""
+        m = self._raw_manifest(version)
+        if "files" in m:
+            return m
+        base = self.manifest(m["base"])
+        removed = set(m["remove"])
+        resolved = {
+            k: v
+            for k, v in m.items()
+            if k not in ("base", "remove", "add", "add_stats")
+        }
+        resolved["files"] = [
+            f for f in base["files"] if f not in removed
+        ] + m["add"]
+        resolved["stats"] = {
+            f: s
+            for f, s in base.get("stats", {}).items()
+            if f not in removed
+        } | m["add_stats"]
+        return resolved
 
     def history(self) -> list[dict]:
         """Every commit, oldest first — operation, timestamp, file
@@ -336,10 +375,20 @@ class VersionedCollection:
         )
         stats = {}
         if id_col:
-            for rel in files:
-                mm = _footer_minmax(os.path.join(self.path, rel), id_col)
-                if mm is not None:
-                    stats[rel] = mm
+            # footer stats are pure metadata I/O (pyarrow releases the
+            # GIL) — read them concurrently instead of one commit-time
+            # sequential pass per file
+            from concurrent.futures import ThreadPoolExecutor
+
+            full = [os.path.join(self.path, rel) for rel in files]
+            with ThreadPoolExecutor(
+                max_workers=min(16, max(1, len(files)))
+            ) as ex:
+                for rel, mm in zip(
+                    files, ex.map(lambda p: _footer_minmax(p, id_col), full)
+                ):
+                    if mm is not None:
+                        stats[rel] = mm
         return out, files, stats
 
     def _publish(self, manifest: dict) -> None:
@@ -389,7 +438,9 @@ class VersionedCollection:
             start = 0
         for v in range(start, version):
             if os.path.isfile(self._manifest_path(v)):
-                commits.append([v, self.manifest(v)["timestamp_ms"]])
+                commits.append(
+                    [v, self._raw_manifest(v)["timestamp_ms"]]
+                )
         commits.append([version, timestamp_ms])
         self._write_checkpoint(commits)
 
@@ -415,21 +466,43 @@ class VersionedCollection:
             out_dir, new_files, new_stats = self._write_files(
                 df, version, id_col
             )
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "n_carried": len(carried),
+            "n_written": len(new_files),
+            "schema": schema.json(),
+        }
+        # Delta-encode when the touch set is smaller than the table
+        # (manifest bytes ∝ touch set); periodically force a full
+        # manifest to cap the resolution chain.  Full manifests are
+        # stamped format_version 1 (v1 readers can read them), deltas
+        # 2 (they cannot).
+        remove: list[str] | None = None
+        if parent is not None and (
+            version % self.full_manifest_interval != 0
+        ):
+            parent_files = self.manifest(parent)["files"]
+            carried_set = set(carried)
+            remove = [f for f in parent_files if f not in carried_set]
+        if remove is not None and len(remove) < len(carried):
+            manifest |= {
+                "format_version": 2,
+                "base": parent,
+                "remove": remove,
+                "add": new_files,
+                "add_stats": new_stats,
+            }
+        else:
+            manifest |= {
+                "format_version": 1,
+                "files": carried + new_files,
+                "stats": {**(carried_stats or {}), **new_stats},
+            }
         try:
-            self._publish(
-                {
-                    "version": version,
-                    "format_version": _FORMAT_VERSION,
-                    "parent": parent,
-                    "timestamp_ms": int(time.time() * 1000),
-                    "operation": operation,
-                    "files": carried + new_files,
-                    "stats": {**(carried_stats or {}), **new_stats},
-                    "n_carried": len(carried),
-                    "n_written": len(new_files),
-                    "schema": schema.json(),
-                }
-            )
+            self._publish(manifest)
         except ConcurrentWriteError:
             if out_dir is not None:
                 shutil.rmtree(out_dir, ignore_errors=True)
@@ -535,13 +608,13 @@ class VersionedCollection:
             start = ck["version"] + 1
         v = start
         while os.path.isfile(self._manifest_path(v)):
-            out.append((v, self.manifest(v)["timestamp_ms"]))
+            out.append((v, self._raw_manifest(v)["timestamp_ms"]))
             v += 1
         if not out and ck is None:
             # no checkpoint and no contiguous-from-0 tail: fall back
             # to the listed log (vacuumed histories start above 0)
             out = [
-                (v, self.manifest(v)["timestamp_ms"])
+                (v, self._raw_manifest(v)["timestamp_ms"])
                 for v in self.versions()
             ]
         return out
@@ -671,10 +744,41 @@ class VersionedCollection:
             raise ValueError(f"unknown when_matched={when_matched!r}")
         props = self.properties
         id_col, vector_col = props["id_col"], props["vector_col"]
+        key_bounds: tuple | None = None  # computed once, on first need
+        n_keys: int | None = None
+        key_list: list | None = None  # collected once when small
         if when_matched == "update":
-            incoming = _validate(
-                source, props["dim"], vector_col, id_col, self.name
-            )
+            # Validation (same contract as _validate) FOLDED with the
+            # merge-key bounds/count into ONE aggregation job — the
+            # source batch is scanned once here instead of once for
+            # validation plus once for pruning bounds.
+            dim = props["dim"]
+            row = source.agg(
+                F.sum(
+                    (
+                        F.col(vector_col).isNull()
+                        | (F.size(vector_col) != dim)
+                    ).cast("int")
+                ).alias("bad"),
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(F.col(id_col)).alias("n_keys"),
+                F.min(id_col).alias("lo"),
+                F.max(id_col).alias("hi"),
+            ).first()
+            bad = row["bad"] or 0
+            dupes = (row["n"] or 0) - (row["n_keys"] or 0)
+            if bad:
+                raise ValueError(
+                    f"collection {self.name}: {bad} rows violate "
+                    f"dim={dim}"
+                )
+            if dupes:
+                raise ValueError(
+                    f"collection {self.name}: {dupes} duplicate ids"
+                )
+            key_bounds = (row["lo"], row["hi"])
+            n_keys = row["n_keys"]
+            incoming = source
             if props["metric"] == "cosine" and props.get("normalize", True):
                 incoming = incoming.withColumn(
                     vector_col, l2_normalize(vector_col)
@@ -682,9 +786,6 @@ class VersionedCollection:
         else:
             incoming = source
         keys = incoming.select(id_col).distinct()
-        key_bounds: tuple | None = None  # computed once, on first need
-        n_keys: int | None = None
-        key_list: list | None = None  # collected once when small
 
         last_err: Exception | None = None
         for attempt in range(max_retries):
@@ -718,11 +819,13 @@ class VersionedCollection:
 
             # tier 1 — footer-stats range pruning, no file opened:
             # all keys lie in [key_lo, key_hi], so a file whose id
-            # range is entirely outside cannot contain a match.  The
-            # key-bounds job (one tiny agg) only runs when enough
-            # stats-bearing files exist for pruning to beat just
-            # scanning them — at driver-scale tables (a handful of
-            # files) the scan is cheaper than the extra job.
+            # range is entirely outside cannot contain a match.
+            # Update mode got the bounds for free from the validation
+            # agg; delete mode runs the (one tiny agg) bounds job only
+            # when enough stats-bearing files exist for pruning to
+            # beat just scanning them — at driver-scale tables (a
+            # handful of files) the scan is cheaper than the extra
+            # job.
             n_prunable = sum(1 for f in m["files"] if f in stats)
             if n_prunable >= 4 and key_bounds is None:
                 kb = keys.agg(
@@ -762,7 +865,7 @@ class VersionedCollection:
             if candidates:
                 if (
                     key_list is None
-                    and n_keys is not None
+                    and n_keys
                     and n_keys <= _ISIN_PUSHDOWN_LIMIT
                 ):
                     key_list = [r[0] for r in keys.collect()]
@@ -1069,12 +1172,25 @@ class VersionedCollection:
         checkpoint is rewritten to the retained set."""
         vs = self.versions()
         keep = vs[-keep_last:] if keep_last > 0 else vs[-1:]
+        keep_set = set(keep)
         referenced = set()
         keep_ts = {}
-        for v in keep:
+        for v in keep:  # ascending, so rewritten bases resolve first
             m = self.manifest(v)
             referenced.update(m["files"])
             keep_ts[v] = m["timestamp_ms"]
+            # A retained delta manifest whose base is about to be
+            # vacuumed must be materialized as a full manifest first,
+            # or its file list becomes unresolvable.  Content-
+            # equivalent atomic replace; deltas whose base is itself
+            # retained stay deltas.
+            raw = self._raw_manifest(v)
+            if "files" not in raw and raw["base"] not in keep_set:
+                d = self._versions_dir()
+                tmp = os.path.join(d, f".full-tmp-{uuid.uuid4().hex}")
+                with open(tmp, "w") as f:
+                    json.dump({**m, "format_version": 1}, f)
+                os.replace(tmp, self._manifest_path(v))
         # Crash consistency: publish the retained-set checkpoint
         # BEFORE unlinking anything.  The old order (unlink manifests,
         # then rewrite the checkpoint) had a window where a crash left

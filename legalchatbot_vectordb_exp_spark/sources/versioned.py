@@ -118,6 +118,37 @@ class ConcurrentWriteError(RuntimeError):
     put-if-absent race on the manifest)."""
 
 
+def _collect_if_small(df: DataFrame, cap: int) -> list | None:
+    """The rows of ``df`` when there are at most ``cap`` of them, else
+    ``None`` — via ``limit(cap+1)``, a scan that early-terminates
+    after one partition for small inputs and never materializes a big
+    frame on the driver.  The small-batch fast path this feeds does
+    validation/bounds/key-list work in ONE job instead of three
+    (typical CDC batches); larger inputs fall back to the distributed
+    aggregations."""
+    rows = df.limit(cap + 1).collect()
+    return rows if len(rows) <= cap else None
+
+
+def _validate_rows(
+    rows: list, dim: int, vector_col: str, id_col: str, name: str
+) -> None:
+    """Driver-side twin of ``_validate`` for already-collected small
+    batches — identical error contract (null ids count as
+    duplicates)."""
+    bad = sum(
+        1
+        for r in rows
+        if r[vector_col] is None or len(r[vector_col]) != dim
+    )
+    ids = [r[id_col] for r in rows]
+    dupes = len(ids) - len({i for i in ids if i is not None})
+    if bad:
+        raise ValueError(f"collection {name}: {bad} rows violate dim={dim}")
+    if dupes:
+        raise ValueError(f"collection {name}: {dupes} duplicate ids")
+
+
 def _validate(
     df: DataFrame, dim: int, vector_col: str, id_col: str, name: str
 ) -> DataFrame:
@@ -128,6 +159,10 @@ def _validate(
     count as duplicates) instead of two full scans; validation runs
     on every create/merge/stream micro-batch, so the saved job is per
     commit."""
+    rows = _collect_if_small(df, _ISIN_PUSHDOWN_LIMIT)
+    if rows is not None:
+        _validate_rows(rows, dim, vector_col, id_col, name)
+        return df
     row = df.agg(
         F.sum(
             (F.col(vector_col).isNull() | (F.size(vector_col) != dim))
@@ -539,13 +574,32 @@ class VersionedCollection:
                 f"collection {self.name} already exists (latest "
                 f"v{self.latest_version()}); merge/delete_where instead"
             )
-        out = _validate(df, dim, vector_col, id_col, self.name)
+        rows = _collect_if_small(df, _ISIN_PUSHDOWN_LIMIT)
+        if rows is not None:
+            _validate_rows(rows, dim, vector_col, id_col, self.name)
+            out = df
+            if cluster_files is not None:
+                # small-create fast path: the validation collect
+                # already holds every row, so build the range-
+                # clustered layout from a Python sort — parallelize
+                # preserves list order and coalesce merges ADJACENT
+                # partitions, so the files stay contiguous id ranges
+                # with zero shuffle and no range-sampling job
+                out = self.spark.createDataFrame(
+                    self.spark.sparkContext.parallelize(
+                        sorted(rows, key=lambda r: r[id_col]),
+                        min(cluster_files, max(1, len(rows))),
+                    ),
+                    df.schema,
+                )
+        else:
+            out = _validate(df, dim, vector_col, id_col, self.name)
+            if cluster_files is not None:
+                out = out.repartitionByRange(
+                    cluster_files, id_col
+                ).sortWithinPartitions(id_col)
         if normalize and metric == "cosine":
             out = out.withColumn(vector_col, l2_normalize(vector_col))
-        if cluster_files is not None:
-            out = out.repartitionByRange(
-                cluster_files, id_col
-            ).sortWithinPartitions(id_col)
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, _PROPS_FILE), "w") as f:
             json.dump(
@@ -700,6 +754,7 @@ class VersionedCollection:
         max_retries: int = 3,
         schema_evolution: bool = False,
         broadcast_keys: bool | None = None,
+        assume_unique_keys: bool = False,
     ) -> "VersionedCollection":
         """File-level copy-on-write MERGE keyed on the collection id:
 
@@ -737,7 +792,18 @@ class VersionedCollection:
         backfills whose key set exceeds executor memory), ``None``
         (default) broadcasts unless the key count — measured by the
         same aggregation that computes the pruning bounds — exceeds
-        ``_BROADCAST_KEY_LIMIT``."""
+        ``_BROADCAST_KEY_LIMIT``.
+
+        ``assume_unique_keys=True`` (delete mode) lets a caller that
+        already guarantees a distinct key set (``delete_where`` —
+        table ids are unique by write invariant) skip the dedup
+        shuffle.
+
+        Driver-side collects here are all BOUNDED by
+        ``_ISIN_PUSHDOWN_LIMIT`` (1024): batches at most that big are
+        collected once (one scan-only job) and validated / bounded /
+        IN-listed in Python; anything larger goes through the
+        distributed aggregation + semi/anti-join path."""
         if max_retries < 1:
             raise ValueError(f"max_retries must be >= 1, got {max_retries}")
         if when_matched not in ("update", "delete"):
@@ -748,44 +814,73 @@ class VersionedCollection:
         n_keys: int | None = None
         key_list: list | None = None  # collected once when small
         if when_matched == "update":
-            # Validation (same contract as _validate) FOLDED with the
-            # merge-key bounds/count into ONE aggregation job — the
-            # source batch is scanned once here instead of once for
-            # validation plus once for pruning bounds.
+            # Small batches (the typical CDC merge): ONE scan-only job
+            # collects the batch (bounded by _ISIN_PUSHDOWN_LIMIT) and
+            # validation, key list, bounds and count all come from it
+            # in Python.  Large batches: validation (same contract as
+            # _validate) FOLDED with the merge-key bounds/count into
+            # ONE distributed aggregation — the source is scanned once
+            # instead of once for validation plus once for bounds.
             dim = props["dim"]
-            row = source.agg(
-                F.sum(
-                    (
-                        F.col(vector_col).isNull()
-                        | (F.size(vector_col) != dim)
-                    ).cast("int")
-                ).alias("bad"),
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct(F.col(id_col)).alias("n_keys"),
-                F.min(id_col).alias("lo"),
-                F.max(id_col).alias("hi"),
-            ).first()
-            bad = row["bad"] or 0
-            dupes = (row["n"] or 0) - (row["n_keys"] or 0)
-            if bad:
-                raise ValueError(
-                    f"collection {self.name}: {bad} rows violate "
-                    f"dim={dim}"
+            small = _collect_if_small(source, _ISIN_PUSHDOWN_LIMIT)
+            if small is not None:
+                _validate_rows(small, dim, vector_col, id_col, self.name)
+                key_list = [r[id_col] for r in small]
+                n_keys = len(key_list)
+                key_bounds = (
+                    (min(key_list), max(key_list))
+                    if key_list
+                    else (None, None)
                 )
-            if dupes:
-                raise ValueError(
-                    f"collection {self.name}: {dupes} duplicate ids"
-                )
-            key_bounds = (row["lo"], row["hi"])
-            n_keys = row["n_keys"]
+            else:
+                row = source.agg(
+                    F.sum(
+                        (
+                            F.col(vector_col).isNull()
+                            | (F.size(vector_col) != dim)
+                        ).cast("int")
+                    ).alias("bad"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct(F.col(id_col)).alias("n_keys"),
+                    F.min(id_col).alias("lo"),
+                    F.max(id_col).alias("hi"),
+                ).first()
+                bad = row["bad"] or 0
+                dupes = (row["n"] or 0) - (row["n_keys"] or 0)
+                if bad:
+                    raise ValueError(
+                        f"collection {self.name}: {bad} rows violate "
+                        f"dim={dim}"
+                    )
+                if dupes:
+                    raise ValueError(
+                        f"collection {self.name}: {dupes} duplicate ids"
+                    )
+                key_bounds = (row["lo"], row["hi"])
+                n_keys = row["n_keys"]
             incoming = source
             if props["metric"] == "cosine" and props.get("normalize", True):
                 incoming = incoming.withColumn(
                     vector_col, l2_normalize(vector_col)
                 )
+            # ids are proven unique above — no distinct shuffle
+            keys = incoming.select(id_col)
         else:
             incoming = source
-        keys = incoming.select(id_col).distinct()
+            # assume_unique_keys (delete mode): the caller vouches the
+            # key set is already distinct (delete_where passes table
+            # rows, unique by invariant) — skips a shuffle
+            keys = (
+                incoming.select(id_col)
+                if assume_unique_keys
+                else incoming.select(id_col).distinct()
+            )
+            head = _collect_if_small(keys, _ISIN_PUSHDOWN_LIMIT)
+            if head is not None:
+                key_list = [r[0] for r in head]
+                n_keys = len(key_list)
+                nn = [k for k in key_list if k is not None]
+                key_bounds = (min(nn), max(nn)) if nn else (None, None)
 
         last_err: Exception | None = None
         for attempt in range(max_retries):
@@ -876,13 +971,17 @@ class VersionedCollection:
                     probe = cand.filter(
                         F.col(id_col).isin(key_list)
                     ).withColumn("_vc_file", F.input_file_name())
+                    # ids unique + key list bounded → at most
+                    # len(key_list) ≤ 1024 hit rows: dedup the file
+                    # names in Python instead of a distinct shuffle
+                    hit_rows = probe.select("_vc_file").collect()
                 else:
                     probe = cand.withColumn(
                         "_vc_file", F.input_file_name()
                     ).join(kdf, id_col, "semi")
-                hit_rows = (
-                    probe.select("_vc_file").distinct().collect()
-                )
+                    hit_rows = (
+                        probe.select("_vc_file").distinct().collect()
+                    )
                 matched_files = {
                     self._rel_of_uri(r[0]) for r in hit_rows
                 }
@@ -892,9 +991,18 @@ class VersionedCollection:
             }
 
             if matched_files:
-                survivors = self.spark.read.schema(schema).parquet(
+                rewr = self.spark.read.schema(schema).parquet(
                     *(os.path.join(self.path, f) for f in matched_files)
-                ).join(kdf, id_col, "left_anti")
+                )
+                # small key sets: a literal NOT IN survives as a scan-
+                # stage filter (no broadcast build job, no join);
+                # large: anti-join against the key frame
+                if key_list is not None:
+                    survivors = rewr.filter(
+                        ~F.col(id_col).isin(key_list)
+                    )
+                else:
+                    survivors = rewr.join(kdf, id_col, "left_anti")
             else:
                 survivors = self.spark.createDataFrame([], schema)
             if when_matched == "update":
@@ -937,15 +1045,76 @@ class VersionedCollection:
                 last_err = exc  # rebase on the winner's snapshot
         raise last_err  # type: ignore[misc]
 
-    def delete_where(self, predicate) -> "VersionedCollection":
+    def delete_where(
+        self, predicate, max_retries: int = 3
+    ) -> "VersionedCollection":
         """Copy-on-write DELETE: rewrite only the files containing a
         matching row, carry the rest.  ``predicate`` is a Column or
-        SQL string."""
+        SQL string.
+
+        The predicate itself drives file discovery — no key set is
+        materialized or shuffled: one scan tags matching rows with
+        their file (``input_file_name``), matched files are rewritten
+        with the negated predicate, the rest are carried by
+        reference.  Rows where the predicate is NULL are KEPT (SQL
+        ``DELETE WHERE`` deletes only where the predicate is true).
+        On a publish race the delete re-plans on the winning snapshot
+        and retries."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        props = self.properties
-        id_col = props["id_col"]
-        keys = self.read().filter(pred).select(id_col).distinct()
-        return self.merge(keys, when_matched="delete")
+        last_err: Exception | None = None
+        for attempt in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            stats = m.get("stats", {})
+            files = m["files"]
+            matched_files: set[str] = set()
+            if files:
+                cand = self.spark.read.schema(schema).parquet(
+                    *(os.path.join(self.path, f) for f in files)
+                )
+                hit = (
+                    cand.filter(pred)
+                    .withColumn("_vc_file", F.input_file_name())
+                    .select("_vc_file")
+                    .distinct()
+                    .collect()
+                )
+                matched_files = {self._rel_of_uri(r[0]) for r in hit}
+            carried = [f for f in files if f not in matched_files]
+            if not matched_files:
+                # nothing to delete — still commit a no-op version so
+                # the operation is visible in history (Delta parity)
+                survivors = None
+            else:
+                survivors = (
+                    self.spark.read.schema(schema)
+                    .parquet(
+                        *(
+                            os.path.join(self.path, f)
+                            for f in matched_files
+                        )
+                    )
+                    .filter(~F.coalesce(pred, F.lit(False)))
+                    .coalesce(max(1, len(matched_files)))
+                )
+            try:
+                self._commit(
+                    survivors,
+                    base + 1,
+                    base,
+                    "delete_where",
+                    carried=carried,
+                    schema=schema,
+                    carried_stats={
+                        f: stats[f] for f in carried if f in stats
+                    },
+                    id_col=self.properties.get("id_col"),
+                )
+                return self
+            except ConcurrentWriteError as exc:
+                last_err = exc
+        raise last_err  # type: ignore[misc]
 
     # ------------------------------------------------------------- compact
 
@@ -1032,11 +1201,15 @@ class VersionedCollection:
         Scale shape — manifest arithmetic first: rows in files carried
         by BOTH manifests are bit-identical in the two snapshots and
         cannot have changed, so only the files that differ (added or
-        removed between the versions) are read and full-outer-joined
-        on the id.  Cost is proportional to the span's copy-on-write
-        touch set, never the table — a 3-file merge on an 800k-file
-        table diffs ~6 files.  Rewritten-but-equal rows (recluster,
-        compact, merge survivors) join equal and are filtered out."""
+        removed between the versions) are read.  The two sides are
+        then reconciled with ONE hash shuffle: tag, union, and
+        groupBy the id folding each side's (unique-per-snapshot) row
+        into a struct — half the exchanges of a full-outer sort-merge
+        join and no sort, with map-side partial aggregation.  Cost is
+        proportional to the span's copy-on-write touch set, never the
+        table — a 3-file merge on an 800k-file table diffs ~6 files.
+        Rewritten-but-equal rows (recluster, compact, merge
+        survivors) fold equal and are filtered out."""
         if to_version is None:
             to_version = self.latest_version()
         if from_version > to_version:
@@ -1066,51 +1239,50 @@ class VersionedCollection:
         for f in sb.fields:
             if f.name not in a.columns:
                 a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
-        a = a.select(*cols).alias("a")
-        b = _read(only_b, sb).select(*cols).alias("b")
+        a = a.select(*cols)
+        b = _read(only_b, sb).select(*cols)
 
         val_cols = [c for c in cols if c != id_col]
+        packed = F.struct(*[F.col(c) for c in val_cols]).alias("_v")
+        tagged = a.select(
+            F.col(id_col), packed, F.lit(0).alias("_s")
+        ).unionByName(
+            b.select(F.col(id_col), packed, F.lit(1).alias("_s"))
+        )
+        # each id appears at most once per side (table ids unique), so
+        # max-of-struct recovers each side's row; an absent side is a
+        # null struct
+        folded = tagged.groupBy(id_col).agg(
+            F.max(F.when(F.col("_s") == 0, F.col("_v"))).alias("_va"),
+            F.max(F.when(F.col("_s") == 1, F.col("_v"))).alias("_vb"),
+        )
+        va, vb = F.col("_va"), F.col("_vb")
         differs = F.lit(False)
         for c in val_cols:
-            differs = differs | ~F.col(f"a.{c}").eqNullSafe(
-                F.col(f"b.{c}")
-            )
+            differs = differs | ~va[c].eqNullSafe(vb[c])
         change = (
-            F.when(F.col(f"a.{id_col}").isNull(), F.lit("insert"))
-            .when(F.col(f"b.{id_col}").isNull(), F.lit("delete"))
+            F.when(va.isNull(), F.lit("insert"))
+            .when(vb.isNull(), F.lit("delete"))
             .when(differs, F.lit("update_postimage"))
         )
-        sel = [
-            F.coalesce(
-                F.col(f"b.{id_col}"), F.col(f"a.{id_col}")
-            ).alias(id_col)
-        ]
+        sel = [F.col(id_col)]
         for c in val_cols:
             sel.append(
-                F.when(F.col(f"b.{id_col}").isNull(), F.col(f"a.{c}"))
-                .otherwise(F.col(f"b.{c}"))
-                .alias(c)
+                F.when(vb.isNull(), va[c]).otherwise(vb[c]).alias(c)
             )
         sel.append(change.alias("_change_type"))
-        joined = a.join(
-            b,
-            F.col(f"a.{id_col}") == F.col(f"b.{id_col}"),
-            "full_outer",
-        )
-        feed = joined.select(*sel).filter(
+        feed = folded.select(*sel).filter(
             F.col("_change_type").isNotNull()
         )
         if not preimages:
             return feed
-        # second select over the SAME lazy join (touch-set-sized; AQE
+        # second select over the SAME lazy fold (touch-set-sized; AQE
         # reuses the exchange when both branches materialize together)
-        pre = joined.filter(
-            F.col(f"a.{id_col}").isNotNull()
-            & F.col(f"b.{id_col}").isNotNull()
-            & differs
+        pre = folded.filter(
+            va.isNotNull() & vb.isNotNull() & differs
         ).select(
-            F.col(f"a.{id_col}").alias(id_col),
-            *[F.col(f"a.{c}").alias(c) for c in val_cols],
+            F.col(id_col),
+            *[va[c].alias(c) for c in val_cols],
             F.lit("update_preimage").alias("_change_type"),
         )
         return feed.unionByName(pre)

@@ -165,7 +165,7 @@ def test_history_records_operations(coll, spark):
     coll.merge(_mk(spark, [(9, 90)]))
     coll.delete_where("id = 9")
     ops = [m["operation"] for m in coll.history()]
-    assert ops == ["create", "merge:update", "merge:delete"]
+    assert ops == ["create", "merge:update", "delete_where"]
 
 
 def test_cosine_metric_normalizes_on_create_and_merge(spark, tmp_path):

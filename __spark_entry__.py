@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 _SAMPLE_PRIORITY = [
+    # (0) new this round: change feed as a streaming source (CDF-as-
+    # stream) with a watermarked signed-fold aggregate
+    "cdf_stream_fold",
     # (1) never driver-sampled (r8+r9 judge top ask): the persisted-IVF
     # at-rest layout and the CDC-maintained MV get their first driver
     # rows this round

@@ -699,3 +699,190 @@ def q_mv_cdc_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+@register(
+    "cdf_stream_fold",
+    sql="""
+    WITH lab AS (SELECT vec_id AS id, label FROM embeddings),
+    feed AS (
+      SELECT 1 AS version, 'insert' AS ct, label + 1000 AS label
+      FROM lab WHERE id >= 400 AND id < 450
+      UNION ALL
+      SELECT 1, 'update_postimage', label + 1000
+      FROM lab WHERE id >= 350 AND id < 400
+      UNION ALL
+      SELECT 1, 'update_preimage', label
+      FROM lab WHERE id >= 350 AND id < 400
+      UNION ALL
+      SELECT 2, 'delete',
+             CASE WHEN id >= 350 THEN label + 1000 ELSE label END
+      FROM lab WHERE id < 450 AND id % 7 = 0
+      UNION ALL
+      SELECT 3, 'insert', label + 5000 FROM lab WHERE id = 105
+      UNION ALL
+      SELECT 3, 'update_postimage', label + 5000
+      FROM lab WHERE id >= 100 AND id < 110 AND id <> 105
+      UNION ALL
+      SELECT 3, 'update_preimage', label
+      FROM lab WHERE id >= 100 AND id < 110 AND id <> 105
+    )
+    SELECT version::BIGINT AS version,
+           sum(CASE WHEN ct = 'insert' THEN 1 ELSE 0 END)::BIGINT
+             AS n_insert,
+           sum(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END)::BIGINT
+             AS n_delete,
+           sum(CASE WHEN ct = 'update_postimage' THEN 1 ELSE 0
+               END)::BIGINT AS n_update_post,
+           sum(CASE WHEN ct = 'update_preimage' THEN 1 ELSE 0
+               END)::BIGINT AS n_update_pre,
+           sum(CASE WHEN ct IN ('insert', 'update_postimage')
+               THEN 1 ELSE -1 END)::BIGINT AS net_rows,
+           sum(CASE WHEN ct IN ('insert', 'update_postimage')
+               THEN label ELSE -label END)::BIGINT AS net_label
+    FROM feed GROUP BY version
+    """,
+)
+def q_cdf_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed AS A STREAM (E6 ⨝ E11, the Delta
+    CDF-as-stream pattern): the versioned collection's commit log is
+    staged one file per commit span (``stage_changes_feed``) and
+    replayed through Structured Streaming with one micro-batch per
+    commit, then folded by a WATERMARKED windowed aggregate — signed
+    per-commit deltas (+1 insert/update_postimage, −1
+    delete/update_preimage) over deterministic commit event time.
+
+    History: v0 create (ids < 400), v1 COW MERGE upserting [350, 450)
+    with label+1000, v2 predicate DELETE of ``id % 7 = 0``, v3 MERGE
+    upserting [100, 110) with label+5000 (re-inserting the deleted
+    105 — exercises delete→insert round-trip in the feed), v4
+    sentinel MERGE that only advances the watermark.  Commit v means
+    event time v·3600 s; 30-min windows with a 10-min watermark emit
+    exactly versions 1–3 in append mode's availableNow flush (the
+    sentinel's window end exceeds the terminal watermark), none of
+    them on a boundary, so the emitted set is deterministic.  The
+    oracle reconstructs the four-type feed relationally and
+    aggregates per version — a wrong delta sign, a missed preimage,
+    a commit split across micro-batches, or a watermark off-by-one
+    changes the hash."""
+    import shutil
+
+    from legalchatbot_vectordb_exp_spark.streaming.ingest import (
+        read_changes_stream,
+        stage_changes_feed,
+    )
+    from legalchatbot_vectordb_exp_spark.queries_events import (
+        _replay_checkpoint_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    warehouse = _scratch(sf_dir, "cdf_stream")
+    coll = VersionedCollection(spark, warehouse, "emb_cdf")
+    if os.path.isdir(coll.path):
+        shutil.rmtree(coll.path)  # fresh history per run
+
+    dim = len(emb.select("embedding").head()[0])
+
+    def sel(df, bump):
+        return df.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("vector"),
+            (F.col("label") + bump).alias("label"),
+        )
+
+    coll.create(
+        sel(emb.filter(F.col("vec_id") < 400), 0),
+        dim=dim,
+        metric="dot",
+        normalize=False,
+    )
+    coll.merge(
+        sel(
+            emb.filter(
+                (F.col("vec_id") >= 350) & (F.col("vec_id") < 450)
+            ),
+            1000,
+        )
+    )
+    coll.delete_where("id % 7 = 0")
+    coll.merge(
+        sel(
+            emb.filter(
+                (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+            ),
+            5000,
+        )
+    )
+    # sentinel commit: exists only to advance the terminal watermark
+    coll.merge(sel(emb.filter(F.col("vec_id") < 5), 9000))
+
+    staging = _scratch(sf_dir, "cdf_stream_log")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # re-stage against the fresh history
+    stage_changes_feed(coll, 0, 4, staging_dir=staging)
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    global _CDF_RUN
+    _CDF_RUN += 1
+    name = f"cdf_stream_fold_{_CDF_RUN}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(prev_parts), 4)),
+        )
+        folded = (
+            read_changes_stream(spark, staging)
+            .withWatermark("_commit_ts", "10 minutes")
+            .groupBy(F.window("_commit_ts", "30 minutes"))
+            .agg(
+                F.sum(
+                    (F.col("_change_type") == "insert").cast("long")
+                ).alias("n_insert"),
+                F.sum(
+                    (F.col("_change_type") == "delete").cast("long")
+                ).alias("n_delete"),
+                F.sum(
+                    (
+                        F.col("_change_type") == "update_postimage"
+                    ).cast("long")
+                ).alias("n_update_post"),
+                F.sum(
+                    (
+                        F.col("_change_type") == "update_preimage"
+                    ).cast("long")
+                ).alias("n_update_pre"),
+                F.sum(sign).cast("long").alias("net_rows"),
+                F.sum(sign * F.col("label"))
+                .cast("long")
+                .alias("net_label"),
+            )
+        )
+        q = (
+            folded.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", _replay_checkpoint_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        (F.unix_timestamp(F.col("window.start")) / F.lit(3600))
+        .cast("bigint")
+        .alias("version"),
+        "n_insert",
+        "n_delete",
+        "n_update_post",
+        "n_update_pre",
+        "net_rows",
+        "net_label",
+    )
+
+
+_CDF_RUN = 0

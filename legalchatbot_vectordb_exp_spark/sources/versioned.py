@@ -247,6 +247,8 @@ class VersionedCollection:
         }
         #: populated by the most recent merge() on this instance
         self.last_merge_stats: dict | None = None
+        #: populated by the most recent read_range() on this instance
+        self.last_read_stats: dict | None = None
 
     # ---------------------------------------------------------- manifests
 
@@ -351,7 +353,8 @@ class VersionedCollection:
         resolved = {
             k: v
             for k, v in m.items()
-            if k not in ("base", "remove", "add", "add_stats")
+            if k
+            not in ("base", "remove", "add", "add_stats", "add_col_stats")
         }
         resolved["files"] = [
             f for f in base["files"] if f not in removed
@@ -361,6 +364,11 @@ class VersionedCollection:
             for f, s in base.get("stats", {}).items()
             if f not in removed
         } | m["add_stats"]
+        resolved["col_stats"] = {
+            f: s
+            for f, s in base.get("col_stats", {}).items()
+            if f not in removed
+        } | m.get("add_col_stats", {})
         return resolved
 
     def history(self) -> list[dict]:
@@ -379,13 +387,18 @@ class VersionedCollection:
     # ------------------------------------------------------------- commit
 
     def _write_files(
-        self, df: DataFrame, version: int, id_col: str | None
-    ) -> tuple[str, list[str], dict]:
+        self,
+        df: DataFrame,
+        version: int,
+        id_col: str | None,
+        stat_cols: list[str] | None = None,
+    ) -> tuple[str, list[str], dict, dict]:
         """Write a commit's data files into a fresh immutable subdir;
         returns (subdir, collection-relative paths, per-file id-column
-        [min, max] footer stats).  The subdir token makes concurrent
-        losers' orphan files harmless (vacuum sweeps them once aged
-        out)."""
+        [min, max] footer stats, per-file per-column stats for
+        ``stat_cols`` — the Z-order pruning columns).  The subdir
+        token makes concurrent losers' orphan files harmless (vacuum
+        sweeps them once aged out)."""
         sub = os.path.join(_DATA_DIR, f"c{version:08d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.path, sub)
         writer = df.write.mode("error")
@@ -409,6 +422,7 @@ class VersionedCollection:
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
         stats = {}
+        col_stats: dict[str, dict] = {}
         if id_col:
             # footer stats are pure metadata I/O (pyarrow releases the
             # GIL) — read them concurrently instead of one commit-time
@@ -424,7 +438,23 @@ class VersionedCollection:
                 ):
                     if mm is not None:
                         stats[rel] = mm
-        return out, files, stats
+                for col in stat_cols or []:
+                    if col == id_col:
+                        continue
+                    for rel, mm in zip(
+                        files,
+                        ex.map(
+                            lambda p, c=col: _footer_minmax(p, c), full
+                        ),
+                    ):
+                        # only JSON-clean scalar bounds go in the
+                        # manifest; anything else skips pruning
+                        if mm is not None and all(
+                            isinstance(v, (int, float, str))
+                            for v in mm
+                        ):
+                            col_stats.setdefault(rel, {})[col] = mm
+        return out, files, stats, col_stats
 
     def _publish(self, manifest: dict) -> None:
         """Atomic put-if-absent of the manifest: os.link fails with
@@ -489,6 +519,8 @@ class VersionedCollection:
         schema: StructType,
         carried_stats: dict | None = None,
         id_col: str | None = None,
+        stat_cols: list[str] | None = None,
+        carried_col_stats: dict | None = None,
     ) -> None:
         """Write-then-publish.  On a lost publish race the freshly
         written data subdir is swept best-effort before re-raising, so
@@ -497,9 +529,10 @@ class VersionedCollection:
         out_dir = None
         new_files: list[str] = []
         new_stats: dict = {}
+        new_col_stats: dict = {}
         if df is not None:
-            out_dir, new_files, new_stats = self._write_files(
-                df, version, id_col
+            out_dir, new_files, new_stats, new_col_stats = (
+                self._write_files(df, version, id_col, stat_cols)
             )
         manifest = {
             "version": version,
@@ -510,6 +543,21 @@ class VersionedCollection:
             "n_written": len(new_files),
             "schema": schema.json(),
         }
+        # carried files keep their Z-order column stats without every
+        # caller having to thread them through
+        if (
+            carried_col_stats is None
+            and parent is not None
+            and carried
+        ):
+            cset = set(carried)
+            carried_col_stats = {
+                f: s
+                for f, s in self.manifest(parent)
+                .get("col_stats", {})
+                .items()
+                if f in cset
+            }
         # Delta-encode when the touch set is smaller than the table
         # (manifest bytes ∝ touch set); periodically force a full
         # manifest to cap the resolution chain.  Full manifests are
@@ -529,12 +577,17 @@ class VersionedCollection:
                 "remove": remove,
                 "add": new_files,
                 "add_stats": new_stats,
+                "add_col_stats": new_col_stats,
             }
         else:
             manifest |= {
                 "format_version": 1,
                 "files": carried + new_files,
                 "stats": {**(carried_stats or {}), **new_stats},
+                "col_stats": {
+                    **(carried_col_stats or {}),
+                    **new_col_stats,
+                },
             }
         try:
             self._publish(manifest)
@@ -699,15 +752,23 @@ class VersionedCollection:
         upper,
         version: int | None = None,
         as_of_timestamp_ms: int | None = None,
+        column: str | None = None,
     ) -> DataFrame:
         """Key-range read with manifest-level data skipping (the read-
-        path twin of merge's footer-stats pruning): files whose id
+        path twin of merge's footer-stats pruning): files whose value
         range cannot intersect ``[lower, upper]`` are excluded from
         the scan entirely — on a range-clustered table a key-local
         read opens O(range locality) files, not the snapshot.  The
         range filter is still applied to the surviving files (exact
         results even with overlapping or absent stats; parquet
-        row-group skipping then prunes within each file)."""
+        row-group skipping then prunes within each file).
+
+        ``column`` defaults to the collection id.  After a
+        ``recluster(zorder_by=[...])`` the manifest carries per-file
+        ``col_stats`` for every z-ordered column, so range reads on
+        the SECOND (and later) clustering columns prune files too —
+        the point of the Z-layout.  Pruning accounting lands in
+        ``self.last_read_stats``."""
         if lower is None or upper is None:
             raise ValueError("read_range needs non-null lower and upper")
         m = self.manifest(
@@ -715,13 +776,26 @@ class VersionedCollection:
         )
         schema = StructType.fromJson(json.loads(m["schema"]))
         id_col = self.properties["id_col"]
-        stats = m.get("stats", {})
+        col = column or id_col
+        if col == id_col:
+            bounds = m.get("stats", {})
+        else:
+            bounds = {
+                f: cs[col]
+                for f, cs in m.get("col_stats", {}).items()
+                if col in cs
+            }
         keep = [
             f
             for f in m["files"]
-            if f not in stats
-            or not (stats[f][1] < lower or stats[f][0] > upper)
+            if f not in bounds
+            or not (bounds[f][1] < lower or bounds[f][0] > upper)
         ]
+        self.last_read_stats = {
+            "files_total": len(m["files"]),
+            "files_pruned": len(m["files"]) - len(keep),
+            "column": col,
+        }
         if not keep:
             df = self.spark.createDataFrame([], schema)
         else:
@@ -729,8 +803,7 @@ class VersionedCollection:
                 *(os.path.join(self.path, f) for f in keep)
             )
         return df.filter(
-            (F.col(id_col) >= F.lit(lower))
-            & (F.col(id_col) <= F.lit(upper))
+            (F.col(col) >= F.lit(lower)) & (F.col(col) <= F.lit(upper))
         )
 
     # -------------------------------------------------------------- MERGE
@@ -1287,16 +1360,35 @@ class VersionedCollection:
         )
         return feed.unionByName(pre)
 
-    def recluster(self, target_files: int | None = None) -> dict:
-        """Full re-clustering as a COMMIT (Delta ``OPTIMIZE ZORDER``'s
-        single-key analogue): rewrite the ENTIRE latest snapshot
-        range-partitioned and sorted on the id, so every file's footer
-        min/max range is tight and disjoint and later key-local merges
+    def recluster(
+        self,
+        target_files: int | None = None,
+        zorder_by: list[str] | None = None,
+        z_bits: int = 16,
+    ) -> dict:
+        """Full re-clustering as a COMMIT (Delta ``OPTIMIZE ZORDER``):
+        rewrite the ENTIRE latest snapshot so every file's footer
+        min/max ranges are tight and later key-local reads/merges
         prune on manifest arithmetic alone.  Unlike ``compact`` this
         rewrites all files — it is the periodic maintenance op that
         restores clustering after merges have mixed key ranges.
         History is preserved: older versions still read the old
-        layout until ``vacuum`` retires them."""
+        layout until ``vacuum`` retires them.
+
+        Default: 1-D range clustering + sort on the id (tight,
+        DISJOINT id ranges — the strongest layout for single-key
+        merges).  ``zorder_by=[c1, c2, ...]`` instead lays rows out
+        along the Morton (Z-order) curve of those columns: each
+        numeric column is linearly scaled to ``z_bits`` bits (one
+        tiny min/max agg job) and the bits interleaved into a 1-D
+        address — a pure JVM bitwise projection in the scan stage —
+        then range-partitioned and sorted on that address.  Every
+        file becomes a bounded RECTANGLE in the clustered space, so
+        per-column footer stats (recorded in the manifest's
+        ``col_stats``) prune range reads on EVERY z-ordered column,
+        not just the first sort key — a plain sort by ``c1`` leaves
+        each file spanning the entire ``c2`` domain.  Cf. the
+        ``zorder_layout`` query for the bucket-span quality metric."""
         if target_files is not None and target_files < 1:
             raise ValueError(
                 f"target_files must be >= 1, got {target_files}"
@@ -1308,14 +1400,57 @@ class VersionedCollection:
         id_col = self.properties["id_col"]
         n_out = target_files if target_files else max(1, len(m["files"]))
         schema = StructType.fromJson(json.loads(m["schema"]))
-        df = (
-            self._read_manifest(m)
-            .repartitionByRange(n_out, id_col)
-            .sortWithinPartitions(id_col)
-        )
+        snap = self._read_manifest(m)
+        if zorder_by:
+            if len(zorder_by) < 2:
+                raise ValueError(
+                    "zorder_by needs at least 2 columns (use the "
+                    "default id clustering for one)"
+                )
+            bounds = snap.agg(
+                *[
+                    f(c).cast("double").alias(f"{tag}_{c}")
+                    for c in zorder_by
+                    for f, tag in ((F.min, "lo"), (F.max, "hi"))
+                ]
+            ).first()
+            ndim = len(zorder_by)
+            top = (1 << z_bits) - 1
+            zaddr = F.lit(0).cast("long")
+            for k, c in enumerate(zorder_by):
+                lo = bounds[f"lo_{c}"] or 0.0
+                hi = bounds[f"hi_{c}"] or 0.0
+                span = (hi - lo) or 1.0
+                scaled = (
+                    (F.col(c).cast("double") - F.lit(lo))
+                    / F.lit(span)
+                    * F.lit(float(top))
+                ).cast("long")
+                for j in range(z_bits):
+                    zaddr = zaddr.bitwiseOR(
+                        F.shiftleft(
+                            F.shiftright(scaled, j).bitwiseAND(
+                                F.lit(1)
+                            ),
+                            j * ndim + k,
+                        )
+                    )
+            df = (
+                snap.withColumn("_zaddr", zaddr)
+                .repartitionByRange(n_out, "_zaddr")
+                .sortWithinPartitions("_zaddr")
+                .drop("_zaddr")
+            )
+            stat_cols = list(zorder_by)
+        else:
+            df = snap.repartitionByRange(
+                n_out, id_col
+            ).sortWithinPartitions(id_col)
+            stat_cols = None
         self._commit(
             df, base + 1, base, "recluster",
             carried=[], schema=schema, id_col=id_col,
+            stat_cols=stat_cols,
         )
         m1 = self.manifest(base + 1)
         return {

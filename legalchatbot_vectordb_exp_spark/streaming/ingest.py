@@ -141,3 +141,80 @@ def stream_merge_into_versioned(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stage_changes_feed(
+    collection,
+    from_version: int,
+    to_version: int | None = None,
+    staging_dir: str | None = None,
+    preimages: bool = True,
+) -> str:
+    """Materialize a ``VersionedCollection`` change feed as a
+    commit-ordered streaming log: one parquet file per commit span
+    ``changes(v, v+1)``, stamped with ``_commit_version`` and a
+    deterministic ``_commit_ts`` event time, with strictly increasing
+    file mtimes so FileStreamSource's documented mtime ordering
+    replays commits in order (same contract as the events replay
+    staging).
+
+    Idempotent per version — a span already staged is skipped — so
+    after new commits land, calling this again appends ONLY the new
+    spans and a checkpointed stream resumes exactly at the first
+    unseen commit (the Delta CDF-as-stream pattern: the table's
+    commit log IS the stream, each commit one micro-batch).  At
+    production scale the staging step is the CDC egress job that
+    tails the log; everything downstream is source-agnostic."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyspark.sql.functions as _F
+
+    if to_version is None:
+        to_version = collection.latest_version()
+    if staging_dir is None:
+        staging_dir = tempfile.mkdtemp(prefix="cdf_stage_")
+    os.makedirs(staging_dir, exist_ok=True)
+    base_t = _time.time() - 3600  # recent enough for maxFileAge
+    for v in range(from_version, to_version):
+        tv = v + 1
+        dest = os.path.join(staging_dir, f"v{tv:08d}.parquet")
+        if os.path.exists(dest):
+            continue
+        feed = (
+            collection.changes(v, tv, preimages=preimages)
+            .withColumn("_commit_version", _F.lit(tv).cast("long"))
+            .withColumn(
+                "_commit_ts", _F.timestamp_seconds(_F.lit(tv * 3600))
+            )
+        )
+        tmp = dest + ".tmpdir"
+        feed.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = sorted(_glob.glob(os.path.join(tmp, "part-*")))[0]
+        os.replace(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # mtime in commit order, 1 s apart (ms-granularity listing)
+        os.utime(dest, (base_t + tv, base_t + tv))
+    return staging_dir
+
+
+def read_changes_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    versions_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming DataFrame over a staged change feed
+    (``stage_changes_feed``): with the default one file per trigger,
+    each micro-batch is exactly one commit's row-level changes —
+    commit atomicity is preserved across the stream, and the
+    checkpointed file-source offsets give exactly-once per commit
+    across restarts."""
+    schema = spark.read.parquet(staging_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", versions_per_trigger)
+        .parquet(staging_dir)
+    )

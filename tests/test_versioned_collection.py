@@ -934,3 +934,72 @@ def test_vacuum_materializes_retained_delta_manifests(spark, tmp_path):
     assert _state(fresh, version=3) == {
         (i, 1000 + i if 1 <= i <= 3 else 10 * i) for i in range(32)
     }
+
+
+def test_recluster_zorder_prunes_on_both_columns(spark, tmp_path):
+    """2-D Z-order recluster: after ``recluster(zorder_by=[x, y])``
+    a narrow range read on EITHER column prunes files from the
+    manifest's per-column stats.  Contrast: the default 1-D id
+    clustering leaves every file spanning the full y domain, so a
+    y-range read prunes nothing."""
+    import pyspark.sql.functions as _F
+
+    n, grid = 4096, 64  # ids 0..4095 → (x, y) = divmod(id, 64)
+    base = spark.range(n).select(
+        _F.col("id"),
+        _F.array(
+            _F.col("id").cast("double"), _F.lit(1.0), _F.lit(0.0)
+        ).alias("vector"),
+        (_F.col("id") / grid).cast("long").alias("x"),
+        (_F.col("id") % grid).cast("long").alias("y"),
+    )
+    c = VersionedCollection(spark, str(tmp_path), "zc")
+    c.create(
+        base, dim=3, metric="dot", normalize=False, cluster_files=16
+    )
+
+    # 1-D layout: a y-range read cannot prune (every id-range file
+    # spans the whole y domain)
+    want_y = {
+        (i, i % grid) for i in range(n) if 8 <= i % grid <= 11
+    }
+    got = {
+        (r.id, r.y)
+        for r in c.read_range(8, 11, column="y").select("id", "y").collect()
+    }
+    assert got == want_y
+    assert c.last_read_stats["files_pruned"] == 0
+
+    c.recluster(target_files=16, zorder_by=["x", "y"])
+
+    # same y-range read now prunes most files...
+    got = {
+        (r.id, r.y)
+        for r in c.read_range(8, 11, column="y").select("id", "y").collect()
+    }
+    assert got == want_y
+    y_pruned = c.last_read_stats["files_pruned"]
+    assert y_pruned >= 8, c.last_read_stats
+    # ...and an x-range read still prunes too (bounded rectangles in
+    # BOTH dimensions — a plain sort by x would give 0 here for y)
+    want_x = {(i, i // grid) for i in range(n) if 8 <= i // grid <= 11}
+    got = {
+        (r.id, r.x)
+        for r in c.read_range(8, 11, column="x").select("id", "x").collect()
+    }
+    assert got == want_x
+    assert c.last_read_stats["files_pruned"] >= 8, c.last_read_stats
+
+    # col_stats survive a later delta commit (merge carries them)
+    c.merge(
+        spark.createDataFrame(
+            [(0, [0.0, 1.0, 0.0], 0, 0)],
+            "id long, vector array<double>, x long, y long",
+        )
+    )
+    got = {
+        (r.id, r.y)
+        for r in c.read_range(8, 11, column="y").select("id", "y").collect()
+    }
+    assert got == want_y
+    assert c.last_read_stats["files_pruned"] >= 7, c.last_read_stats

@@ -1003,3 +1003,72 @@ def test_recluster_zorder_prunes_on_both_columns(spark, tmp_path):
     }
     assert got == want_y
     assert c.last_read_stats["files_pruned"] >= 7, c.last_read_stats
+
+
+def test_persisted_ivf_merge_write_amplification_and_recluster(
+    spark, tmp_path
+):
+    """Write amplification of the at-rest IVF layout
+    (``ann_ivf_persisted``): a re-embed merge inserts rows under NEW
+    cell-major keys, and one merge batch spanning distant cells
+    produces a file whose key span covers every cell in between —
+    probes of untouched cells then open that file too (its stats
+    range widened past them).  ``recluster()`` is the maintenance op
+    that restores tight per-cell spans.  Pins the probe file counts
+    before / after the merge / after recluster."""
+    S = 1 << 32
+
+    def _rows(pairs):  # (cell, i) -> cell-major keyed row
+        return spark.createDataFrame(
+            [
+                (cell * S + i, [float(cell), float(i), 1.0], cell)
+                for cell, i in pairs
+            ],
+            "id long, vector array<double>, cluster_id long",
+        )
+
+    c = VersionedCollection(spark, str(tmp_path), "ivf_amp")
+    c.create(
+        _rows([(cell, i) for cell in range(4) for i in range(64)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=8,
+    )
+
+    def probe_opened(cell):
+        df = c.read_range(cell * S, cell * S + S - 1)
+        n = df.count()
+        st = c.last_read_stats
+        return st["files_total"] - st["files_pruned"], n
+
+    opened0, n0 = probe_opened(2)
+    assert n0 == 64 and opened0 <= 2, (opened0, n0)
+
+    # re-embed: two vectors move out of cell 0 — delete their old
+    # keys, merge the new keys (cells 1 and 3, one batch)
+    c.delete_where(f"id in ({0 * S + 0}, {0 * S + 1})")
+    c.merge(_rows([(1, 200), (3, 201)]))
+
+    # the untouched cell's probe now opens the wide merge file too:
+    # its [1*S+200, 3*S+201] span overlaps cell 2's whole range
+    opened1, n1 = probe_opened(2)
+    assert n1 == 64  # correctness unaffected — only extra I/O
+    assert opened1 == opened0 + 1, (opened0, opened1)
+
+    # the widened stats range is visible in the manifest: the merge
+    # file's key span covers > 2 cells
+    def spans():
+        m = c.manifest(c.latest_version())
+        return [hi - lo for lo, hi in m["stats"].values()]
+
+    assert max(spans()) > 2 * S
+
+    # recluster restores tight spans (no file straddles ~a cell), and
+    # the probe stops opening the wide merge file; sampled range
+    # boundaries may legitimately straddle one cell edge, so the
+    # bound is opened0 + straddle, not exact
+    c.recluster(target_files=8)
+    assert max(spans()) <= S, max(spans())
+    opened2, n2 = probe_opened(2)
+    assert n2 == 64 and opened2 <= opened0 + 1, (opened0, opened2)

@@ -29,8 +29,10 @@ from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES  # noqa: E4
 
 _SAMPLE_PRIORITY = [
     # (0) new this round: change feed as a streaming source (CDF-as-
-    # stream) with a watermarked signed-fold aggregate
+    # stream) with a watermarked signed-fold aggregate, and the 2-D
+    # Z-order layout's second-column range read
     "cdf_stream_fold",
+    "zorder_recluster_read",
     # (1) never driver-sampled (r8+r9 judge top ask): the persisted-IVF
     # at-rest layout and the CDC-maintained MV get their first driver
     # rows this round

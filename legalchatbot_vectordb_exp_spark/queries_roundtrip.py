@@ -886,3 +886,53 @@ def q_cdf_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CDF_RUN = 0
+
+
+@register(
+    "zorder_recluster_read",
+    sql="""
+    SELECT vec_id AS id,
+           (vec_id // 64)::BIGINT AS x,
+           (vec_id % 64)::BIGINT AS y,
+           label::BIGINT AS label
+    FROM embeddings
+    WHERE vec_id % 64 BETWEEN 8 AND 11
+    """,
+)
+def q_zorder_recluster_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Z-order layout end-to-end (E11 ⨝ the ``zorder_layout``
+    metric query): persist the embeddings table into a versioned
+    collection keyed on ``vec_id`` with derived grid coordinates
+    ``(x, y) = divmod(vec_id, 64)``, ``recluster(zorder_by=[x, y])``
+    into the Morton layout, then answer a narrow range read on the
+    SECOND clustering column via ``read_range(column='y')`` — the
+    scan that 1-D id clustering cannot prune at all (every id-range
+    file spans the full y domain) and the Z-layout serves from
+    O(rectangle) files using the manifest's per-column ``col_stats``.
+    The oracle recomputes the selection relationally from raw
+    parquet, so a file wrongly pruned by the col_stats bounds (rows
+    silently missing) fails the hash; the pruning RATIO itself is
+    pinned by ``test_recluster_zorder_prunes_on_both_columns``."""
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    warehouse = _scratch(sf_dir, "zorder_read")
+    coll = VersionedCollection(spark, warehouse, "emb_z")
+    if os.path.isdir(coll.path):
+        shutil.rmtree(coll.path)  # fresh layout per run
+
+    dim = len(emb.select("embedding").head()[0])
+    keyed = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        (F.col("vec_id") / 64).cast("long").alias("x"),
+        (F.col("vec_id") % 64).cast("long").alias("y"),
+        F.col("label").cast("long").alias("label"),
+    )
+    coll.create(
+        keyed, dim=dim, metric="dot", normalize=False, cluster_files=16
+    )
+    coll.recluster(target_files=16, zorder_by=["x", "y"])
+    return coll.read_range(8, 11, column="y").select(
+        "id", "x", "y", "label"
+    )

@@ -104,6 +104,96 @@ _ISIN_PUSHDOWN_LIMIT = 1024
 # shipped to every executor as a broadcast table).
 _BROADCAST_KEY_LIMIT = 4_000_000
 
+# When a merge/delete's candidate file set is at most this big (bytes
+# and file count), the probe + rewrite jobs FUSE into one bounded
+# collect and the new files are written driver-side with pyarrow —
+# cutting per-commit Spark job count (each local job is ~100-200 ms of
+# fixed latency; a 4-commit CDC workflow pays it ~14 times).  At
+# production file sizes (128 MB) the gate never fires and the
+# distributed probe/rewrite path runs unchanged.
+_LOCAL_REWRITE_MAX_BYTES = 8 << 20
+_LOCAL_REWRITE_MAX_FILES = 64
+
+# Spark types whose collected Python values round-trip LOSSLESSLY
+# through a driver-side pyarrow write (parquet physical value is
+# identical to what Spark's own writer produces).  Timestamps,
+# decimals and nested structs/maps are excluded — their session-zone /
+# scale / field-id handling is writer-specific, so those schemas keep
+# the Spark write path.
+_LOCAL_WRITE_ATOMIC = frozenset(
+    {
+        "boolean",
+        "byte",
+        "short",
+        "integer",
+        "long",
+        "float",
+        "double",
+        "string",
+        "binary",
+        "date",
+    }
+)
+
+
+def _local_writable(schema: StructType) -> bool:
+    """True when every column is an atomic type (or array of one)
+    whose values survive a collect → pyarrow → parquet round trip
+    bit-for-bit, making the driver-side small-batch write safe."""
+    from pyspark.sql.types import ArrayType
+
+    for f in schema.fields:
+        t = f.dataType
+        if isinstance(t, ArrayType):
+            t = t.elementType
+        if t.typeName() not in _LOCAL_WRITE_ATOMIC:
+            return False
+    return True
+
+
+class _LocalRows:
+    """A commit payload already materialized on the driver: a list of
+    row-dict chunks (one output file per non-empty chunk) plus the
+    schema to write them under.  ``_commit`` writes these with pyarrow
+    instead of launching a Spark write job."""
+
+    __slots__ = ("chunks", "schema")
+
+    def __init__(self, chunks: list[list[dict]], schema: StructType):
+        self.chunks = chunks
+        self.schema = schema
+
+
+def _split_chunks(rows: list, n: int) -> list[list]:
+    """Split ``rows`` into ``n`` contiguous chunks with the same
+    boundaries ``SparkContext.parallelize`` uses (``i*len//n``), so the
+    driver-written layout matches what the small-create Spark path
+    produced."""
+    n = min(n, max(1, len(rows)))
+    return [
+        rows[i * len(rows) // n : (i + 1) * len(rows) // n]
+        for i in range(n)
+    ]
+
+
+def _py_bounds(values: list):
+    """[min, max] over the non-null ``values`` with the same contract
+    as ``_footer_minmax``: bytes must strict-decode as UTF-8 (else no
+    stats → no pruning), empty input yields ``None``."""
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return None
+    try:
+        lo, hi = min(vals), max(vals)
+    except TypeError:
+        return None
+    if isinstance(lo, (bytes, bytearray)):
+        try:
+            lo, hi = bytes(lo).decode("utf-8"), bytes(hi).decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return [lo, hi]
+
 # Protocol version this reader/writer speaks (Delta-style gate): a
 # manifest written by a newer engine with incompatible semantics bumps
 # this, and older readers fail loudly instead of misreading the table.
@@ -456,6 +546,55 @@ class VersionedCollection:
                             col_stats.setdefault(rel, {})[col] = mm
         return out, files, stats, col_stats
 
+    def _write_files_local(
+        self,
+        batch: "_LocalRows",
+        version: int,
+        id_col: str | None,
+        stat_cols: list[str] | None = None,
+    ) -> tuple[str, list[str], dict, dict]:
+        """Driver-side twin of ``_write_files`` for small-batch
+        commits whose rows are already collected: writes one parquet
+        file per non-empty chunk with pyarrow (zero Spark jobs) and
+        computes the manifest stats directly from the values (zero
+        footer reads).  Files land in the same immutable
+        ``data/c<version>-<token>/`` subdir layout, so vacuum /
+        changes / read are none the wiser."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        sub = os.path.join(_DATA_DIR, f"c{version:08d}-{uuid.uuid4().hex[:8]}")
+        out = os.path.join(self.path, sub)
+        os.makedirs(out)
+        aschema = to_arrow_schema(batch.schema)
+        names = batch.schema.fieldNames()
+        files: list[str] = []
+        stats: dict = {}
+        col_stats: dict[str, dict] = {}
+        for i, chunk in enumerate(c for c in batch.chunks if c):
+            fname = f"part-{i:05d}-{uuid.uuid4().hex}.parquet"
+            tbl = pa.Table.from_pydict(
+                {n: [r.get(n) for r in chunk] for n in names},
+                schema=aschema,
+            )
+            pq.write_table(tbl, os.path.join(out, fname))
+            rel = os.path.join(sub, fname)
+            files.append(rel)
+            if id_col:
+                mm = _py_bounds([r.get(id_col) for r in chunk])
+                if mm is not None:
+                    stats[rel] = mm
+                for col in stat_cols or []:
+                    if col == id_col:
+                        continue
+                    cm = _py_bounds([r.get(col) for r in chunk])
+                    if cm is not None and all(
+                        isinstance(v, (int, float, str)) for v in cm
+                    ):
+                        col_stats.setdefault(rel, {})[col] = cm
+        return out, files, stats, col_stats
+
     def _publish(self, manifest: dict) -> None:
         """Atomic put-if-absent of the manifest: os.link fails with
         FileExistsError when the version was already committed.  Every
@@ -511,7 +650,7 @@ class VersionedCollection:
 
     def _commit(
         self,
-        df: DataFrame | None,
+        df: DataFrame | _LocalRows | None,
         version: int,
         parent: int | None,
         operation: str,
@@ -530,7 +669,11 @@ class VersionedCollection:
         new_files: list[str] = []
         new_stats: dict = {}
         new_col_stats: dict = {}
-        if df is not None:
+        if isinstance(df, _LocalRows):
+            out_dir, new_files, new_stats, new_col_stats = (
+                self._write_files_local(df, version, id_col, stat_cols)
+            )
+        elif df is not None:
             out_dir, new_files, new_stats, new_col_stats = (
                 self._write_files(df, version, id_col, stat_cols)
             )
@@ -631,13 +774,32 @@ class VersionedCollection:
         if rows is not None:
             _validate_rows(rows, dim, vector_col, id_col, self.name)
             out = df
-            if cluster_files is not None:
+            needs_jvm_norm = normalize and metric == "cosine"
+            if (
+                cluster_files is not None
+                and not needs_jvm_norm
+                and _local_writable(df.schema)
+            ):
                 # small-create fast path: the validation collect
-                # already holds every row, so build the range-
-                # clustered layout from a Python sort — parallelize
-                # preserves list order and coalesce merges ADJACENT
-                # partitions, so the files stay contiguous id ranges
-                # with zero shuffle and no range-sampling job
+                # already holds every row, so sort by id in Python,
+                # split into contiguous chunks (same boundaries
+                # parallelize would use) and write them DRIVER-SIDE —
+                # the whole create is the one validation job.
+                # Normalized-cosine collections keep the JVM write so
+                # vector scaling is bit-identical to merge's; creates
+                # WITHOUT cluster_files keep the Spark write so the
+                # input's own partitioning decides the file layout.
+                dicts = [
+                    r.asDict() for r in sorted(rows, key=lambda r: r[id_col])
+                ]
+                out = _LocalRows(
+                    _split_chunks(dicts, cluster_files), df.schema
+                )
+            elif cluster_files is not None:
+                # JVM fallback (normalized / exotic schema):
+                # parallelize preserves list order so the files stay
+                # contiguous id ranges with zero shuffle and no
+                # range-sampling job
                 out = self.spark.createDataFrame(
                     self.spark.sparkContext.parallelize(
                         sorted(rows, key=lambda r: r[id_col]),
@@ -1022,6 +1184,121 @@ class VersionedCollection:
                 else:
                     candidates.append(f)
 
+            # Fused local path — when the key set is small AND the
+            # candidate files are tiny (sum of sizes under
+            # _LOCAL_REWRITE_MAX_BYTES), ONE bounded collect replaces
+            # the probe job + rewrite job: matched files, survivors
+            # and the output chunks are all computed in Python and the
+            # new files written driver-side.  Never fires at
+            # production file sizes; preserves last_merge_stats
+            # semantics exactly.
+            local_rows: _LocalRows | None = None
+            can_fuse = (
+                key_list is not None
+                and len(candidates) <= _LOCAL_REWRITE_MAX_FILES
+                and _local_writable(out_schema)
+                # normalized-cosine updates need the JVM l2_normalize
+                # on incoming rows (bit-identical scaling); a source
+                # missing table columns must keep the Spark path so it
+                # raises the same AnalysisException select() would
+                and not (
+                    when_matched == "update"
+                    and props["metric"] == "cosine"
+                    and props.get("normalize", True)
+                )
+                and not (
+                    when_matched == "update"
+                    and not schema_evolution
+                    and set(schema.fieldNames()) - set(incoming.columns)
+                )
+            )
+            if can_fuse:
+                try:
+                    total = sum(
+                        os.path.getsize(os.path.join(self.path, f))
+                        for f in candidates
+                    )
+                except OSError:
+                    total = _LOCAL_REWRITE_MAX_BYTES + 1
+                can_fuse = total <= _LOCAL_REWRITE_MAX_BYTES
+            if can_fuse:
+                _k = lambda v: bytes(v) if isinstance(v, bytearray) else v
+                keyset = {_k(k) for k in key_list}
+                crows: list[dict] = []
+                if candidates:
+                    cand = (
+                        self.spark.read.schema(schema)
+                        .parquet(
+                            *(
+                                os.path.join(self.path, f)
+                                for f in candidates
+                            )
+                        )
+                        .withColumn("_vc_file", F.input_file_name())
+                    )
+                    rel_cache: dict[str, str] = {}
+                    for r in cand.collect():
+                        d = r.asDict()
+                        uri = d.pop("_vc_file")
+                        rel = rel_cache.get(uri)
+                        if rel is None:
+                            rel = rel_cache[uri] = self._rel_of_uri(uri)
+                        d["_vc_rel"] = rel
+                        crows.append(d)
+                matched_files = {
+                    d["_vc_rel"]
+                    for d in crows
+                    if _k(d[id_col]) in keyset
+                }
+                survivors_rows = [
+                    d
+                    for d in crows
+                    if d["_vc_rel"] in matched_files
+                    and _k(d[id_col]) not in keyset
+                ]
+                out_names = out_schema.fieldNames()
+                out_rows = [
+                    {n: d.get(n) for n in out_names}
+                    for d in survivors_rows
+                ]
+                if when_matched == "update":
+                    out_rows += [
+                        {n: d.get(n) for n in out_names}
+                        for d in (r.asDict() for r in small)
+                    ]
+                local_rows = _LocalRows(
+                    _split_chunks(out_rows, max(1, len(matched_files))),
+                    out_schema,
+                )
+                carried = [
+                    f for f in m["files"] if f not in matched_files
+                ]
+                carried_stats = {
+                    f: stats[f] for f in carried if f in stats
+                }
+                try:
+                    self._commit(
+                        local_rows,
+                        base + 1,
+                        base,
+                        f"merge:{when_matched}",
+                        carried=carried,
+                        schema=out_schema,
+                        carried_stats=carried_stats,
+                        id_col=id_col,
+                    )
+                    self.last_merge_stats = {
+                        "files_total": len(m["files"]),
+                        "files_pruned_by_stats": pruned,
+                        "files_scanned": len(candidates),
+                        "files_rewritten": len(matched_files),
+                        "retries": attempt,
+                    }
+                    return self
+                except ConcurrentWriteError as exc:
+                    last_err = exc
+                    continue
+
             # tier 2 — id column + file name only on the candidates
             # (parquet prunes every other column).  Small key sets
             # push an IN() literal filter instead of the semi-join:
@@ -1141,6 +1418,84 @@ class VersionedCollection:
             schema = StructType.fromJson(json.loads(m["schema"]))
             stats = m.get("stats", {})
             files = m["files"]
+
+            # Fused local path — tiny tables: ONE collect evaluates
+            # the predicate (still Spark SQL — arbitrary expressions)
+            # and tags each row with its file; matched files,
+            # survivors and the rewrite all happen driver-side, so the
+            # whole DELETE is one job instead of three.
+            can_fuse = (
+                0 < len(files) <= _LOCAL_REWRITE_MAX_FILES
+                and _local_writable(schema)
+            )
+            if can_fuse:
+                try:
+                    total = sum(
+                        os.path.getsize(os.path.join(self.path, f))
+                        for f in files
+                    )
+                except OSError:
+                    total = _LOCAL_REWRITE_MAX_BYTES + 1
+                can_fuse = total <= _LOCAL_REWRITE_MAX_BYTES
+            if can_fuse:
+                tagged = (
+                    self.spark.read.schema(schema)
+                    .parquet(
+                        *(os.path.join(self.path, f) for f in files)
+                    )
+                    .withColumn(
+                        "_vc_hit", F.coalesce(pred, F.lit(False))
+                    )
+                    .withColumn("_vc_file", F.input_file_name())
+                )
+                rel_cache: dict[str, str] = {}
+                crows: list[dict] = []
+                for r in tagged.collect():
+                    d = r.asDict()
+                    uri = d.pop("_vc_file")
+                    rel = rel_cache.get(uri)
+                    if rel is None:
+                        rel = rel_cache[uri] = self._rel_of_uri(uri)
+                    d["_vc_rel"] = rel
+                    crows.append(d)
+                matched_files = {
+                    d["_vc_rel"] for d in crows if d["_vc_hit"]
+                }
+                carried = [f for f in files if f not in matched_files]
+                if not matched_files:
+                    survivors = None
+                else:
+                    names = schema.fieldNames()
+                    out_rows = [
+                        {n: d.get(n) for n in names}
+                        for d in crows
+                        if d["_vc_rel"] in matched_files
+                        and not d["_vc_hit"]
+                    ]
+                    survivors = _LocalRows(
+                        _split_chunks(
+                            out_rows, max(1, len(matched_files))
+                        ),
+                        schema,
+                    )
+                try:
+                    self._commit(
+                        survivors,
+                        base + 1,
+                        base,
+                        "delete_where",
+                        carried=carried,
+                        schema=schema,
+                        carried_stats={
+                            f: stats[f] for f in carried if f in stats
+                        },
+                        id_col=self.properties.get("id_col"),
+                    )
+                    return self
+                except ConcurrentWriteError as exc:
+                    last_err = exc
+                    continue
+
             matched_files: set[str] = set()
             if files:
                 cand = self.spark.read.schema(schema).parquet(
@@ -1401,6 +1756,84 @@ class VersionedCollection:
         n_out = target_files if target_files else max(1, len(m["files"]))
         schema = StructType.fromJson(json.loads(m["schema"]))
         snap = self._read_manifest(m)
+
+        # Fused local path — tiny snapshots: one collect, then the
+        # sort (id or Morton address — same double-scaling arithmetic
+        # as the JVM projection below, so layouts agree bit-for-bit)
+        # and the chunked write happen driver-side.  An exact sort
+        # split even beats repartitionByRange's sampled boundaries on
+        # balance.  Production-sized tables take the JVM path.
+        can_fuse = (
+            len(m["files"]) <= _LOCAL_REWRITE_MAX_FILES
+            and _local_writable(schema)
+            and (zorder_by is None or len(zorder_by or []) >= 2)
+        )
+        if can_fuse:
+            try:
+                total = sum(
+                    os.path.getsize(os.path.join(self.path, f))
+                    for f in m["files"]
+                )
+            except OSError:
+                total = _LOCAL_REWRITE_MAX_BYTES + 1
+            can_fuse = total <= _LOCAL_REWRITE_MAX_BYTES
+        if can_fuse:
+            dicts = [r.asDict() for r in snap.collect()]
+            if zorder_by:
+                ndim = len(zorder_by)
+                top = (1 << z_bits) - 1
+                bounds = {}
+                for c in zorder_by:
+                    vals = [
+                        float(d[c]) for d in dicts if d[c] is not None
+                    ]
+                    bounds[c] = (
+                        (min(vals), max(vals)) if vals else (0.0, 0.0)
+                    )
+
+                def _zaddr(d):
+                    z = 0
+                    for k, c in enumerate(zorder_by):
+                        if d[c] is None:
+                            return None
+                        lo, hi = bounds[c]
+                        span = (hi - lo) or 1.0
+                        scaled = int(
+                            (float(d[c]) - lo) / span * float(top)
+                        )
+                        for j in range(z_bits):
+                            z |= ((scaled >> j) & 1) << (j * ndim + k)
+                    return z
+
+                dicts.sort(
+                    key=lambda d: (
+                        (0, 0)
+                        if _zaddr(d) is None
+                        else (1, _zaddr(d))
+                    )
+                )
+                stat_cols = list(zorder_by)
+            else:
+                dicts.sort(
+                    key=lambda d: (d[id_col] is not None, d[id_col])
+                )
+                stat_cols = None
+            self._commit(
+                _LocalRows(_split_chunks(dicts, n_out), schema),
+                base + 1,
+                base,
+                "recluster",
+                carried=[],
+                schema=schema,
+                id_col=id_col,
+                stat_cols=stat_cols,
+            )
+            m1 = self.manifest(base + 1)
+            return {
+                "version": base + 1,
+                "files_before": len(m["files"]),
+                "files_after": len(m1["files"]),
+            }
         if zorder_by:
             if len(zorder_by) < 2:
                 raise ValueError(

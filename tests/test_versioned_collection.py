@@ -1072,3 +1072,132 @@ def test_persisted_ivf_merge_write_amplification_and_recluster(
     assert max(spans()) <= S, max(spans())
     opened2, n2 = probe_opened(2)
     assert n2 == 64 and opened2 <= opened0 + 1, (opened0, opened2)
+
+
+# ---------------------------------------------------------- fused local path
+
+
+def _force_distributed(monkeypatch):
+    """Push every small-batch gate to zero so the distributed
+    probe/rewrite/Spark-write path runs even on tiny tables."""
+    import legalchatbot_vectordb_exp_spark.sources.versioned as V
+
+    monkeypatch.setattr(V, "_LOCAL_REWRITE_MAX_BYTES", 0)
+
+
+def _full_history(spark, root, name):
+    """create(clustered) → evolution merge → delete_where → recluster
+    on one collection; returns it."""
+    c = VersionedCollection(spark, root, name)
+    c.create(
+        _mk(spark, [(i, 10 * i) for i in range(32)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=4,
+    )
+    src = spark.createDataFrame(
+        [(i, _vec(i), 1000 + i, "m1") for i in range(24, 40)],
+        "id long, vector array<double>, label long, tag string",
+    )
+    c.merge(src, schema_evolution=True)
+    c.delete_where("id % 5 = 0")
+    c.recluster()
+    return c
+
+
+def test_fused_path_matches_distributed(spark, tmp_path, monkeypatch):
+    """The driver-side fused create/merge/delete/recluster path must
+    produce the same snapshots, stats pruning and change feed as the
+    distributed Spark path, version for version."""
+    fused = _full_history(spark, str(tmp_path), "fused")
+    with monkeypatch.context() as mp:
+        _force_distributed(mp)
+        dist = _full_history(spark, str(tmp_path), "dist")
+
+    def rows(c, v):
+        df = c.read(version=v)
+        return sorted(
+            (
+                r["id"],
+                r["label"],
+                r["tag"] if "tag" in df.columns else None,
+            )
+            for r in df.collect()
+        )
+
+    for v in range(4):
+        assert rows(fused, v) == rows(dist, v), f"version {v}"
+    # merge stats semantics are identical
+    # change feed (with preimages) agrees
+    def feed(c):
+        return sorted(
+            (r["id"], r["label"], r["tag"], r["_change_type"])
+            for r in c.changes(0, 3, preimages=True).collect()
+        )
+
+    assert feed(fused) == feed(dist)
+    # recluster feed is silent on both
+    assert fused.changes(2, 3).count() == 0
+    assert dist.changes(2, 3).count() == 0
+    # fused files carry usable manifest stats: range reads prune
+    fused.read_range(1, 2)
+    assert fused.last_read_stats["files_pruned"] >= 1
+
+
+def test_fused_merge_preserves_stats_pruning(spark, tmp_path):
+    """last_merge_stats from the fused path keeps the tier-1 pruning
+    accounting: a key-local merge against a clustered table scans only
+    the stats-surviving file(s)."""
+    c = VersionedCollection(spark, str(tmp_path), "prune")
+    c.create(
+        _mk(spark, [(i, i) for i in range(64)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=8,
+    )
+    c.merge(_mk(spark, [(3, 999)]))
+    st = c.last_merge_stats
+    assert st["files_rewritten"] == 1
+    assert st["files_scanned"] <= 2
+    assert st["files_pruned_by_stats"] >= 6
+
+
+def test_fused_delete_all_rows_in_file(spark, tmp_path):
+    """Deleting every row of a matched file commits with no new file
+    (n_written may be 0) and the snapshot still reads correctly."""
+    c = VersionedCollection(spark, str(tmp_path), "delall")
+    c.create(
+        _mk(spark, [(i, i) for i in range(8)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=2,
+    )
+    c.delete_where("id < 4")  # entire first file
+    assert _state(c) == {(i, i) for i in range(4, 8)}
+    assert _state(c, version=0) == {(i, i) for i in range(8)}
+    assert c.changes(0, 1).count() == 4
+
+
+def test_fused_handles_binary_and_string_columns(spark, tmp_path):
+    """String ids and binary payloads survive the driver-side write
+    losslessly (and binary stats never poison pruning)."""
+    c = VersionedCollection(spark, str(tmp_path), "bin")
+    df = spark.createDataFrame(
+        [(f"k{i:02d}", [float(i)], bytes([i, 255 - i])) for i in range(8)],
+        "id string, vector array<double>, payload binary",
+    )
+    c.create(df, dim=1, metric="dot", normalize=False, cluster_files=2)
+    src = spark.createDataFrame(
+        [("k03", [30.0], bytes([7, 7]))],
+        "id string, vector array<double>, payload binary",
+    )
+    c.merge(src)
+    got = {
+        (r["id"], bytes(r["payload"]))
+        for r in c.read().collect()
+    }
+    assert ("k03", bytes([7, 7])) in got
+    assert len(got) == 8

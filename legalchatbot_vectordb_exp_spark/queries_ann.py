@@ -1064,10 +1064,17 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cluster_id",
     )
-    coll.create(
-        keyed, dim=len(qvec), metric="dot", normalize=False,
-        cluster_files=16,
-    )
+    # create's distributed path runs three actions (validation agg,
+    # range-boundary sample, write) — persist so the pandas-UDF
+    # assignment kernel computes once, not three times
+    keyed = keyed.persist()
+    try:
+        coll.create(
+            keyed, dim=len(qvec), metric="dot", normalize=False,
+            cluster_files=16,
+        )
+    finally:
+        keyed.unpersist()
 
     # ---- search path: one stats-pruned range read per probed cell
     parts = [

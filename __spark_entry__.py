@@ -28,9 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 _SAMPLE_PRIORITY = [
-    # (0) new this round: change feed as a streaming source (CDF-as-
-    # stream) with a watermarked signed-fold aggregate, and the 2-D
-    # Z-order layout's second-column range read
+    # (0) new this round: explicit-register HLL sketch union, the
+    # CDF-maintained standing MinHash band index, the change feed as
+    # a streaming source (CDF-as-stream) with a watermarked signed-
+    # fold aggregate, and the 2-D Z-order second-column range read
+    "hll_register_merge",
+    "dedup_index_cdc_maintain",
     "cdf_stream_fold",
     "zorder_recluster_read",
     # (1) never driver-sampled (r8+r9 judge top ask): the persisted-IVF

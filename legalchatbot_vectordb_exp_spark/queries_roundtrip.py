@@ -946,3 +946,208 @@ def q_zorder_recluster_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coll.read_range(8, 11, column="y").select(
         "id", "x", "y", "label"
     )
+
+
+# ----------------------------------------------------------- E2 ⨝ E11
+# dedup_index_cdc_maintain — standing MinHash band index kept current
+# from the versioned sink's change feed
+
+_IDX_BANDS = 4  # bands of 2 minhash rows each (N_MINHASH = 8)
+_IDX_HISTORY: dict[str, str] = {}  # sf_dir -> built warehouse
+
+
+def _index_corpus_sql() -> str:
+    """The final corpus state, reconstructed relationally: corpus =
+    doc_id % 8 = 0; v1 merge appended ' rev2' to every doc with
+    doc_id % 5 = 0 (insert) or % 3 = 0 (update); v2 deleted % 7 = 0."""
+    return """
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 OR doc_id % 3 = 0
+                  THEN text || ' rev2' ELSE text END AS text
+      FROM documents
+      WHERE doc_id % 8 = 0 AND doc_id % 7 <> 0
+    """
+
+
+def _index_bands_sql() -> str:
+    from legalchatbot_vectordb_exp_spark.queries_dedup import _sql_shingles
+
+    return f"""
+    WITH corpus AS ({_index_corpus_sql()}),
+    sh AS (
+      SELECT doc_id, unnest({_sql_shingles("text")}) AS shingle
+      FROM corpus
+    ),
+    hv AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh
+    ),
+    hashed AS (
+      SELECT doc_id, h.i AS hash_id,
+             min((h1 + h.i * h2) % 4294967296) AS mh
+      FROM hv, unnest(generate_series(0, 7)) AS h(i)
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, hash_id // 2 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY hash_id) AS band_key,
+             sum(mh)::BIGINT AS band_sum
+      FROM hashed GROUP BY 1, 2
+    )
+    SELECT band::BIGINT AS band, count(*)::BIGINT AS n_docs,
+           count(DISTINCT band_key)::BIGINT AS n_buckets,
+           sum(band_sum)::BIGINT AS sum_minhash
+    FROM bands GROUP BY 1
+    """
+
+
+def _doc_bands(df: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key, band_sum) for each document — a PURE
+    per-doc function of the text (full-vocabulary shingles, no
+    corpus-dependent DF cap), which is exactly what makes the index
+    incrementally maintainable: a doc's band rows never change unless
+    ITS text does.  Same one-md5 Kirsch-Mitzenmacher family as
+    ``dedup_minhash_signature``."""
+    from legalchatbot_vectordb_exp_spark.functions.text import word_shingles
+    from legalchatbot_vectordb_exp_spark.queries_dedup import N_MINHASH
+
+    sh = df.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    h1 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("bigint")
+    wide = (
+        sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.col("h1") + F.lit(i) * F.col("h2"))
+                    % F.lit(4294967296)
+                ).alias(f"h{i}")
+                for i in range(N_MINHASH)
+            ]
+        )
+    )
+    per_band = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.concat_ws(
+                    ",",
+                    F.col(f"h{2 * b}").cast("string"),
+                    F.col(f"h{2 * b + 1}").cast("string"),
+                ).alias("band_key"),
+                (F.col(f"h{2 * b}") + F.col(f"h{2 * b + 1}"))
+                .cast("bigint")
+                .alias("band_sum"),
+            )
+            for b in range(_IDX_BANDS)
+        ]
+    )
+    return wide.select(
+        "doc_id", F.explode(per_band).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key", "bk.band_sum")
+
+
+@register("dedup_index_cdc_maintain", sql=_index_bands_sql())
+def q_dedup_index_cdc_maintain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Standing MinHash band index maintained from the versioned
+    sink's change feed (E2 ⨝ E11) — the UPKEEP side of incremental
+    dedup (``dedup_incremental`` is the probe side: a batch checked
+    against this index; this query keeps the index itself current as
+    the corpus mutates underneath it).
+
+    History on a documents collection (corpus = doc_id % 8 = 0, text
+    payload + 1-d feature vector): v0 create (doc_id % 5 ≠ 0), v1 COW
+    MERGE upserting every doc with % 5 = 0 (inserts) or % 3 = 0
+    (updates) with ' rev2' appended, v2 ``delete_where(id % 7 = 0)``.
+    The v0 index is built once; maintenance consumes ``changes(0, 2)``
+    — delete/update_postimage ids retire their band rows by ANTI join,
+    insert/update_postimage rows are re-shingled and appended.  Only
+    CHANGED documents are ever re-hashed: O(changes) shingling, the
+    rest of the index carries untouched (band rows are a pure per-doc
+    function — no corpus-dependent DF cap — so unchanged docs cannot
+    be invalidated).  The oracle recomputes the index from the
+    relationally-reconstructed FINAL corpus: a missed retirement, a
+    stale band row, a double-add, or a feed row lost to the manifest
+    diff all change the per-band (count, distinct buckets, Σ minhash)
+    and fail the hash.
+
+    Scale shape: the feed reads only the manifest-diff touch set; the
+    anti join keys on the index's own doc_id (at 100 TB the stored
+    index is bucketed by doc_id, so retirement is co-located); the
+    re-shingle cost is proportional to the changed docs, never the
+    corpus.  Commits ride the small-batch fused path at this SF; at
+    production sizes the same history runs the distributed COW path
+    unchanged."""
+    import shutil
+
+    # deterministic history for a given sf_dir — like cdf_stream_fold's
+    # staged log, build it ONCE PER PROCESS (a production index doesn't
+    # rebuild the table per maintenance cycle; the history exists).  A
+    # fresh process (the correctness driver) always rebuilds.
+    warehouse = _scratch(sf_dir, "dedup_idx_cdc")
+    coll = VersionedCollection(spark, warehouse, "docs_idx")
+    if _IDX_HISTORY.get(sf_dir) != warehouse:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 8 == 0)
+            .select(
+                F.col("doc_id").alias("id"),
+                "text",
+                F.array(F.col("n_chars").cast("float")).alias("vector"),
+            )
+        )
+        if os.path.isdir(coll.path):
+            shutil.rmtree(coll.path)  # fresh history per process
+
+        coll.create(
+            docs.filter(F.col("id") % 5 != 0),
+            dim=1,
+            metric="dot",
+            normalize=False,
+        )
+        coll.merge(
+            docs.filter((F.col("id") % 5 == 0) | (F.col("id") % 3 == 0))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" rev2")))
+        )
+        coll.delete_where("id % 7 = 0")
+        # the STANDING index is a STORED table (like mv_cdc_maintain's
+        # rollup): built once against v0 and persisted — maintenance
+        # reads it back, it never re-shingles the unchanged corpus
+        _doc_bands(
+            coll.read(version=0).select(
+                F.col("id").alias("doc_id"), "text"
+            )
+        ).write.mode("overwrite").parquet(
+            _scratch(sf_dir, "dedup_idx_bands")
+        )
+        _IDX_HISTORY[sf_dir] = warehouse
+
+    index_v0 = spark.read.parquet(_scratch(sf_dir, "dedup_idx_bands"))
+
+    # the feed is consumed by both the retirement and arrival branches
+    # — cache the (touch-set-sized) fold result so the manifest-diff
+    # read and the reconcile shuffle run once
+    feed = coll.changes(0, 2).cache()
+    retired = feed.filter(
+        F.col("_change_type").isin("delete", "update_postimage")
+    ).select(F.col("id").alias("doc_id"))
+    arrived = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(F.col("id").alias("doc_id"), "text")
+
+    maintained = index_v0.join(
+        F.broadcast(retired), "doc_id", "left_anti"
+    ).unionByName(_doc_bands(arrived))
+
+    return maintained.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("band_key").alias("n_buckets"),
+        F.sum("band_sum").alias("sum_minhash"),
+    )

@@ -259,3 +259,93 @@ def test_bloom_prune_join_plan_and_no_false_negatives(spark, sf_smoke):
     row = df.head()
     assert row["n_bloom_pass"] >= row["n_exact"]
     assert row["n_bloom_pass"] - row["n_exact"] == row["n_false_positive"]
+
+
+def test_hll_register_merge_equals_recompute(spark, sf_smoke):
+    """The mergeable-sketch contract: MAX-merging the five per-group
+    register sets (the stored-sketch union a 100 TB pipeline does
+    across days/partitions) lands on exactly the registers a direct
+    recompute over the union of rows produces — max's associativity,
+    the reason HLL registers can be stored per-partition and folded
+    later.  Also pins the estimate guard the query emits."""
+    from legalchatbot_vectordb_exp_spark.io_tables import load_table
+    from legalchatbot_vectordb_exp_spark.queries_scale import (
+        HLL_M,
+        _hll_rho_case,
+        q_hll_register_merge,
+    )
+
+    orders = load_table(spark, sf_smoke, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_custkey").alias("k"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % HLL_M
+    )
+    h2 = F.conv(
+        F.substring(F.md5(F.col("k").cast("string")), 9, 5), 16, 10
+    ).cast("bigint")
+    keyed = orders.withColumn("h2_val", h2).select(
+        "grp",
+        bucket.alias("bucket"),
+        F.expr(_hll_rho_case("h2_val")).alias("rho"),
+    )
+    per_group = keyed.groupBy("grp", "bucket").agg(
+        F.max("rho").alias("r")
+    )
+    merged = per_group.groupBy("bucket").agg(F.max("r").alias("r"))
+    direct = keyed.groupBy("bucket").agg(F.max("rho").alias("r"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    rows = q_hll_register_merge(spark, sf_smoke).collect()
+    assert len(rows) == 6  # five priorities + the merged ALL sketch
+    assert all(r["within_20pct"] for r in rows)
+    # estimates are exact-integer deterministic: re-running cannot move
+    rows2 = q_hll_register_merge(spark, sf_smoke).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_dedup_index_cdc_maintain_equals_recompute(spark, sf_smoke):
+    """The maintenance invariant at ROW granularity (the driver oracle
+    checks the per-band rollup): retiring delete/update ids from the
+    stored v0 index and appending re-shingled feed rows lands on
+    exactly the band rows a from-scratch index over the final snapshot
+    produces — no stale row, no double-add, no missed retirement."""
+    from legalchatbot_vectordb_exp_spark.queries_roundtrip import (
+        _doc_bands,
+        _scratch,
+        q_dedup_index_cdc_maintain,
+    )
+    from legalchatbot_vectordb_exp_spark.sources.versioned import (
+        VersionedCollection,
+    )
+
+    q_dedup_index_cdc_maintain(spark, sf_smoke).collect()  # build
+    coll = VersionedCollection(
+        spark, _scratch(sf_smoke, "dedup_idx_cdc"), "docs_idx"
+    )
+    final = coll.read().select(F.col("id").alias("doc_id"), "text")
+    recompute = sorted(map(tuple, _doc_bands(final).collect()))
+
+    index_v0 = spark.read.parquet(_scratch(sf_smoke, "dedup_idx_bands"))
+    feed = coll.changes(0, 2)
+    retired = feed.filter(
+        F.col("_change_type").isin("delete", "update_postimage")
+    ).select(F.col("id").alias("doc_id"))
+    arrived = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(F.col("id").alias("doc_id"), "text")
+    maintained = index_v0.join(
+        retired, "doc_id", "left_anti"
+    ).unionByName(_doc_bands(arrived))
+    assert sorted(map(tuple, maintained.collect())) == recompute
+
+    # O(changes) claim: the re-shingled set is the feed's touch set,
+    # a strict subset of the corpus
+    n_changed = arrived.count()
+    n_corpus = final.count()
+    assert 0 < n_changed < n_corpus

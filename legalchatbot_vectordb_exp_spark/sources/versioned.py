@@ -1606,6 +1606,67 @@ class VersionedCollection:
             "files_after": len(m1["files"]),
         }
 
+    def clone(
+        self, new_name: str, version: int | None = None
+    ) -> "VersionedCollection":
+        """Zero-copy clone of a snapshot as a NEW collection — Delta
+        SHALLOW CLONE's cheap branching without its vacuum hazard:
+        every data file of the source manifest is HARD-LINKED into the
+        clone's data tree (no bytes copied; planning is directory
+        metadata only), and because a hard link is a first-class
+        directory entry, the clone stays readable after ANY later
+        source operation INCLUDING ``vacuum`` — the inode survives
+        until its last name goes (Delta's shallow clones break here:
+        they reference the source's files by path, so a source vacuum
+        can GC data a clone still lists).  Cross-device warehouses
+        fall back to a real per-file copy.
+
+        The clone starts its own history at v0 (operation ``clone``,
+        ``source`` recording ``name@vN``); footer min/max stats and
+        Z-order column stats carry over, so merge pruning and
+        ``read_range`` work on the clone immediately.  Commits on
+        either side are invisible to the other — data subdirs are
+        uuid-suffixed, so the clone's own writes can never collide
+        with linked-in source dirs."""
+        src_v = self._resolve_version(version, None)
+        m = self.manifest(src_v)
+        dst = VersionedCollection(self.spark, self.warehouse, new_name)
+        if dst.exists():
+            raise FileExistsError(
+                f"collection {new_name} already exists (latest "
+                f"v{dst.latest_version()}); clone needs a fresh name"
+            )
+        os.makedirs(dst.path, exist_ok=True)
+        shutil.copyfile(
+            os.path.join(self.path, _PROPS_FILE),
+            os.path.join(dst.path, _PROPS_FILE),
+        )
+        for f in m["files"]:
+            src_f = os.path.join(self.path, f)
+            dst_f = os.path.join(dst.path, f)
+            os.makedirs(os.path.dirname(dst_f), exist_ok=True)
+            try:
+                os.link(src_f, dst_f)
+            except OSError:  # cross-device / FS without hard links
+                shutil.copyfile(src_f, dst_f)
+        dst._publish(
+            {
+                "version": 0,
+                "parent": None,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "clone",
+                "source": f"{self.name}@v{src_v}",
+                "n_carried": len(m["files"]),
+                "n_written": 0,
+                "schema": m["schema"],
+                "format_version": 1,
+                "files": list(m["files"]),
+                "stats": dict(m.get("stats", {})),
+                "col_stats": dict(m.get("col_stats", {})),
+            }
+        )
+        return dst
+
     def changes(
         self,
         from_version: int,

@@ -1201,3 +1201,73 @@ def test_fused_handles_binary_and_string_columns(spark, tmp_path):
     }
     assert ("k03", bytes([7, 7])) in got
     assert len(got) == 8
+
+
+# --------------------------------------------------------------- clone
+
+
+def test_clone_snapshot_equality_and_divergence(spark, coll, tmp_path):
+    coll.merge(_mk(spark, [(100, 777)]))
+    cl = coll.clone("vc_branch")
+    assert _state(cl) == _state(coll)
+    assert cl.latest_version() == 0
+    assert cl.history()[0]["operation"] == "clone"
+
+    # diverge the clone: source must not see it, and vice versa
+    cl.merge(_mk(spark, [(200, 888)]))
+    assert (200, 888) in _state(cl)
+    assert (200, 888) not in _state(coll)
+    coll.delete_where("id = 0")
+    assert (0, 0) not in _state(coll)
+    assert (0, 0) in _state(cl)
+
+
+def test_clone_is_zero_copy_and_survives_source_vacuum(
+    spark, coll, tmp_path
+):
+    """The hazard Delta's shallow clones document away: after the
+    source rewrites and vacuums, a path-referencing clone would read
+    deleted files.  Hard links make the clone's snapshot immune —
+    and cost zero data bytes at clone time."""
+    before = _state(coll)
+    cl = coll.clone("vc_gc")
+    m = cl.manifest(0)
+    linked = [os.path.join(cl.path, f) for f in m["files"]]
+    assert linked and all(os.stat(p).st_nlink >= 2 for p in linked)
+
+    # source rewrites everything, then GCs aggressively
+    coll.delete_where("id % 2 = 0")
+    coll.recluster(target_files=2)
+    out = coll.vacuum(keep_last=1, min_file_age_ms=0)
+    assert out["removed_files"] > 0
+    # the clone still reads its full snapshot
+    assert _state(cl) == before
+    assert all(os.path.isfile(p) for p in linked)
+
+
+def test_clone_carries_stats_and_rejects_existing_name(spark, tmp_path):
+    c = VersionedCollection(spark, str(tmp_path), "vc_src")
+    c.create(
+        _mk(spark, [(i, i) for i in range(64)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=8,
+    )
+    cl = c.clone("vc_stats")
+    # footer min/max stats carried -> read_range prunes on the clone
+    rows = cl.read_range(10, 13).collect()
+    assert {r.id for r in rows} == {10, 11, 12, 13}
+    assert cl.last_read_stats["files_pruned"] > 0
+    try:
+        c.clone("vc_stats")
+        assert False, "expected FileExistsError"
+    except FileExistsError:
+        pass
+
+
+def test_clone_at_version_time_travels(spark, coll):
+    v0 = _state(coll)
+    coll.merge(_mk(spark, [(300, 999)]))
+    cl = coll.clone("vc_past", version=0)
+    assert _state(cl) == v0

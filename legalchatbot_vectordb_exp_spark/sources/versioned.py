@@ -270,29 +270,38 @@ def _validate(
     return df
 
 
-def _footer_minmax(path: str, id_col: str):
-    """[min, max] of ``id_col`` from the parquet footer's row-group
-    statistics — a metadata read, never the data pages.  ``None`` when
-    the footer carries no usable stats (the file then simply skips
-    range pruning and goes to the id-column scan)."""
+def _footer_minmax_multi(path: str, cols: list[str]) -> dict:
+    """Per-column [min, max] from ONE parquet footer parse — a
+    metadata read, never the data pages.  Columns whose footer stats
+    are unusable are simply absent (those files skip range pruning
+    for that column and go to the column scan).  One parse serves
+    every stats column; the old per-column variant re-read the same
+    footer once per Z-order column."""
     import pyarrow.parquet as pq
 
+    out: dict[str, list] = {}
     try:
         md = pq.ParquetFile(path).metadata
-        idx = next(
-            i
-            for i in range(md.num_columns)
-            if md.schema.column(i).path == id_col
-        )
+    except Exception:
+        return out
+    idx_of = {
+        md.schema.column(i).path: i for i in range(md.num_columns)
+    }
+    for col in cols:
+        i = idx_of.get(col)
+        if i is None:
+            continue
         lo = hi = None
+        usable = True
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
+            st = md.row_group(rg).column(i).statistics
             if st is None or not st.has_min_max:
-                return None
+                usable = False
+                break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if lo is None:
-            return None
+        if not usable or lo is None:
+            continue
         if isinstance(lo, bytes):
             # Strict decode only: replacement characters can REORDER
             # the bounds (U+FFFD sorts above most text), and a
@@ -302,10 +311,16 @@ def _footer_minmax(path: str, id_col: str):
             try:
                 lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
             except UnicodeDecodeError:
-                return None
-        return [lo, hi]
-    except Exception:
-        return None
+                continue
+        out[col] = [lo, hi]
+    return out
+
+
+def _footer_minmax(path: str, id_col: str):
+    """[min, max] of one column, or None — thin single-column wrapper
+    over ``_footer_minmax_multi`` (kept for the read paths that only
+    ever need the id column)."""
+    return _footer_minmax_multi(path, [id_col]).get(id_col)
 
 
 class VersionedCollection:
@@ -515,28 +530,28 @@ class VersionedCollection:
         col_stats: dict[str, dict] = {}
         if id_col:
             # footer stats are pure metadata I/O (pyarrow releases the
-            # GIL) — read them concurrently instead of one commit-time
-            # sequential pass per file
+            # GIL) — read them concurrently, and parse each file's
+            # footer ONCE for every stats column (id + Z-order cols)
             from concurrent.futures import ThreadPoolExecutor
 
+            want = [id_col] + [
+                c for c in stat_cols or [] if c != id_col
+            ]
             full = [os.path.join(self.path, rel) for rel in files]
             with ThreadPoolExecutor(
                 max_workers=min(16, max(1, len(files)))
             ) as ex:
-                for rel, mm in zip(
-                    files, ex.map(lambda p: _footer_minmax(p, id_col), full)
+                for rel, mms in zip(
+                    files,
+                    ex.map(
+                        lambda p: _footer_minmax_multi(p, want), full
+                    ),
                 ):
+                    mm = mms.get(id_col)
                     if mm is not None:
                         stats[rel] = mm
-                for col in stat_cols or []:
-                    if col == id_col:
-                        continue
-                    for rel, mm in zip(
-                        files,
-                        ex.map(
-                            lambda p, c=col: _footer_minmax(p, c), full
-                        ),
-                    ):
+                    for col in want[1:]:
+                        mm = mms.get(col)
                         # only JSON-clean scalar bounds go in the
                         # manifest; anything else skips pruning
                         if mm is not None and all(
@@ -660,6 +675,7 @@ class VersionedCollection:
         id_col: str | None = None,
         stat_cols: list[str] | None = None,
         carried_col_stats: dict | None = None,
+        parent_manifest: dict | None = None,
     ) -> None:
         """Write-then-publish.  On a lost publish race the freshly
         written data subdir is swept best-effort before re-raising, so
@@ -686,21 +702,18 @@ class VersionedCollection:
             "n_written": len(new_files),
             "schema": schema.json(),
         }
-        # carried files keep their Z-order column stats without every
-        # caller having to thread them through
-        if (
-            carried_col_stats is None
-            and parent is not None
-            and carried
-        ):
-            cset = set(carried)
-            carried_col_stats = {
-                f: s
-                for f, s in self.manifest(parent)
-                .get("col_stats", {})
-                .items()
-                if f in cset
-            }
+        # resolve the parent manifest AT MOST ONCE per commit — the
+        # resolution is an O(table-files) delta-chain fold, and every
+        # mutating caller already holds it (threaded via
+        # parent_manifest); only legacy/callers without it pay a read
+        pm = parent_manifest
+
+        def _parent_manifest() -> dict:
+            nonlocal pm
+            if pm is None:
+                pm = self.manifest(parent)
+            return pm
+
         # Delta-encode when the touch set is smaller than the table
         # (manifest bytes ∝ touch set); periodically force a full
         # manifest to cap the resolution chain.  Full manifests are
@@ -710,9 +723,26 @@ class VersionedCollection:
         if parent is not None and (
             version % self.full_manifest_interval != 0
         ):
-            parent_files = self.manifest(parent)["files"]
+            parent_files = _parent_manifest()["files"]
             carried_set = set(carried)
             remove = [f for f in parent_files if f not in carried_set]
+        # carried files keep their Z-order column stats without every
+        # caller having to thread them through — only materialized on
+        # the full-manifest branch (a delta carries stats implicitly)
+        if (
+            carried_col_stats is None
+            and parent is not None
+            and carried
+            and not (remove is not None and len(remove) < len(carried))
+        ):
+            cset = set(carried)
+            carried_col_stats = {
+                f: s
+                for f, s in _parent_manifest()
+                .get("col_stats", {})
+                .items()
+                if f in cset
+            }
         if remove is not None and len(remove) < len(carried):
             manifest |= {
                 "format_version": 2,
@@ -879,9 +909,14 @@ class VersionedCollection:
         while os.path.isfile(self._manifest_path(v)):
             out.append((v, self._raw_manifest(v)["timestamp_ms"]))
             v += 1
-        if not out and ck is None:
-            # no checkpoint and no contiguous-from-0 tail: fall back
-            # to the listed log (vacuumed histories start above 0)
+        if not out:
+            # No resolvable entry: either no checkpoint and no
+            # contiguous-from-0 tail (vacuumed histories start above
+            # 0), or a STALE checkpoint naming only vacuumed versions
+            # whose forward probe starts at a deleted manifest — the
+            # same crash state versions() self-heals from.  The
+            # manifests are the source of truth; versions() falls
+            # back to listdir for both cases.
             out = [
                 (v, self._raw_manifest(v)["timestamp_ms"])
                 for v in self.versions()
@@ -981,6 +1016,51 @@ class VersionedCollection:
         return os.path.relpath(
             os.path.realpath(p), os.path.realpath(self.path)
         )
+
+
+    def _fits_local_rewrite(self, files: list[str]) -> bool:
+        """Byte-size half of the fused-commit gate, shared by merge /
+        delete_where / recluster (each checks its own file-count and
+        schema-writability first).  An unreadable size (racing vacuum
+        or compact) routes to the distributed path — never fused."""
+        try:
+            total = sum(
+                os.path.getsize(os.path.join(self.path, f))
+                for f in files
+            )
+        except OSError:
+            return False
+        return total <= _LOCAL_REWRITE_MAX_BYTES
+
+    def _collect_tagged(
+        self,
+        files: list[str],
+        schema: StructType,
+        extra: dict | None = None,
+    ) -> list[dict]:
+        """One bounded collect of the candidate files with every row
+        tagged by its collection-relative source file (``_vc_rel``)
+        plus any extra derived columns — the shared front half of the
+        fused merge and delete rewrites."""
+        if not files:
+            return []
+        df = self.spark.read.schema(schema).parquet(
+            *(os.path.join(self.path, f) for f in files)
+        )
+        for name, col in (extra or {}).items():
+            df = df.withColumn(name, col)
+        df = df.withColumn("_vc_file", F.input_file_name())
+        rel_cache: dict[str, str] = {}
+        rows: list[dict] = []
+        for r in df.collect():
+            d = r.asDict()
+            uri = d.pop("_vc_file")
+            rel = rel_cache.get(uri)
+            if rel is None:
+                rel = rel_cache[uri] = self._rel_of_uri(uri)
+            d["_vc_rel"] = rel
+            rows.append(d)
+        return rows
 
     def merge(
         self,
@@ -1213,38 +1293,11 @@ class VersionedCollection:
                 )
             )
             if can_fuse:
-                try:
-                    total = sum(
-                        os.path.getsize(os.path.join(self.path, f))
-                        for f in candidates
-                    )
-                except OSError:
-                    total = _LOCAL_REWRITE_MAX_BYTES + 1
-                can_fuse = total <= _LOCAL_REWRITE_MAX_BYTES
+                can_fuse = self._fits_local_rewrite(candidates)
             if can_fuse:
                 _k = lambda v: bytes(v) if isinstance(v, bytearray) else v
                 keyset = {_k(k) for k in key_list}
-                crows: list[dict] = []
-                if candidates:
-                    cand = (
-                        self.spark.read.schema(schema)
-                        .parquet(
-                            *(
-                                os.path.join(self.path, f)
-                                for f in candidates
-                            )
-                        )
-                        .withColumn("_vc_file", F.input_file_name())
-                    )
-                    rel_cache: dict[str, str] = {}
-                    for r in cand.collect():
-                        d = r.asDict()
-                        uri = d.pop("_vc_file")
-                        rel = rel_cache.get(uri)
-                        if rel is None:
-                            rel = rel_cache[uri] = self._rel_of_uri(uri)
-                        d["_vc_rel"] = rel
-                        crows.append(d)
+                crows = self._collect_tagged(candidates, schema)
                 matched_files = {
                     d["_vc_rel"]
                     for d in crows
@@ -1286,6 +1339,7 @@ class VersionedCollection:
                         schema=out_schema,
                         carried_stats=carried_stats,
                         id_col=id_col,
+                        parent_manifest=m,
                     )
                     self.last_merge_stats = {
                         "files_total": len(m["files"]),
@@ -1382,6 +1436,7 @@ class VersionedCollection:
                     schema=out_schema,
                     carried_stats=carried_stats,
                     id_col=id_col,
+                    parent_manifest=m,
                 )
                 self.last_merge_stats = {
                     "files_total": len(m["files"]),
@@ -1429,35 +1484,13 @@ class VersionedCollection:
                 and _local_writable(schema)
             )
             if can_fuse:
-                try:
-                    total = sum(
-                        os.path.getsize(os.path.join(self.path, f))
-                        for f in files
-                    )
-                except OSError:
-                    total = _LOCAL_REWRITE_MAX_BYTES + 1
-                can_fuse = total <= _LOCAL_REWRITE_MAX_BYTES
+                can_fuse = self._fits_local_rewrite(files)
             if can_fuse:
-                tagged = (
-                    self.spark.read.schema(schema)
-                    .parquet(
-                        *(os.path.join(self.path, f) for f in files)
-                    )
-                    .withColumn(
-                        "_vc_hit", F.coalesce(pred, F.lit(False))
-                    )
-                    .withColumn("_vc_file", F.input_file_name())
+                crows = self._collect_tagged(
+                    files,
+                    schema,
+                    extra={"_vc_hit": F.coalesce(pred, F.lit(False))},
                 )
-                rel_cache: dict[str, str] = {}
-                crows: list[dict] = []
-                for r in tagged.collect():
-                    d = r.asDict()
-                    uri = d.pop("_vc_file")
-                    rel = rel_cache.get(uri)
-                    if rel is None:
-                        rel = rel_cache[uri] = self._rel_of_uri(uri)
-                    d["_vc_rel"] = rel
-                    crows.append(d)
                 matched_files = {
                     d["_vc_rel"] for d in crows if d["_vc_hit"]
                 }
@@ -1490,6 +1523,7 @@ class VersionedCollection:
                             f: stats[f] for f in carried if f in stats
                         },
                         id_col=self.properties.get("id_col"),
+                        parent_manifest=m,
                     )
                     return self
                 except ConcurrentWriteError as exc:
@@ -1538,6 +1572,7 @@ class VersionedCollection:
                         f: stats[f] for f in carried if f in stats
                     },
                     id_col=self.properties.get("id_col"),
+                    parent_manifest=m,
                 )
                 return self
             except ConcurrentWriteError as exc:
@@ -1597,6 +1632,7 @@ class VersionedCollection:
             schema=schema,
             carried_stats={f: stats[f] for f in carried if f in stats},
             id_col=self.properties.get("id_col"),
+            parent_manifest=m,
         )
         m1 = self.manifest(base + 1)
         return {
@@ -1814,6 +1850,15 @@ class VersionedCollection:
         if not m["files"]:
             return {"version": base, "files_before": 0, "files_after": 0}
         id_col = self.properties["id_col"]
+        if zorder_by:
+            # cap per-column bits so the highest interleaved bit index
+            # (z_bits·ndim − 1) stays below the BIGINT sign bit —
+            # uncapped, a 4-column default-z_bits address shifts into
+            # bit 63, rows with that bit set go NEGATIVE in the JVM
+            # path (range-partitioning FIRST) while the unbounded-int
+            # local path sorts them LAST, silently breaking both the
+            # Z-curve and fused/JVM layout parity
+            z_bits = min(z_bits, 63 // len(zorder_by))
         n_out = target_files if target_files else max(1, len(m["files"]))
         schema = StructType.fromJson(json.loads(m["schema"]))
         snap = self._read_manifest(m)
@@ -1830,14 +1875,7 @@ class VersionedCollection:
             and (zorder_by is None or len(zorder_by or []) >= 2)
         )
         if can_fuse:
-            try:
-                total = sum(
-                    os.path.getsize(os.path.join(self.path, f))
-                    for f in m["files"]
-                )
-            except OSError:
-                total = _LOCAL_REWRITE_MAX_BYTES + 1
-            can_fuse = total <= _LOCAL_REWRITE_MAX_BYTES
+            can_fuse = self._fits_local_rewrite(m["files"])
         if can_fuse:
             dicts = [r.asDict() for r in snap.collect()]
             if zorder_by:
@@ -1888,6 +1926,7 @@ class VersionedCollection:
                 schema=schema,
                 id_col=id_col,
                 stat_cols=stat_cols,
+                parent_manifest=m,
             )
             m1 = self.manifest(base + 1)
             return {
@@ -1944,7 +1983,7 @@ class VersionedCollection:
         self._commit(
             df, base + 1, base, "recluster",
             carried=[], schema=schema, id_col=id_col,
-            stat_cols=stat_cols,
+            stat_cols=stat_cols, parent_manifest=m,
         )
         m1 = self.manifest(base + 1)
         return {

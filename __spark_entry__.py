@@ -34,6 +34,7 @@ _SAMPLE_PRIORITY = [
     # fold aggregate, and the 2-D Z-order second-column range read
     "hll_register_merge",
     "dedup_index_cdc_maintain",
+    "clone_diverge",
     "cdf_stream_fold",
     "zorder_recluster_read",
     # (1) never driver-sampled (r8+r9 judge top ask): the persisted-IVF

@@ -1162,3 +1162,107 @@ def q_dedup_index_cdc_maintain(
         F.countDistinct("band_key").alias("n_buckets"),
         F.sum("band_sum").alias("sum_minhash"),
     )
+
+
+# --------------------------------------------------------------- E11
+# clone_diverge — zero-copy branch + independent divergence
+
+_CLONE_HISTORY: dict[str, str] = {}  # sf_dir -> built warehouse
+
+
+@register(
+    "clone_diverge",
+    sql="""
+    WITH v0 AS (
+      SELECT vec_id AS id, label FROM embeddings WHERE vec_id < 200
+    ),
+    v1 AS (  -- source v1 = clone point
+      SELECT id, label FROM v0 WHERE id < 150
+      UNION ALL
+      SELECT vec_id, label + 1000 FROM embeddings
+      WHERE vec_id >= 150 AND vec_id < 250
+    ),
+    src_final AS (SELECT * FROM v1 WHERE id % 3 <> 0),
+    br_final AS (  -- branch diverged independently from v1
+      SELECT id, label FROM v1 WHERE id >= 50
+      UNION ALL
+      SELECT vec_id, label + 5000 FROM embeddings WHERE vec_id < 50
+    )
+    SELECT 'source' AS side, count(*)::BIGINT AS n_rows,
+           sum(label)::BIGINT AS sum_label
+    FROM src_final
+    UNION ALL
+    SELECT 'branch', count(*)::BIGINT, sum(label)::BIGINT FROM br_final
+    UNION ALL
+    SELECT 'branch@v0', count(*)::BIGINT, sum(label)::BIGINT FROM v1
+    """,
+)
+def q_clone_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy ``clone()`` through the oracle gate (E11): branch the
+    source at v1 by hard-linking its files, diverge BOTH sides —
+    branch merges [0, 50) with label+5000, source deletes id % 3 = 0 —
+    and read back three states: the source's final snapshot, the
+    branch's final snapshot, and the branch's own v0 (which must still
+    equal the source AT THE CLONE POINT, i.e. time travel works across
+    the branch).  A clone that shared manifests instead of snapshotting
+    them, leaked commits across the branch point, or lost rows to the
+    source's COW delete (the hard links mean the source rewrites files
+    the branch still references BY NAME — the inode must survive)
+    changes a count or label sum and fails the hash.
+
+    Scale shape: clone cost is O(files) directory metadata (hard
+    links, zero data bytes); each divergent commit is ordinary COW on
+    its own manifest log.  History and clone are built once per
+    process (the driver rebuilds fresh)."""
+    import shutil
+
+    warehouse = _scratch(sf_dir, "clone_diverge")
+    src = VersionedCollection(spark, warehouse, "cd_src")
+    br = VersionedCollection(spark, warehouse, "cd_branch")
+    if _CLONE_HISTORY.get(sf_dir) != warehouse:
+        if os.path.isdir(warehouse):
+            shutil.rmtree(warehouse)  # fresh source + branch per process
+        emb = load_table(spark, sf_dir, "embeddings")
+
+        def sel(df, bump):
+            return df.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("vector"),
+                (F.col("label") + bump).alias("label"),
+            )
+
+        dim = len(emb.select("embedding").head()[0])
+        src.create(
+            sel(emb.filter(F.col("vec_id") < 200), 0),
+            dim=dim,
+            metric="dot",
+            normalize=False,
+        )
+        src.merge(
+            sel(
+                emb.filter(
+                    (F.col("vec_id") >= 150) & (F.col("vec_id") < 250)
+                ),
+                1000,
+            )
+        )
+        br = src.clone("cd_branch")  # branch at source v1
+        br.merge(sel(emb.filter(F.col("vec_id") < 50), 5000))
+        src.delete_where("id % 3 = 0")
+        _CLONE_HISTORY[sf_dir] = warehouse
+
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("label").cast("bigint").alias("sum_label"),
+    ]
+    return (
+        src.read().agg(*agg).select(F.lit("source").alias("side"), "*")
+        .unionByName(
+            br.read().agg(*agg).select(F.lit("branch").alias("side"), "*")
+        )
+        .unionByName(
+            br.read(version=0)
+            .agg(*agg)
+            .select(F.lit("branch@v0").alias("side"), "*")
+        )
+    )

@@ -726,6 +726,7 @@ class VersionedCollection:
             parent_files = _parent_manifest()["files"]
             carried_set = set(carried)
             remove = [f for f in parent_files if f not in carried_set]
+        is_delta = remove is not None and len(remove) < len(carried)
         # carried files keep their Z-order column stats without every
         # caller having to thread them through — only materialized on
         # the full-manifest branch (a delta carries stats implicitly)
@@ -733,7 +734,7 @@ class VersionedCollection:
             carried_col_stats is None
             and parent is not None
             and carried
-            and not (remove is not None and len(remove) < len(carried))
+            and not is_delta
         ):
             cset = set(carried)
             carried_col_stats = {
@@ -743,7 +744,7 @@ class VersionedCollection:
                 .items()
                 if f in cset
             }
-        if remove is not None and len(remove) < len(carried):
+        if is_delta:
             manifest |= {
                 "format_version": 2,
                 "base": parent,
@@ -1677,30 +1678,59 @@ class VersionedCollection:
             os.path.join(self.path, _PROPS_FILE),
             os.path.join(dst.path, _PROPS_FILE),
         )
+        import errno
+
         for f in m["files"]:
             src_f = os.path.join(self.path, f)
             dst_f = os.path.join(dst.path, f)
             os.makedirs(os.path.dirname(dst_f), exist_ok=True)
             try:
                 os.link(src_f, dst_f)
-            except OSError:  # cross-device / FS without hard links
+            except FileExistsError:
+                # leftover from a crashed (or racing) clone of the
+                # same source: replace the name — data files are
+                # immutable, so relinking is always safe, and a broad
+                # copy fallback here would raise SameFileError on the
+                # shared inode and brick the clone name permanently
+                os.unlink(dst_f)
+                os.link(src_f, dst_f)
+            except OSError as exc:
+                if exc.errno != errno.EXDEV:
+                    raise  # only cross-device falls back to a copy
                 shutil.copyfile(src_f, dst_f)
-        dst._publish(
-            {
-                "version": 0,
-                "parent": None,
-                "timestamp_ms": int(time.time() * 1000),
-                "operation": "clone",
-                "source": f"{self.name}@v{src_v}",
-                "n_carried": len(m["files"]),
-                "n_written": 0,
-                "schema": m["schema"],
-                "format_version": 1,
-                "files": list(m["files"]),
-                "stats": dict(m.get("stats", {})),
-                "col_stats": dict(m.get("col_stats", {})),
-            }
-        )
+        try:
+            dst._publish(
+                {
+                    "version": 0,
+                    "parent": None,
+                    "timestamp_ms": int(time.time() * 1000),
+                    "operation": "clone",
+                    "source": f"{self.name}@v{src_v}",
+                    "n_carried": len(m["files"]),
+                    "n_written": 0,
+                    "schema": m["schema"],
+                    "format_version": 1,
+                    "files": list(m["files"]),
+                    "stats": dict(m.get("stats", {})),
+                    "col_stats": dict(m.get("col_stats", {})),
+                }
+            )
+        except ConcurrentWriteError:
+            # lost the put-if-absent race: sweep the names we linked
+            # that the WINNER's v0 does not reference (shared paths
+            # stay — they are the winner's links too), mirroring
+            # _commit's orphan sweep
+            try:
+                keep = set(dst.manifest(0)["files"])
+            except Exception:
+                keep = set()
+            for f in m["files"]:
+                if f not in keep:
+                    try:
+                        os.unlink(os.path.join(dst.path, f))
+                    except OSError:
+                        pass
+            raise
         return dst
 
     def changes(
@@ -1904,13 +1934,11 @@ class VersionedCollection:
                             z |= ((scaled >> j) & 1) << (j * ndim + k)
                     return z
 
-                dicts.sort(
-                    key=lambda d: (
-                        (0, 0)
-                        if _zaddr(d) is None
-                        else (1, _zaddr(d))
-                    )
-                )
+                def _zkey(d):
+                    z = _zaddr(d)  # interleave once per row
+                    return (0, 0) if z is None else (1, z)
+
+                dicts.sort(key=_zkey)
                 stat_cols = list(zorder_by)
             else:
                 dicts.sort(

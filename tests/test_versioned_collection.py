@@ -1355,3 +1355,25 @@ def test_zorder_many_columns_stays_sign_safe_and_paths_agree(
     assert spans(stats1) == spans(stats2), (
         "fused and JVM z-order layouts diverged"
     )
+
+
+def test_clone_retry_after_crash_mid_link(spark, coll):
+    """A clone killed after linking files but before publishing v0
+    leaves dst.exists() False with links on disk; the retry must
+    replace those names (relink the immutable inode) and succeed — a
+    broad copy fallback raised SameFileError here forever."""
+    import shutil as _shutil
+
+    cl = coll.clone("vc_crash")
+    # simulate the crash state: links exist, no published version
+    _shutil.rmtree(cl._versions_dir())
+    os.unlink(os.path.join(cl.path, "_collection.json"))
+    assert not cl.exists()
+
+    cl2 = coll.clone("vc_crash")  # retry must not raise
+    assert _state(cl2) == _state(coll)
+    m = cl2.manifest(0)
+    assert all(
+        os.stat(os.path.join(cl2.path, f)).st_nlink >= 2
+        for f in m["files"]
+    )

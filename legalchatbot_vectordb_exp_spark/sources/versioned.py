@@ -1643,6 +1643,39 @@ class VersionedCollection:
             "files_after": len(m1["files"]),
         }
 
+    def restore(self, version: int) -> dict:
+        """Roll the table back to an older snapshot as a NEW commit
+        (Delta ``RESTORE TABLE``): publish a manifest whose file list
+        and stats equal ``version``'s — pure metadata, zero data I/O,
+        and history-preserving (the rolled-back commits stay readable
+        by version/timestamp until vacuum retires them; the restore
+        itself appears in ``history()`` as operation ``restore``).
+        The restored files are guaranteed on disk: they are referenced
+        by the retained target manifest, which vacuum never sweeps
+        ahead of.  A concurrent commit racing the publish surfaces as
+        ``ConcurrentWriteError`` — rerun against the new latest."""
+        target = self.manifest(version)  # raises on unknown version
+        base = self.latest_version()
+        if version == base:
+            return {"version": base, "restored_from": version}
+        self._publish(
+            {
+                "version": base + 1,
+                "parent": base,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "restore",
+                "restored_version": version,
+                "n_carried": len(target["files"]),
+                "n_written": 0,
+                "schema": target["schema"],
+                "format_version": 1,
+                "files": list(target["files"]),
+                "stats": dict(target.get("stats", {})),
+                "col_stats": dict(target.get("col_stats", {})),
+            }
+        )
+        return {"version": base + 1, "restored_from": version}
+
     def clone(
         self, new_name: str, version: int | None = None
     ) -> "VersionedCollection":

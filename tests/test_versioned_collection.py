@@ -1377,3 +1377,38 @@ def test_clone_retry_after_crash_mid_link(spark, coll):
         os.stat(os.path.join(cl2.path, f)).st_nlink >= 2
         for f in m["files"]
     )
+
+
+# -------------------------------------------------------------- restore
+
+
+def test_restore_rolls_back_metadata_only(spark, coll):
+    v0 = _state(coll)
+    coll.merge(_mk(spark, [(500, 111)]))
+    coll.delete_where("id < 3")
+    assert _state(coll) != v0
+
+    out = coll.restore(0)
+    assert out["restored_from"] == 0
+    assert _state(coll) == v0  # latest snapshot == v0 again
+    # history preserved: the intermediate states still time travel
+    assert (500, 111) in _state(coll, version=1)
+    ops = [h["operation"] for h in coll.history()]
+    assert ops[-1] == "restore"
+    # metadata-only: the restore commit wrote no data files
+    assert coll.manifest(coll.latest_version())["files"] == coll.manifest(
+        0
+    )["files"]
+    # restored files survive a vacuum that retires the rolled-back
+    # versions (the target manifest is the retained latest)
+    coll.vacuum(keep_last=1, min_file_age_ms=0)
+    assert _state(coll) == v0
+
+
+def test_restore_noop_and_unknown_version(spark, coll):
+    assert coll.restore(0)["version"] == 0  # no-op on current
+    try:
+        coll.restore(99)
+        assert False, "expected FileNotFoundError"
+    except FileNotFoundError:
+        pass

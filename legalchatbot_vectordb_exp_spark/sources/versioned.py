@@ -26,10 +26,18 @@ Core properties, each pinned by ``tests/test_versioned_collection.py``:
 * **Atomic publish / optimistic concurrency** — a commit is the
   creation of ``_versions/v{n}.json`` via ``os.link`` (create-if-
   absent; atomic on POSIX).  Two writers racing to version n: exactly
-  one link succeeds, the loser gets ``ConcurrentWriteError``, sweeps
-  its own freshly written data subdir, and ``merge``/``delete_where``
-  rebase on the winner's snapshot and retry.  (On object stores this
-  maps to a put-if-absent / DynamoDB mutex, as in Delta-on-S3.)
+  one link succeeds, the loser gets ``ConcurrentWriteError``.  (On
+  object stores this maps to a put-if-absent / DynamoDB mutex, as in
+  Delta-on-S3.)
+* **File-level conflict detection** — a merge that loses the publish
+  race does NOT automatically rerun its data job: when manifest
+  arithmetic proves the race window disjoint (the winner rewrote none
+  of the loser's touched files, added no file whose id range
+  intersects the loser's key bounds, and left the schema alone), the
+  loser REBASES — republishes its already-written files under the
+  winner's snapshot (Delta's commit-conflict protocol).  Disjoint-key
+  multi-writer ingest therefore scales with the commit rate, not the
+  data-job rate; only true conflicts pay a re-plan.
 * **File-level copy-on-write MERGE** — ``merge`` rewrites ONLY the
   data files that contain a matched key (found with a semi-join on
   ``input_file_name``); untouched files carry into the new manifest
@@ -179,8 +187,21 @@ def _split_chunks(rows: list, n: int) -> list[list]:
 def _py_bounds(values: list):
     """[min, max] over the non-null ``values`` with the same contract
     as ``_footer_minmax``: bytes must strict-decode as UTF-8 (else no
-    stats → no pruning), empty input yields ``None``."""
-    vals = [v for v in values if v is not None]
+    stats → no pruning), empty input yields ``None``.  Non-finite
+    floats are dropped BEFORE min/max — a leading NaN poisons Python's
+    ``min`` (every comparison false → NaN wins), and ``json.dump``
+    would then write a non-standard ``NaN`` token that strict JSON
+    parsers reject; pruning against finite-only bounds stays
+    conservative because a NaN row can never satisfy a range
+    predicate anyway."""
+    import math
+
+    vals = [
+        v
+        for v in values
+        if v is not None
+        and not (isinstance(v, float) and not math.isfinite(v))
+    ]
     if not vals:
         return None
     try:
@@ -193,6 +214,21 @@ def _py_bounds(values: list):
         except UnicodeDecodeError:
             return None
     return [lo, hi]
+
+
+def _json_clean_bounds(mm) -> bool:
+    """True when both bounds are strict-JSON scalars: int / str /
+    FINITE float.  NaN/Inf bounds (a parquet footer can surface them
+    for a column containing NaN) are rejected — ``json.dump`` would
+    emit a non-standard token and range pruning against them is
+    meaningless anyway."""
+    import math
+
+    return all(
+        isinstance(v, (int, float, str))
+        and not (isinstance(v, float) and not math.isfinite(v))
+        for v in mm
+    )
 
 # Protocol version this reader/writer speaks (Delta-style gate): a
 # manifest written by a newer engine with incompatible semantics bumps
@@ -208,6 +244,16 @@ class ConcurrentWriteError(RuntimeError):
     put-if-absent race on the manifest)."""
 
 
+# When Catalyst's size estimate for the input exceeds this, the
+# small-batch probe is skipped outright — a large create/merge/backfill
+# must not pay an extra ~100-200 ms driver job just to learn it is not
+# small.  64 MiB is >> 1024 rows of any realistic width (even dim-8192
+# float vectors are ~32 KiB/row), and the gate is purely advisory:
+# skipping the probe only routes to the distributed path, never
+# changes results.
+_SMALL_PROBE_MAX_BYTES = 64 << 20
+
+
 def _collect_if_small(df: DataFrame, cap: int) -> list | None:
     """The rows of ``df`` when there are at most ``cap`` of them, else
     ``None`` — via ``limit(cap+1)``, a scan that early-terminates
@@ -215,7 +261,21 @@ def _collect_if_small(df: DataFrame, cap: int) -> list | None:
     frame on the driver.  The small-batch fast path this feeds does
     validation/bounds/key-list work in ONE job instead of three
     (typical CDC batches); larger inputs fall back to the distributed
-    aggregations."""
+    aggregations.  Inputs whose Catalyst size estimate clearly
+    exceeds the cap skip the probe job entirely (driver-side plan
+    inspection, no job)."""
+    try:
+        est = int(
+            df._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+            .toString()
+        )
+        if est > _SMALL_PROBE_MAX_BYTES:
+            return None
+    except Exception:
+        pass  # estimate unavailable (e.g. Connect) — probe as before
     rows = df.limit(cap + 1).collect()
     return rows if len(rows) <= cap else None
 
@@ -349,6 +409,10 @@ class VersionedCollection:
             "manifest_reads": 0,
             "listdirs": 0,
             "checkpoint_reads": 0,
+            # data-materialization jobs (Spark writes + driver-side
+            # pyarrow writes); the concurrency tests pin that a
+            # rebased merge runs its data job EXACTLY once
+            "data_writes": 0,
         }
         #: populated by the most recent merge() on this instance
         self.last_merge_stats: dict | None = None
@@ -548,16 +612,13 @@ class VersionedCollection:
                     ),
                 ):
                     mm = mms.get(id_col)
-                    if mm is not None:
+                    if mm is not None and _json_clean_bounds(mm):
                         stats[rel] = mm
                     for col in want[1:]:
                         mm = mms.get(col)
                         # only JSON-clean scalar bounds go in the
                         # manifest; anything else skips pruning
-                        if mm is not None and all(
-                            isinstance(v, (int, float, str))
-                            for v in mm
-                        ):
+                        if mm is not None and _json_clean_bounds(mm):
                             col_stats.setdefault(rel, {})[col] = mm
         return out, files, stats, col_stats
 
@@ -574,7 +635,16 @@ class VersionedCollection:
         computes the manifest stats directly from the values (zero
         footer reads).  Files land in the same immutable
         ``data/c<version>-<token>/`` subdir layout, so vacuum /
-        changes / read are none the wiser."""
+        changes / read are none the wiser.
+
+        Intentional asymmetry vs ``_write_files``: no id-column bloom
+        filter is written (pyarrow 16.x cannot write parquet blooms;
+        ``pq.write_table`` has no such option until newer releases).
+        The loss is bounded by construction — this path only ever
+        writes files under ``_LOCAL_REWRITE_MAX_BYTES`` (8 MiB)
+        total, where row-group min/max stats already prune as well as
+        a bloom would; production-sized files always come from the
+        Spark writer, blooms included."""
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -604,9 +674,7 @@ class VersionedCollection:
                     if col == id_col:
                         continue
                     cm = _py_bounds([r.get(col) for r in chunk])
-                    if cm is not None and all(
-                        isinstance(v, (int, float, str)) for v in cm
-                    ):
+                    if cm is not None and _json_clean_bounds(cm):
                         col_stats.setdefault(rel, {})[col] = cm
         return out, files, stats, col_stats
 
@@ -663,6 +731,32 @@ class VersionedCollection:
         commits.append([version, timestamp_ms])
         self._write_checkpoint(commits)
 
+    def _write_payload(
+        self,
+        df: DataFrame | _LocalRows | None,
+        version: int,
+        id_col: str | None,
+        stat_cols: list[str] | None = None,
+    ) -> tuple[str | None, list[str], dict, dict]:
+        """The data-write half of a commit: materialize ``df`` into an
+        immutable subdir and return ``(out_dir, files, stats,
+        col_stats)``.  Separated from publish so a lost publish race
+        can REBASE — republish the same files under a new parent —
+        without rerunning the data job (the subdir's ``c<version>``
+        prefix is a label, not an address; manifests reference files
+        by relative path)."""
+        if isinstance(df, _LocalRows):
+            self.io_counters["data_writes"] = (
+                self.io_counters.get("data_writes", 0) + 1
+            )
+            return self._write_files_local(df, version, id_col, stat_cols)
+        if df is not None:
+            self.io_counters["data_writes"] = (
+                self.io_counters.get("data_writes", 0) + 1
+            )
+            return self._write_files(df, version, id_col, stat_cols)
+        return None, [], {}, {}
+
     def _commit(
         self,
         df: DataFrame | _LocalRows | None,
@@ -681,18 +775,42 @@ class VersionedCollection:
         written data subdir is swept best-effort before re-raising, so
         retry loops don't strew orphans (vacuum's age guard covers any
         sweep that itself fails)."""
-        out_dir = None
-        new_files: list[str] = []
-        new_stats: dict = {}
-        new_col_stats: dict = {}
-        if isinstance(df, _LocalRows):
-            out_dir, new_files, new_stats, new_col_stats = (
-                self._write_files_local(df, version, id_col, stat_cols)
+        payload = self._write_payload(df, version, id_col, stat_cols)
+        try:
+            self._publish_payload(
+                payload,
+                version,
+                parent,
+                operation,
+                carried,
+                schema,
+                carried_stats,
+                carried_col_stats,
+                parent_manifest,
             )
-        elif df is not None:
-            out_dir, new_files, new_stats, new_col_stats = (
-                self._write_files(df, version, id_col, stat_cols)
-            )
+        except ConcurrentWriteError:
+            if payload[0] is not None:
+                shutil.rmtree(payload[0], ignore_errors=True)
+            raise
+
+    def _publish_payload(
+        self,
+        payload: tuple[str | None, list[str], dict, dict],
+        version: int,
+        parent: int | None,
+        operation: str,
+        carried: list[str],
+        schema: StructType,
+        carried_stats: dict | None = None,
+        carried_col_stats: dict | None = None,
+        parent_manifest: dict | None = None,
+    ) -> None:
+        """The manifest half of a commit: build the (delta or full)
+        manifest for an already-written payload and publish it
+        atomically.  Raises ``ConcurrentWriteError`` on a lost race
+        WITHOUT touching the payload files — the caller decides
+        between sweep-and-rerun and rebase-and-republish."""
+        _out_dir, new_files, new_stats, new_col_stats = payload
         manifest = {
             "version": version,
             "parent": parent,
@@ -763,12 +881,133 @@ class VersionedCollection:
                     **new_col_stats,
                 },
             }
+        self._publish(manifest)
+
+    # ----------------------------------------------- conflict detection
+
+    def _conflict_free_base(
+        self,
+        since: int,
+        touched: set[str],
+        key_bounds: tuple | None,
+        base_schema_json: str,
+    ) -> int | None:
+        """Delta-style file-level conflict detection: the latest
+        version IF every commit in ``(since, latest]`` is provably
+        disjoint from an in-flight merge that (a) rewrites exactly the
+        files in ``touched`` and (b) only inserts/updates/deletes keys
+        inside ``key_bounds``; else ``None`` (conservative — the
+        caller falls back to a full re-plan).
+
+        A window commit conflicts when any of:
+
+        * it changed the table schema (our survivors/output were
+          planned under the old one);
+        * it removed (rewrote) a file we also rewrite — write-write
+          conflict on the same rows;
+        * it added a file whose id-stat range intersects our key
+          bounds (Delta's ``ConcurrentAppendException``): the winner
+          may have inserted/updated a key our merge also writes, and
+          blind republish would fork it into duplicate ids;
+        * evidence is missing (no stats on an added file, unreadable
+          manifest, non-comparable bounds) — unknown means conflict.
+
+        Everything here is manifest arithmetic on the commits in the
+        race window — no data file is opened, so at 100 TB the rebase
+        decision costs O(window touch set), not O(table)."""
         try:
-            self._publish(manifest)
-        except ConcurrentWriteError:
-            if out_dir is not None:
-                shutil.rmtree(out_dir, ignore_errors=True)
-            raise
+            latest = self.latest_version()
+        except FileNotFoundError:
+            return None
+        key_lo, key_hi = key_bounds or (None, None)
+        for v in range(since + 1, latest + 1):
+            try:
+                raw = self._raw_manifest(v)
+            except (FileNotFoundError, json.JSONDecodeError, RuntimeError):
+                return None
+            if raw.get("schema") != base_schema_json:
+                return None
+            if "files" in raw:
+                parent = raw.get("parent")
+                if parent is None:
+                    return None
+                try:
+                    pfiles = set(self.manifest(parent)["files"])
+                except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                    return None
+                files = raw["files"]
+                removed = pfiles - set(files)
+                added = [f for f in files if f not in pfiles]
+                astats = raw.get("stats", {})
+            else:
+                removed = set(raw["remove"])
+                added = raw["add"]
+                astats = raw.get("add_stats", {})
+            if removed & touched:
+                return None
+            for f in added:
+                mm = astats.get(f)
+                if mm is None or key_lo is None:
+                    return None
+                try:
+                    if not (mm[1] < key_lo or mm[0] > key_hi):
+                        return None
+                except TypeError:
+                    return None
+        return latest
+
+    def _publish_merge(
+        self,
+        payload: tuple[str | None, list[str], dict, dict],
+        base: int,
+        base_manifest: dict,
+        matched_files: set[str],
+        out_schema: StructType,
+        operation: str,
+        key_bounds: tuple | None,
+    ) -> tuple[int, int]:
+        """Publish an already-written merge payload at ``base + 1``;
+        on a lost publish race, REBASE onto the winner without
+        rerunning the data job when ``_conflict_free_base`` proves the
+        race window disjoint (carried set, stats and col_stats are
+        recomputed from the winner's snapshot; the payload files are
+        reused as-is).  Returns ``(version, rebases)``.  When a window
+        commit actually conflicts, sweeps the payload and re-raises
+        ``ConcurrentWriteError`` so the caller re-plans from scratch —
+        exactly one data job either way."""
+        base_schema_json = base_manifest["schema"]
+        parent, pm = base, base_manifest
+        rebases = 0
+        while True:
+            carried = [
+                f for f in pm["files"] if f not in matched_files
+            ]
+            pstats = pm.get("stats", {})
+            carried_stats = {
+                f: pstats[f] for f in carried if f in pstats
+            }
+            try:
+                self._publish_payload(
+                    payload,
+                    parent + 1,
+                    parent,
+                    operation,
+                    carried,
+                    out_schema,
+                    carried_stats=carried_stats,
+                    parent_manifest=pm,
+                )
+                return parent + 1, rebases
+            except ConcurrentWriteError:
+                nb = self._conflict_free_base(
+                    parent, matched_files, key_bounds, base_schema_json
+                )
+                if nb is None:
+                    if payload[0] is not None:
+                        shutil.rmtree(payload[0], ignore_errors=True)
+                    raise
+                rebases += 1
+                parent, pm = nb, self.manifest(nb)
 
     # --------------------------------------------------------------- DDL
 
@@ -1086,10 +1325,18 @@ class VersionedCollection:
         range cannot intersect the merge-key range are carried without
         being opened (manifest arithmetic), the rest get the id-column
         semi-join scan.  Only files containing at least one matched
-        key are rewritten.  On a publish race the merge rebases on the
-        winning snapshot and retries (optimistic concurrency); the
-        discovery/prune split of the winning attempt lands in
-        ``self.last_merge_stats``.
+        key are rewritten.  On a publish race the merge first attempts
+        a FILE-LEVEL REBASE (Delta's conflict protocol): when every
+        commit in the race window is provably disjoint — none rewrote
+        a file this merge rewrites, no added file's id range
+        intersects this merge's key bounds, schema unchanged — the
+        already-written payload is republished under the winner's
+        snapshot WITHOUT rerunning the data job (two writers upserting
+        disjoint key ranges both land, each data job executed exactly
+        once; ``last_merge_stats['rebases']`` counts it).  Only an
+        actual conflict falls back to re-planning from scratch
+        (optimistic concurrency); the discovery/prune split of the
+        winning attempt lands in ``self.last_merge_stats``.
 
         ``schema_evolution=True`` (update mode) appends columns the
         source carries beyond the table schema, Delta ``mergeSchema``
@@ -1324,23 +1571,18 @@ class VersionedCollection:
                     _split_chunks(out_rows, max(1, len(matched_files))),
                     out_schema,
                 )
-                carried = [
-                    f for f in m["files"] if f not in matched_files
-                ]
-                carried_stats = {
-                    f: stats[f] for f in carried if f in stats
-                }
+                payload = self._write_payload(
+                    local_rows, base + 1, id_col
+                )
                 try:
-                    self._commit(
-                        local_rows,
-                        base + 1,
+                    _v, rebases = self._publish_merge(
+                        payload,
                         base,
+                        m,
+                        matched_files,
+                        out_schema,
                         f"merge:{when_matched}",
-                        carried=carried,
-                        schema=out_schema,
-                        carried_stats=carried_stats,
-                        id_col=id_col,
-                        parent_manifest=m,
+                        key_bounds,
                     )
                     self.last_merge_stats = {
                         "files_total": len(m["files"]),
@@ -1348,6 +1590,7 @@ class VersionedCollection:
                         "files_scanned": len(candidates),
                         "files_rewritten": len(matched_files),
                         "retries": attempt,
+                        "rebases": rebases,
                     }
                     return self
                 except ConcurrentWriteError as exc:
@@ -1390,11 +1633,6 @@ class VersionedCollection:
                 matched_files = {
                     self._rel_of_uri(r[0]) for r in hit_rows
                 }
-            carried = [f for f in m["files"] if f not in matched_files]
-            carried_stats = {
-                f: stats[f] for f in carried if f in stats
-            }
-
             if matched_files:
                 rewr = self.spark.read.schema(schema).parquet(
                     *(os.path.join(self.path, f) for f in matched_files)
@@ -1427,17 +1665,16 @@ class VersionedCollection:
             # small files (measured: 8 rewritten -> 18 written)
             out = out.coalesce(max(1, len(matched_files)))
 
+            payload = self._write_payload(out, base + 1, id_col)
             try:
-                self._commit(
-                    out,
-                    base + 1,
+                _v, rebases = self._publish_merge(
+                    payload,
                     base,
+                    m,
+                    matched_files,
+                    out_schema,
                     f"merge:{when_matched}",
-                    carried=carried,
-                    schema=out_schema,
-                    carried_stats=carried_stats,
-                    id_col=id_col,
-                    parent_manifest=m,
+                    key_bounds,
                 )
                 self.last_merge_stats = {
                     "files_total": len(m["files"]),
@@ -1445,10 +1682,11 @@ class VersionedCollection:
                     "files_scanned": len(candidates),
                     "files_rewritten": len(matched_files),
                     "retries": attempt,
+                    "rebases": rebases,
                 }
                 return self
             except ConcurrentWriteError as exc:
-                last_err = exc  # rebase on the winner's snapshot
+                last_err = exc  # conflicting window: re-plan on winner
         raise last_err  # type: ignore[misc]
 
     def delete_where(
@@ -1913,7 +2151,31 @@ class VersionedCollection:
         if not m["files"]:
             return {"version": base, "files_before": 0, "files_after": 0}
         id_col = self.properties["id_col"]
+        schema = StructType.fromJson(json.loads(m["schema"]))
         if zorder_by:
+            # validate up front — BEFORE any path splits: the Morton
+            # scaling is numeric arithmetic, and letting a string/date
+            # column reach it made the local path crash while the JVM
+            # path silently cast to null (divergent behavior keyed on
+            # table size)
+            if len(zorder_by) < 2:
+                raise ValueError(
+                    "zorder_by needs at least 2 columns (use the "
+                    "default id clustering for one)"
+                )
+            from pyspark.sql.types import NumericType
+
+            for c in zorder_by:
+                if c not in schema.fieldNames():
+                    raise ValueError(
+                        f"zorder_by column {c!r} not in table schema"
+                    )
+                if not isinstance(schema[c].dataType, NumericType):
+                    raise ValueError(
+                        f"zorder_by column {c!r} is "
+                        f"{schema[c].dataType.simpleString()}; Z-order "
+                        f"clustering needs numeric columns"
+                    )
             # cap per-column bits so the highest interleaved bit index
             # (z_bits·ndim − 1) stays below the BIGINT sign bit —
             # uncapped, a 4-column default-z_bits address shifts into
@@ -1923,7 +2185,6 @@ class VersionedCollection:
             # Z-curve and fused/JVM layout parity
             z_bits = min(z_bits, 63 // len(zorder_by))
         n_out = target_files if target_files else max(1, len(m["files"]))
-        schema = StructType.fromJson(json.loads(m["schema"]))
         snap = self._read_manifest(m)
 
         # Fused local path — tiny snapshots: one collect, then the
@@ -1942,12 +2203,20 @@ class VersionedCollection:
         if can_fuse:
             dicts = [r.asDict() for r in snap.collect()]
             if zorder_by:
+                import math
+
                 ndim = len(zorder_by)
                 top = (1 << z_bits) - 1
+                # bounds over FINITE values only, and non-finite rows
+                # null-bucket (sort first, like nulls) — mirrors the
+                # JVM path's F.when(finite, ...) guard so layout is
+                # identical whichever path a table's size selects
                 bounds = {}
                 for c in zorder_by:
                     vals = [
-                        float(d[c]) for d in dicts if d[c] is not None
+                        float(d[c])
+                        for d in dicts
+                        if d[c] is not None and math.isfinite(d[c])
                     ]
                     bounds[c] = (
                         (min(vals), max(vals)) if vals else (0.0, 0.0)
@@ -1956,7 +2225,7 @@ class VersionedCollection:
                 def _zaddr(d):
                     z = 0
                     for k, c in enumerate(zorder_by):
-                        if d[c] is None:
+                        if d[c] is None or not math.isfinite(d[c]):
                             return None
                         lo, hi = bounds[c]
                         span = (hi - lo) or 1.0
@@ -1996,14 +2265,23 @@ class VersionedCollection:
                 "files_after": len(m1["files"]),
             }
         if zorder_by:
-            if len(zorder_by) < 2:
-                raise ValueError(
-                    "zorder_by needs at least 2 columns (use the "
-                    "default id clustering for one)"
+            # bounds over FINITE values only; a NaN/Inf row must not
+            # poison min/max (Spark sorts NaN greatest, so an
+            # unguarded max() returns NaN and every address collapses
+            # to the same bucket)
+            def _finite(c):
+                cd = F.col(c).cast("double")
+                return (
+                    cd.isNotNull()
+                    & ~F.isnan(cd)
+                    & (cd != F.lit(float("inf")))
+                    & (cd != F.lit(float("-inf")))
                 )
+
             bounds = snap.agg(
                 *[
-                    f(c).cast("double").alias(f"{tag}_{c}")
+                    f(F.when(_finite(c), F.col(c).cast("double")))
+                    .alias(f"{tag}_{c}")
                     for c in zorder_by
                     for f, tag in ((F.min, "lo"), (F.max, "hi"))
                 ]
@@ -2015,11 +2293,16 @@ class VersionedCollection:
                 lo = bounds[f"lo_{c}"] or 0.0
                 hi = bounds[f"hi_{c}"] or 0.0
                 span = (hi - lo) or 1.0
-                scaled = (
-                    (F.col(c).cast("double") - F.lit(lo))
-                    / F.lit(span)
-                    * F.lit(float(top))
-                ).cast("long")
+                # non-finite rows null the whole address (null bucket,
+                # sorts first) — same rule as the fused local path
+                scaled = F.when(
+                    _finite(c),
+                    (
+                        (F.col(c).cast("double") - F.lit(lo))
+                        / F.lit(span)
+                        * F.lit(float(top))
+                    ).cast("long"),
+                )
                 for j in range(z_bits):
                     zaddr = zaddr.bitwiseOR(
                         F.shiftleft(

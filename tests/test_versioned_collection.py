@@ -1412,3 +1412,299 @@ def test_restore_noop_and_unknown_version(spark, coll):
         assert False, "expected FileNotFoundError"
     except FileNotFoundError:
         pass
+
+
+# ---------------------------------------- file-level conflict detection
+
+
+def _clustered(spark, tmp_path, name):
+    """ids 0..7 range-clustered into 2 files: [0..3] and [4..7] — so
+    key-disjoint merges touch provably different files."""
+    c = VersionedCollection(spark, str(tmp_path), name)
+    c.create(
+        _mk(spark, [(i, 10 * i) for i in range(8)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=2,
+    )
+    return c
+
+
+def _inject_between_write_and_publish(monkeypatch, spark, wh, name, rows,
+                                      **merge_kw):
+    """Patch ``_write_payload`` so the FIRST merge to reach its publish
+    finds a competing commit already landed: the hook runs a second
+    writer's full merge after our payload is written but before our
+    manifest link — a deterministic replay of the publish race."""
+    orig = VersionedCollection._write_payload
+    fired = []
+
+    def hooked(self, df, version, id_col, stat_cols=None):
+        payload = orig(self, df, version, id_col, stat_cols)
+        if not fired:
+            fired.append(1)
+            other = VersionedCollection(spark, wh, name)
+            other.merge(_mk(spark, rows), **merge_kw)
+        return payload
+
+    monkeypatch.setattr(VersionedCollection, "_write_payload", hooked)
+    return fired
+
+
+def test_disjoint_key_race_rebases_without_rerunning_data_job(
+    spark, tmp_path, monkeypatch
+):
+    """Delta-style conflict detection: a merge that loses the publish
+    race to a commit touching DIFFERENT files with a disjoint key
+    range republishes its already-written payload — the data job runs
+    exactly once (io_counters pins it) and both commits land."""
+    c = _clustered(spark, tmp_path, "rebase1")
+    w = VersionedCollection(spark, str(tmp_path), "rebase1")
+    # competitor updates key 6 (file [4..7]); we update key 1 ([0..3])
+    _inject_between_write_and_publish(
+        monkeypatch, spark, str(tmp_path), "rebase1", [(6, 666)]
+    )
+    w.merge(_mk(spark, [(1, 111)]))
+    st = w.last_merge_stats
+    assert st["rebases"] == 1
+    assert st["retries"] == 0  # never re-planned
+    assert w.io_counters["data_writes"] == 1  # data job ran ONCE
+    assert c.versions() == [0, 1, 2]
+    assert _state(c) == {(i, 10 * i) for i in range(8) if i not in (1, 6)} | {
+        (1, 111),
+        (6, 666),
+    }
+
+
+def test_same_file_race_replans_from_scratch(spark, tmp_path, monkeypatch):
+    """Write-write conflict: the competitor rewrote the very file our
+    merge rewrites (different key, same file) — rebase must refuse and
+    the merge re-plans on the winner's snapshot, keeping BOTH
+    updates."""
+    c = _clustered(spark, tmp_path, "conflict1")
+    w = VersionedCollection(spark, str(tmp_path), "conflict1")
+    # competitor updates key 2 — same [0..3] file as our key 1
+    _inject_between_write_and_publish(
+        monkeypatch, spark, str(tmp_path), "conflict1", [(2, 222)]
+    )
+    w.merge(_mk(spark, [(1, 111)]))
+    st = w.last_merge_stats
+    assert st["retries"] == 1  # full re-plan happened
+    assert st["rebases"] == 0
+    assert w.io_counters["data_writes"] == 2  # data job reran
+    assert _state(c) == {(i, 10 * i) for i in range(8) if i not in (1, 2)} | {
+        (1, 111),
+        (2, 222),
+    }
+
+
+def test_concurrent_same_key_insert_cannot_fork_duplicate_ids(
+    spark, tmp_path, monkeypatch
+):
+    """Two writers inserting the SAME new key: blind republish would
+    commit two files both containing id 101 (duplicate ids).  The
+    added-file key-range check must detect the overlap, force a
+    re-plan, and the re-plan converts our insert into an update of the
+    winner's row — exactly one id-101 row survives."""
+    c = _clustered(spark, tmp_path, "dupins")
+    w = VersionedCollection(spark, str(tmp_path), "dupins")
+    _inject_between_write_and_publish(
+        monkeypatch, spark, str(tmp_path), "dupins", [(101, 1)]
+    )
+    w.merge(_mk(spark, [(101, 2)]))
+    rows = [r for r in c.read().collect() if r.id == 101]
+    assert len(rows) == 1
+    assert rows[0].label == 2  # ours applied second (last writer wins)
+    assert w.last_merge_stats["retries"] == 1
+    assert w.io_counters["data_writes"] == 2
+
+
+def test_disjoint_key_insert_race_rebases(spark, tmp_path, monkeypatch):
+    """Two pure inserts with disjoint keys: winner's added file has
+    key range [100,100], ours [200,200] — no overlap, rebase lands
+    both with one data job each."""
+    c = _clustered(spark, tmp_path, "insrace")
+    w = VersionedCollection(spark, str(tmp_path), "insrace")
+    _inject_between_write_and_publish(
+        monkeypatch, spark, str(tmp_path), "insrace", [(100, 1)]
+    )
+    w.merge(_mk(spark, [(200, 2)]))
+    assert w.last_merge_stats["rebases"] == 1
+    assert w.io_counters["data_writes"] == 1
+    st = _state(c)
+    assert (100, 1) in st and (200, 2) in st
+
+
+def test_schema_change_in_race_window_is_a_conflict(spark, tmp_path):
+    """_conflict_free_base: any commit in the window that changed the
+    table schema vetoes a rebase (our payload/survivors were planned
+    under the old schema)."""
+    c = _clustered(spark, tmp_path, "schemawin")
+    base_schema = c.manifest(0)["schema"]
+    src = _mk(spark, [(0, 1)]).withColumn("note", F.lit("x"))
+    c.merge(src, schema_evolution=True)
+    assert c._conflict_free_base(0, set(), (5, 5), base_schema) is None
+
+
+def test_conflict_free_base_handles_delta_and_full_manifests(
+    spark, tmp_path
+):
+    """The window walk must read BOTH manifest encodings: delta
+    commits expose remove/add directly, full-manifest commits are
+    diffed against their parent."""
+    c = _clustered(spark, tmp_path, "winwalk")
+    schema0 = c.manifest(0)["schema"]
+    c.merge(_mk(spark, [(6, 66)]))  # delta-encoded (v1)
+    # a commit at full_manifest_interval boundary writes a full list
+    for i in range(8):
+        c.merge(_mk(spark, [(6, 100 + i)]))
+    assert c.latest_version() == 9
+    assert any(
+        "files" in c._raw_manifest(v) for v in range(1, 10)
+    )  # at least one full manifest in the window
+    # all 9 commits touched only the [4..7] file lineage; a merge on
+    # key 1 (the [0..3] file, which no commit ever removed) is clear
+    f_lo = next(
+        f
+        for f, mm in c.manifest(0)["stats"].items()
+        if mm[0] == 0
+    )
+    assert (
+        c._conflict_free_base(0, {f_lo}, (1, 1), schema0) == 9
+    )
+    # but a merge touching the rewritten lineage conflicts
+    f_hi = next(
+        f
+        for f, mm in c.manifest(0)["stats"].items()
+        if mm[0] == 4
+    )
+    assert c._conflict_free_base(0, {f_hi}, (6, 6), schema0) is None
+
+
+def test_threaded_disjoint_writers_each_run_one_data_job(
+    spark, tmp_path
+):
+    """The round-9 race test, upgraded: two real threads merging
+    DISJOINT keys into DIFFERENT files — whatever the interleaving,
+    both land and neither reran its data job (exactly one write
+    each)."""
+    import threading
+
+    c = _clustered(spark, tmp_path, "race3")
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+    writers: dict[int, VersionedCollection] = {}
+
+    def writer(key: int, label: int):
+        w = VersionedCollection(spark, str(tmp_path), "race3")
+        writers[key] = w
+        try:
+            barrier.wait(timeout=60)
+            w.merge(_mk(spark, [(key, label)]), max_retries=8)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(1, 111))
+    t2 = threading.Thread(target=writer, args=(6, 666))
+    t1.start(); t2.start()
+    t1.join(120); t2.join(120)
+    assert not errs, errs
+    assert c.versions() == [0, 1, 2]
+    st = _state(c)
+    assert (1, 111) in st and (6, 666) in st
+    for w in writers.values():
+        assert w.io_counters["data_writes"] == 1
+
+
+# ------------------------------------ zorder validation / NaN hygiene
+
+
+def test_zorder_rejects_non_numeric_columns(spark, tmp_path):
+    """zorder_by on a string column must raise up front (the Morton
+    scaling is numeric) — not crash locally while silently nulling on
+    the JVM path."""
+    c = VersionedCollection(spark, str(tmp_path), "zstr")
+    df = spark.createDataFrame(
+        [(i, _vec(i), f"s{i}") for i in range(8)],
+        "id long, vector array<double>, tag string",
+    )
+    c.create(df, dim=3, metric="dot", normalize=False)
+    with pytest.raises(ValueError, match="numeric"):
+        c.recluster(zorder_by=["id", "tag"])
+    with pytest.raises(ValueError, match="not in table schema"):
+        c.recluster(zorder_by=["id", "nope"])
+
+
+def _nan_table(spark):
+    nan = float("nan")
+    rows = [(i, _vec(i), float(i), float(i % 4)) for i in range(16)]
+    rows += [(100, _vec(1), nan, 1.0), (101, _vec(1), 2.0, nan)]
+    return spark.createDataFrame(
+        rows, "id long, vector array<double>, x double, y double"
+    )
+
+
+def test_zorder_nan_rows_null_bucket_local_path(spark, tmp_path):
+    """NaN in a zorder column: the fused local path must not crash
+    (int(nan) did), NaN rows sort into the null bucket, and bounds in
+    the manifest stay finite/strict-JSON."""
+    import json as _json
+
+    c = VersionedCollection(spark, str(tmp_path), "znanl")
+    c.create(_nan_table(spark), dim=3, metric="dot", normalize=False)
+    r = c.recluster(target_files=4, zorder_by=["x", "y"])
+    assert r["files_after"] == 4
+    # nothing lost
+    ids = {row.id for row in c.read().collect()}
+    assert ids == set(range(16)) | {100, 101}
+    # manifest is strict JSON (no bare NaN tokens)
+    with open(c._manifest_path(r["version"])) as f:
+        _json.load(
+            f,
+            parse_constant=lambda s: (_ for _ in ()).throw(
+                ValueError(f"non-standard JSON constant {s}")
+            ),
+        )
+    # col_stats bounds finite on every file that has them
+    import math
+
+    for per_col in c.manifest(r["version"]).get("col_stats", {}).values():
+        for lo, hi in per_col.values():
+            for v in (lo, hi):
+                if isinstance(v, float):
+                    assert math.isfinite(v)
+
+
+def test_zorder_nan_rows_null_bucket_jvm_path(spark, tmp_path, monkeypatch):
+    """Same input forced down the distributed JVM path (fuse gate
+    disabled): NaN rows must land in the null bucket instead of
+    poisoning the min/max bounds, and the table reads back whole —
+    behavior no longer diverges by table size."""
+    c = VersionedCollection(spark, str(tmp_path), "znanj")
+    c.create(_nan_table(spark), dim=3, metric="dot", normalize=False)
+    monkeypatch.setattr(
+        VersionedCollection, "_fits_local_rewrite", lambda self, fs: False
+    )
+    r = c.recluster(target_files=4, zorder_by=["x", "y"])
+    ids = {row.id for row in c.read().collect()}
+    assert ids == set(range(16)) | {100, 101}
+    # finite bounds only in col_stats
+    import math
+
+    for per_col in c.manifest(r["version"]).get("col_stats", {}).values():
+        for lo, hi in per_col.values():
+            for v in (lo, hi):
+                if isinstance(v, float):
+                    assert math.isfinite(v)
+
+
+def test_py_bounds_drops_non_finite_floats():
+    from legalchatbot_vectordb_exp_spark.sources.versioned import _py_bounds
+
+    nan, inf = float("nan"), float("inf")
+    assert _py_bounds([nan, 2.0, 1.0]) == [1.0, 2.0]
+    assert _py_bounds([inf, -inf, 3.0]) == [3.0, 3.0]
+    assert _py_bounds([nan, inf]) is None
+    assert _py_bounds([None]) is None
+    assert _py_bounds([2, 1]) == [1, 2]

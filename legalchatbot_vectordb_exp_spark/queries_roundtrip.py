@@ -1266,3 +1266,100 @@ def q_clone_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("branch@v0").alias("side"), "*")
         )
     )
+
+
+# --------------------------------------------------------------- E11
+# restore_rollback — metadata-only rollback through the oracle gate
+
+_RESTORE_HISTORY: dict[str, str] = {}  # sf_dir -> built warehouse
+
+
+@register(
+    "restore_rollback",
+    sql="""
+    WITH v0 AS (
+      SELECT vec_id AS id, label FROM embeddings WHERE vec_id < 200
+    ),
+    v1 AS (  -- merge: update [150,200) with label+1000, insert [200,250)
+      SELECT id, label FROM v0 WHERE id < 150
+      UNION ALL
+      SELECT vec_id, label + 1000 FROM embeddings
+      WHERE vec_id >= 150 AND vec_id < 250
+    ),
+    v2 AS (SELECT * FROM v1 WHERE id % 4 <> 0)  -- delete id%4=0
+    SELECT 'latest' AS side, count(*)::BIGINT AS n_rows,
+           sum(label)::BIGINT AS sum_label
+    FROM v1   -- restore(1): latest == the v1 snapshot again
+    UNION ALL
+    SELECT 'pre_restore', count(*)::BIGINT, sum(label)::BIGINT FROM v2
+    UNION ALL
+    SELECT 'v0', count(*)::BIGINT, sum(label)::BIGINT FROM v0
+    """,
+)
+def q_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``restore(version)`` (Delta ``RESTORE TABLE``) through the
+    oracle gate (E11): create → merge → delete → ``restore(1)``, then
+    read back three states — the restored LATEST (which must equal the
+    v1 snapshot bit-for-bit), the PRE-RESTORE head (the delete's
+    result, still time-travelable because restore is history-
+    preserving), and v0.  A restore that replayed data, dropped the
+    rolled-back commit from history, or resolved the wrong manifest
+    changes a count or label sum and fails the hash.
+
+    Scale shape: restore publishes ONE manifest whose file list/stats
+    are copied from the target — zero data I/O at any table size; the
+    reads after it are ordinary snapshot scans.  History is built once
+    per process (the driver rebuilds fresh)."""
+    import shutil
+
+    warehouse = _scratch(sf_dir, "restore_rollback")
+    c = VersionedCollection(spark, warehouse, "rr")
+    if _RESTORE_HISTORY.get(sf_dir) != warehouse:
+        if os.path.isdir(warehouse):
+            shutil.rmtree(warehouse)
+        emb = load_table(spark, sf_dir, "embeddings")
+
+        def sel(df, bump):
+            return df.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("vector"),
+                (F.col("label") + bump).alias("label"),
+            )
+
+        dim = len(emb.select("embedding").head()[0])
+        c.create(
+            sel(emb.filter(F.col("vec_id") < 200), 0),
+            dim=dim,
+            metric="dot",
+            normalize=False,
+        )
+        c.merge(
+            sel(
+                emb.filter(
+                    (F.col("vec_id") >= 150) & (F.col("vec_id") < 250)
+                ),
+                1000,
+            )
+        )
+        c.delete_where("id % 4 = 0")  # v2 — the state restore undoes
+        out = c.restore(1)
+        assert out["restored_from"] == 1 and out["version"] == 3
+        _RESTORE_HISTORY[sf_dir] = warehouse
+
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("label").cast("bigint").alias("sum_label"),
+    ]
+    return (
+        c.read().agg(*agg).select(F.lit("latest").alias("side"), "*")
+        .unionByName(
+            c.read(version=2)
+            .agg(*agg)
+            .select(F.lit("pre_restore").alias("side"), "*")
+        )
+        .unionByName(
+            c.read(version=0)
+            .agg(*agg)
+            .select(F.lit("v0").alias("side"), "*")
+        )
+    )

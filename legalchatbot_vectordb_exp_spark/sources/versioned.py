@@ -517,7 +517,18 @@ class VersionedCollection:
         m = self._raw_manifest(version)
         if "files" in m:
             return m
-        base = self.manifest(m["base"])
+        try:
+            base = self.manifest(m["base"])
+        except FileNotFoundError:
+            # Concurrent vacuum: it MATERIALIZES every retained delta
+            # whose base leaves retention BEFORE unlinking the base,
+            # so if our base vanished between the two reads, a re-read
+            # of THIS manifest is guaranteed to see the full form —
+            # the ordering turns the race into one extra read.
+            m = self._raw_manifest(version)
+            if "files" not in m:
+                raise
+            return m
         removed = set(m["remove"])
         resolved = {
             k: v

@@ -1708,3 +1708,168 @@ def test_py_bounds_drops_non_finite_floats():
     assert _py_bounds([nan, inf]) is None
     assert _py_bounds([None]) is None
     assert _py_bounds([2, 1]) == [1, 2]
+
+
+# ----------------- streaming exactly-once under mid-commit crash (r10 #6)
+
+
+def test_stream_replay_after_crash_between_write_and_publish(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the foreachBatch COW-merge BETWEEN data write and manifest
+    publish, restart the stream from the same checkpoint: the replayed
+    micro-batch must commit exactly once (one merge version per epoch,
+    versions monotone) and the crashed attempt's orphan files must
+    stay unreferenced until vacuum retires them — i.e. checkpointed
+    offsets + idempotent merge give exactly-once even when the crash
+    lands inside the commit protocol's window."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from legalchatbot_vectordb_exp_spark.streaming.ingest import (
+        read_document_stream,
+        stream_merge_into_versioned,
+    )
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, "gamma delta")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    c = VersionedCollection(spark, str(tmp_path / "wh"), "crash")
+    seed = spark.createDataFrame(
+        [(99, [1.0] + [0.0] * 63)], "id long, vector array<double>"
+    )
+    c.create(seed, dim=64)
+
+    # crash the SECOND merge commit after its data files are written
+    # but before its manifest link lands (one-shot, class-level so the
+    # foreachBatch writer instance is covered)
+    orig_publish = VersionedCollection._publish
+    state = {"merges_seen": 0, "crashed": False}
+
+    def crashing(self, manifest):
+        if manifest["operation"].startswith("merge"):
+            state["merges_seen"] += 1
+            if state["merges_seen"] == 2 and not state["crashed"]:
+                state["crashed"] = True
+                raise RuntimeError("simulated crash before publish")
+        return orig_publish(self, manifest)
+
+    monkeypatch.setattr(VersionedCollection, "_publish", crashing)
+
+    q = stream_merge_into_versioned(
+        read_document_stream(spark, src, max_files_per_trigger=1),
+        c,
+        ckpt,
+        dim=64,
+    )
+    with pytest.raises(StreamingQueryException, match="simulated crash"):
+        q.awaitTermination(120)
+    assert state["crashed"]
+
+    # the crashed epoch wrote data but published nothing
+    v_after_crash = c.latest_version()
+    files_on_disk = {
+        os.path.join("data", sub, f)
+        for sub in os.listdir(os.path.join(c.path, "data"))
+        for f in os.listdir(os.path.join(c.path, "data", sub))
+        if f.endswith(".parquet")
+    }
+    referenced = set(c.manifest(v_after_crash)["files"])
+    for v in range(v_after_crash):
+        referenced |= set(c.manifest(v)["files"])
+    orphans_before = files_on_disk - referenced
+    assert orphans_before  # the crash left its payload behind
+
+    # restart from the same checkpoint: the failed epoch replays and
+    # commits ONCE; no duplicate commit for the already-committed epoch
+    q2 = stream_merge_into_versioned(
+        read_document_stream(spark, src, max_files_per_trigger=1),
+        c,
+        ckpt,
+        dim=64,
+    )
+    q2.awaitTermination(120)
+
+    ids = {r.id for r in c.read().select("id").collect()}
+    assert ids == {1, 2, 99}
+    ops = [m["operation"] for m in c.history()]
+    # exactly one create + one merge per ingested file — the replayed
+    # epoch did not double-commit
+    assert ops.count("merge:update") == 2
+    vs = c.versions()
+    assert vs == list(range(len(vs)))  # monotone, gapless
+    # vacuum retires the crashed attempt's orphans (age guard off)
+    c.vacuum(keep_last=len(vs), min_file_age_ms=0)
+    files_now = {
+        os.path.join("data", sub, f)
+        for sub in os.listdir(os.path.join(c.path, "data"))
+        for f in os.listdir(os.path.join(c.path, "data", sub))
+        if f.endswith(".parquet")
+    }
+    assert not (files_now & orphans_before)
+
+
+# -------------------- vacuum vs live delta-writer race (r10 #7)
+
+
+def test_vacuum_races_concurrent_delta_writer(spark, tmp_path):
+    """A writer commits delta-encoded merges WHILE vacuum repeatedly
+    materializes/compacts and unlinks manifests: the mtime age guard
+    (protects the writer's just-written files) and the checkpoint-
+    before-unlink ordering (keeps the log resolvable) must COMPOSE —
+    after 50 racing iterations every retained manifest resolves, the
+    table state reflects every merge, and a fresh reader bootstraps
+    from the checkpoint."""
+    import threading
+
+    c = VersionedCollection(spark, str(tmp_path), "vrace")
+    c.create(
+        _mk(spark, [(i, 0) for i in range(8)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=2,
+    )
+    w = VersionedCollection(spark, str(tmp_path), "vrace")
+    stop = threading.Event()
+    errs: list[Exception] = []
+
+    def vacuumer():
+        v = VersionedCollection(spark, str(tmp_path), "vrace")
+        while not stop.is_set():
+            try:
+                # nonzero retention: in-flight data files must survive
+                # (the age guard is the ONLY thing protecting them)
+                v.vacuum(keep_last=3, min_file_age_ms=60_000)
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+                return
+
+    t = threading.Thread(target=vacuumer)
+    t.start()
+    try:
+        for i in range(50):
+            w.merge(_mk(spark, [(i % 8, i + 1)]), max_retries=8)
+    except Exception as exc:  # pragma: no cover
+        errs.append(exc)
+    finally:
+        stop.set()
+        t.join(120)
+    assert not errs, errs
+
+    # every retained manifest resolves (delta chains were materialized
+    # before their bases were unlinked) ...
+    fresh = VersionedCollection(spark, str(tmp_path), "vrace")
+    for v in fresh.versions():
+        m = fresh.manifest(v)
+        assert m["files"], f"v{v} resolved to an empty file list"
+    # ... and the final state carries the last merge of every key
+    last = {k: 0 for k in range(8)}
+    for i in range(50):
+        last[i % 8] = i + 1
+    assert _state(fresh) == {(k, lbl) for k, lbl in last.items()}

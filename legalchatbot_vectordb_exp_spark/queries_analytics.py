@@ -544,34 +544,53 @@ def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥2 orders, scored by lift = P(a,b) / (P(a)·P(b)) — the co-purchase
     signal behind "frequently bought together".
 
-    Plan: the self-join is keyed on l_orderkey (basket id) — pair
-    count per order is quadratic in LINES PER ORDER (≤7 in TPC-H, a
-    bounded constant), never in table size; pair/frequency aggregates
-    are key-partitioned with partial agg.  Lift is one multiply and
-    one divide over exact integer counts → bit-identical floats."""
-    # spread(): pair generation + partial agg run on all cores
-    # (single-row-group test files arrive as 3 scan partitions;
-    # no-op at production file counts)
+    Plan (round-11 rewrite, measured 2.5 s → under the 2.0 s bar at
+    sf0.1): ONE shuffle of lineitem — ``groupBy(l_orderkey)
+    collect_list(l_partkey)`` — then both downstream inputs are HOF
+    projections of the per-order basket array, sharing that exchange
+    (ReusedExchange): pairs come from sorted-array positional
+    combinations (strict ``x < y``, so line multiplicity matches the
+    SQL self-join's ``cnt_a × cnt_b`` and equal-part line pairs drop,
+    exactly the oracle's ``a.l_partkey < b.l_partkey``), frequencies
+    from ``explode(array_distinct(parts))`` (= ``count(DISTINCT
+    l_orderkey)`` without the count_distinct expand).  The round-10
+    self-join spelled the same result as a × b with per-side aliases,
+    which DEFEATED exchange reuse (two scans + two shuffle writes of
+    the same bytes) and paid a count_distinct expand — the dominant
+    stage costs in the r10 profile.  Pair count per order stays
+    quadratic in LINES PER ORDER (≤7 in TPC-H, a bounded constant),
+    never in table size; basket skew is bounded by the same constant.
+    Lift is one multiply and one divide over exact integer counts →
+    bit-identical floats."""
+    # spread(): basket agg runs on all cores (single-row-group test
+    # files arrive as 3 scan partitions; no-op at production counts)
     li = spread(
         load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
     )
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts")
     )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    combos = F.expr(
+        "filter(flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), y -> "
+        "named_struct('part_a', x, 'part_b', y)))), "
+        "p -> p.part_a < p.part_b)"
     )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        per_order.select(F.explode(combos).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("together"))
         .filter(F.col("together") >= 2)
     )
-    freq = li.groupBy("l_partkey").agg(
-        F.count_distinct("l_orderkey").alias("n_orders")
+    freq = (
+        per_order.select(
+            F.explode(F.array_distinct("parts")).alias("l_partkey")
+        )
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     # o_orderkey is the orders primary key, so the basket count is the
     # row count — a parquet-footer metadata read, not a distinct agg

@@ -1363,3 +1363,138 @@ def q_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("v0").alias("side"), "*")
         )
     )
+
+
+# --------------------------------------------------------------- E11
+# concurrent_merge_rebase — conflict-detection protocol, oracle-gated
+
+_REBASE_HISTORY: dict[str, str] = {}  # sf_dir -> built warehouse
+
+
+@register(
+    "concurrent_merge_rebase",
+    sql="""
+    WITH v0 AS (
+      SELECT vec_id AS id, label FROM embeddings WHERE vec_id < 200
+    ),
+    after AS (  -- winner updated [150,200), loser updated [0,50):
+      SELECT id,
+             CASE WHEN id >= 150 THEN label + 1000
+                  WHEN id < 50 THEN label + 5000
+                  ELSE label END AS label
+      FROM v0
+    )
+    SELECT 'final' AS side, count(*)::BIGINT AS n_rows,
+           sum(label)::BIGINT AS sum_label
+    FROM after
+    UNION ALL
+    SELECT 'winner_v1', count(*)::BIGINT,
+           sum(CASE WHEN id >= 150 THEN label + 1000 ELSE label END)::BIGINT
+    FROM v0
+    """,
+)
+def q_concurrent_merge_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The file-level conflict-detection protocol (E11, Delta commit
+    conflicts) through the oracle gate: two writers race one commit
+    slot — the winner updates keys [150, 200) (the table's upper
+    file lineage), the loser updates [0, 50) (the lower) and loses
+    the put-if-absent race DETERMINISTICALLY (the winner's merge is
+    injected between the loser's data write and manifest publish).
+    Disjoint touch sets + disjoint key bounds ⇒ the loser REBASES:
+    its already-written payload republishes under the winner's
+    snapshot without rerunning the data job.  The query hard-asserts
+    the protocol took the rebase path (rebases == 1, retries == 0,
+    exactly 3 data-write jobs across create + two merges) and returns
+    both the final state and the winner's intermediate version; the
+    oracle derives both relationally.  A rebase that lost either
+    writer's rows, applied one twice, or resurrected pre-winner rows
+    fails the hash.
+
+    Scale shape: the loser's recovery is ONE manifest walk (O(window
+    touch set) driver arithmetic) plus ONE manifest write — disjoint
+    multi-writer ingest commits at the log's sequencing rate, never
+    re-running data jobs (`SCALE.md §14`)."""
+    import shutil
+
+    from legalchatbot_vectordb_exp_spark.sources.versioned import (
+        VersionedCollection,
+    )
+
+    warehouse = _scratch(sf_dir, "concurrent_merge_rebase")
+    c = VersionedCollection(spark, warehouse, "cmr")
+    if _REBASE_HISTORY.get(sf_dir) != warehouse:
+        if os.path.isdir(warehouse):
+            shutil.rmtree(warehouse)
+        emb = load_table(spark, sf_dir, "embeddings")
+
+        def sel(df, bump):
+            return df.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("vector"),
+                (F.col("label") + bump).alias("label"),
+            )
+
+        dim = len(emb.select("embedding").head()[0])
+        c.create(
+            sel(emb.filter(F.col("vec_id") < 200), 0),
+            dim=dim,
+            metric="dot",
+            normalize=False,
+            cluster_files=4,  # [0,50) and [150,200) live in disjoint files
+        )
+        loser = VersionedCollection(spark, warehouse, "cmr")
+
+        # inject the winner's full merge between the loser's data
+        # write and its manifest publish — a deterministic replay of
+        # the two-writer race (the pytest twin uses monkeypatch; here
+        # the hook restores itself in finally)
+        orig = VersionedCollection._write_payload
+        fired: list[int] = []
+
+        def hooked(self, df, version, id_col, stat_cols=None):
+            payload = orig(self, df, version, id_col, stat_cols)
+            if not fired:
+                fired.append(1)
+                winner = VersionedCollection(spark, warehouse, "cmr")
+                winner.merge(
+                    sel(
+                        emb.filter(
+                            (F.col("vec_id") >= 150)
+                            & (F.col("vec_id") < 200)
+                        ),
+                        1000,
+                    )
+                )
+            return payload
+
+        VersionedCollection._write_payload = hooked
+        try:
+            loser.merge(
+                sel(emb.filter(F.col("vec_id") < 50), 5000)
+            )
+        finally:
+            VersionedCollection._write_payload = orig
+        st = loser.last_merge_stats
+        if not (st["rebases"] == 1 and st["retries"] == 0):
+            raise AssertionError(
+                f"expected the rebase path, got {st}"
+            )
+        if loser.io_counters["data_writes"] != 1:
+            raise AssertionError(
+                "loser reran its data job: "
+                f"{loser.io_counters['data_writes']} writes"
+            )
+        _REBASE_HISTORY[sf_dir] = warehouse
+
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("label").cast("bigint").alias("sum_label"),
+    ]
+    return (
+        c.read().agg(*agg).select(F.lit("final").alias("side"), "*")
+        .unionByName(
+            c.read(version=1)
+            .agg(*agg)
+            .select(F.lit("winner_v1").alias("side"), "*")
+        )
+    )

@@ -119,10 +119,16 @@ def build_skewed(
         f"THEN -(2 + doc_id // {dup_every * cluster}) "
         f"ELSE doc_id END"
     )
+    # hash-mix (seed, j) so distinct seeds' word streams share NOTHING:
+    # a linear congruential stream (seed*a + j*b mod p) makes stream s1
+    # a SHIFTED COPY of stream s2 whenever (s1-s2)*a ≡ k*b (mod p), so
+    # "unique" docs leak correlated shingles and the measured pair
+    # count grows superlinearly in the replication factor; with a real
+    # hash the pair count is pure cluster combinatorics
     text = (
         f"array_to_string(list_transform(range(1, {words} + 1), "
-        f"j -> 'w' || (((({seed}) * 131071 + j * 8191) % 999983 "
-        f"+ 999983) % 999983)), ' ')"
+        f"j -> 'w' || (hash(({seed})::BIGINT * 1000003 + j) "
+        f"% 999983)), ' ')"
     )
     con.execute(
         f"COPY (SELECT * REPLACE ({text} AS text) FROM '{src}') "

@@ -8,8 +8,9 @@ with a DuckDB oracle where SQL-expressible).
 Registration ORDER is deliberate: the driver samples a prefix of
 ``queries()`` for its correctness report (50 in r7), so each round the
 prefix is rotated to whatever most needs a fresh driver row.  Round 11
-front-loads: the new ``concurrent_merge_rebase`` and
-``restore_rollback`` oracle queries, the rewritten ``part_affinity``,
+front-loads: the new ``mor_delete_read`` (merge-on-read deletion
+vectors), ``concurrent_merge_rebase`` and ``restore_rollback`` oracle
+queries, the rewritten ``part_affinity``,
 and ``ann_ivf_persisted`` (its fixture staging is now process-cached —
 behavior-adjacent change, so it faces the gate again), then every
 remaining query ordered by the age of its latest driver-green row
@@ -30,12 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 _SAMPLE_PRIORITY = [
-    # (0) new or behavior-changed in round 11: the two-writer
-    # conflict-detection protocol through the oracle gate,
+    # (0) new or behavior-changed in round 11: merge-on-read deletion
+    # vectors, the two-writer conflict-detection protocol and
     # restore(version) through the oracle gate, the one-shuffle
     # part_affinity rewrite, and the persisted-IVF query whose
     # staging is now process-cached (fresh driver process still
     # rebuilds, so the oracle path is unchanged)
+    "mor_delete_read",
     "concurrent_merge_rebase",
     "restore_rollback",
     "part_affinity",

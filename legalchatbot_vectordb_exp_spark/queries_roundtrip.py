@@ -1498,3 +1498,141 @@ def q_concurrent_merge_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("winner_v1").alias("side"), "*")
         )
     )
+
+
+# --------------------------------------------------------------- E11
+# mor_delete_read — merge-on-read deletion vectors, oracle-gated
+
+_MOR_HISTORY: dict[str, str] = {}  # sf_dir -> built warehouse
+
+
+@register(
+    "mor_delete_read",
+    sql="""
+    WITH v0 AS (
+      SELECT vec_id AS id, label FROM embeddings WHERE vec_id < 200
+    )
+    SELECT 'final' AS side, count(*)::BIGINT AS n_rows,
+           sum(label)::BIGINT AS sum_label
+    FROM (
+      SELECT label FROM v0 WHERE id >= 10 AND id < 180
+      UNION ALL
+      SELECT label + 1000 FROM embeddings
+      WHERE vec_id >= 190 AND vec_id < 210
+    )
+    UNION ALL
+    SELECT 'v1', count(*)::BIGINT, sum(label)::BIGINT
+    FROM v0 WHERE id < 180
+    UNION ALL
+    SELECT 'cdf', count(*)::BIGINT, sum(label)::BIGINT
+    FROM (
+      SELECT label FROM v0
+      WHERE id < 10 OR (id >= 180 AND id < 190)
+      UNION ALL
+      SELECT label + 1000 FROM embeddings
+      WHERE vec_id >= 190 AND vec_id < 210
+    )
+    """,
+)
+def q_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion vectors (E11, Delta DV parity) through
+    the oracle gate — the full lifecycle on one table:
+
+    * v1 ``delete_where('id >= 180', mode='mor')`` — a DELETE that
+      rewrites NOTHING (hard-asserted: ``n_written == 0``, file list
+      unchanged, a ``dv`` manifest entry appears); readers apply the
+      (file, id) sidecar as a broadcast anti-join.
+    * v2 ``merge`` of keys [190, 210) — rewrites the DV-covered file:
+      survivors must NOT resurrect the DV-dead rows 180–189, the
+      deleted ids 190–199 re-insert from the source (the (file, id)
+      binding lets a dead id live again in a NEW file), and the cover
+      prunes with the departing file (asserted: no ``dv`` at v2).
+    * v3 a second MOR delete (``id < 10``) stacked on the rewritten
+      snapshot.
+
+    The query returns the final and the v1 snapshot aggregates plus
+    the ``changes(0, 3)`` feed aggregate — the CDC path must surface
+    MOR deletes (no file differs at v1!) as delete rows with preimage
+    values.  The oracle derives all three relationally; a reader that
+    ignored DVs, resurrected a row, or double-applied a pair breaks
+    the hash.
+
+    Scale shape: the MOR delete is one narrow (file-tag, id) scan plus
+    a KB-sized sidecar write — a GDPR point erasure on a 100 TB table
+    commits without rewriting a byte of data; reads stay scan +
+    broadcast anti-join (no shuffle), and the next rewrite of a
+    covered file materializes the DV away (`SCALE.md §14`).  The
+    reference's only delete is the whole-collection recreate
+    (`Qdrant/VectorDB/Database.py:10-14`)."""
+    import shutil
+
+    from legalchatbot_vectordb_exp_spark.sources.versioned import (
+        VersionedCollection,
+    )
+
+    warehouse = _scratch(sf_dir, "mor_delete_read")
+    c = VersionedCollection(spark, warehouse, "mor")
+    if _MOR_HISTORY.get(sf_dir) != warehouse:
+        if os.path.isdir(warehouse):
+            shutil.rmtree(warehouse)
+        emb = load_table(spark, sf_dir, "embeddings")
+
+        def sel(df, bump):
+            return df.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("vector"),
+                (F.col("label") + bump).cast("int").alias("label"),
+            )
+
+        dim = len(emb.select("embedding").head()[0])
+        c.create(
+            sel(emb.filter(F.col("vec_id") < 200), 0),
+            dim=dim,
+            metric="dot",
+            normalize=False,
+            cluster_files=4,
+        )
+        c.delete_where("id >= 180", mode="mor")
+        m1 = c.manifest(1)
+        if m1["n_written"] != 0 or not m1.get("dv"):
+            raise AssertionError(
+                f"MOR delete rewrote data: {m1['n_written']} files, "
+                f"dv={m1.get('dv')}"
+            )
+        if m1["files"] != c.manifest(0)["files"]:
+            raise AssertionError("MOR delete changed the file list")
+        c.merge(
+            sel(
+                emb.filter(
+                    (F.col("vec_id") >= 190) & (F.col("vec_id") < 210)
+                ),
+                1000,
+            )
+        )
+        if c.manifest(2).get("dv"):
+            raise AssertionError(
+                "rewrite of the covered file did not materialize "
+                "its deletion vector"
+            )
+        c.delete_where("id < 10", mode="mor")
+        if not c.manifest(3).get("dv"):
+            raise AssertionError("second MOR delete wrote no dv")
+        _MOR_HISTORY[sf_dir] = warehouse
+
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("label").cast("bigint").alias("sum_label"),
+    ]
+    return (
+        c.read().agg(*agg).select(F.lit("final").alias("side"), "*")
+        .unionByName(
+            c.read(version=1)
+            .agg(*agg)
+            .select(F.lit("v1").alias("side"), "*")
+        )
+        .unionByName(
+            c.changes(0, 3)
+            .agg(*agg)
+            .select(F.lit("cdf").alias("side"), "*")
+        )
+    )

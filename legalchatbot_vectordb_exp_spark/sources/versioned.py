@@ -44,6 +44,16 @@ Core properties, each pinned by ``tests/test_versioned_collection.py``:
   by reference.  An upsert hitting 3 of 4096 files rewrites 3 files,
   not the table — the scale property ``collection.upsert``'s full
   rewrite lacks.
+* **Merge-on-read deletion vectors** — ``delete_where(mode='mor')``
+  commits a DELETE without rewriting any data file: the matched
+  ``(file, id)`` pairs land in a small sidecar parquet (the deletion
+  vector) and the manifest's ``dv`` map points files at their DVs;
+  readers apply the DV as a broadcast anti-join keyed on *(file, id)*.
+  A point delete (GDPR erasure) on a 100 TB table is therefore one
+  narrow column scan plus a KB-sized write — zero data rewrite.  Any
+  later rewrite of a file mints a NEW path, so stale DV rows can
+  never match rewritten data; covers prune to the carried set at
+  every commit and compaction/recluster materializes DVs away.
 * **Per-file id stats → scan pruning** — every manifest entry carries
   the file's parquet-footer min/max of the id column; matched-file
   discovery first drops every file whose id range cannot intersect
@@ -85,7 +95,7 @@ from urllib.parse import unquote, urlparse
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from legalchatbot_vectordb_exp_spark.functions.vector import l2_normalize
 
@@ -237,6 +247,26 @@ def _json_clean_bounds(mm) -> bool:
 # the full file list); full manifests are still stamped 1 because a
 # v1 reader CAN read them — the gate is per-manifest, not per-table.
 _FORMAT_VERSION = 2
+
+
+def _rel_file_col():
+    """Manifest-relative path of the current row's source file, as a
+    Column — the SQL twin of ``_rel_of_uri`` for distributed plans.
+    Data files live exactly three path components below the
+    collection root (``data/c<version>-<token>/part-*.parquet``), so
+    the relative path is the last three components of
+    ``input_file_name()`` — no driver-side prefix arithmetic, and
+    URI-scheme/escaping agnostic."""
+    parts = F.split(F.url_decode(F.input_file_name()), "/")
+    return F.concat_ws(
+        "/",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+
+
+_DV_FILE_COL = "_vc_file"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -781,6 +811,8 @@ class VersionedCollection:
         stat_cols: list[str] | None = None,
         carried_col_stats: dict | None = None,
         parent_manifest: dict | None = None,
+        dv: dict | None = None,
+        dv_add: dict | None = None,
     ) -> None:
         """Write-then-publish.  On a lost publish race the freshly
         written data subdir is swept best-effort before re-raising, so
@@ -798,6 +830,8 @@ class VersionedCollection:
                 carried_stats,
                 carried_col_stats,
                 parent_manifest,
+                dv=dv,
+                dv_add=dv_add,
             )
         except ConcurrentWriteError:
             if payload[0] is not None:
@@ -815,12 +849,24 @@ class VersionedCollection:
         carried_stats: dict | None = None,
         carried_col_stats: dict | None = None,
         parent_manifest: dict | None = None,
+        dv: dict | None = None,
+        dv_add: dict | None = None,
     ) -> None:
         """The manifest half of a commit: build the (delta or full)
         manifest for an already-written payload and publish it
         atomically.  Raises ``ConcurrentWriteError`` on a lost race
         WITHOUT touching the payload files — the caller decides
-        between sweep-and-rerun and rebase-and-republish."""
+        between sweep-and-rerun and rebase-and-republish.
+
+        ``dv`` is the commit's RESOLVED deletion-vector map
+        ``{dv_rel: [covered data files]}``; when ``None`` it derives
+        from the parent by pruning covers to the carried set (files
+        that leave the snapshot take their DV association with them —
+        any rewrite mints new paths, so a stale DV row can never match
+        rewritten data).  Every manifest carries its full (usually
+        tiny) ``dv`` map, delta-encoded commits included, so snapshot
+        resolution never walks the chain for it; ``dv_add`` records
+        THIS commit's additions for the conflict checker."""
         _out_dir, new_files, new_stats, new_col_stats = payload
         manifest = {
             "version": version,
@@ -856,6 +902,20 @@ class VersionedCollection:
             carried_set = set(carried)
             remove = [f for f in parent_files if f not in carried_set]
         is_delta = remove is not None and len(remove) < len(carried)
+        if dv is None:
+            dv = {}
+            if parent is not None:
+                pdv = _parent_manifest().get("dv") or {}
+                if pdv:
+                    cset = set(carried)
+                    for r, cov in pdv.items():
+                        kept = [f for f in cov if f in cset]
+                        if kept:
+                            dv[r] = kept
+        if dv:
+            manifest["dv"] = dv
+        if dv_add:
+            manifest["dv_add"] = dv_add
         # carried files keep their Z-order column stats without every
         # caller having to thread them through — only materialized on
         # the full-manifest branch (a delta carries stats implicitly)
@@ -956,6 +1016,14 @@ class VersionedCollection:
                 astats = raw.get("add_stats", {})
             if removed & touched:
                 return None
+            # a deletion vector landed on a file we rewrite: our
+            # payload was planned from the pre-DV rows and would
+            # RESURRECT the winner's deleted rows (the rewrite mints
+            # a new path the DV no longer matches) — write-write
+            # conflict, same as a removed file
+            for cov in (raw.get("dv_add") or {}).values():
+                if touched.intersection(cov):
+                    return None
             for f in added:
                 mm = astats.get(f)
                 if mm is None or key_lo is None:
@@ -1190,8 +1258,51 @@ class VersionedCollection:
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not m["files"]:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
+        df = self.spark.read.schema(schema).parquet(
             *(os.path.join(self.path, f) for f in m["files"])
+        )
+        return self._apply_dv(df, m, schema)
+
+    def _dv_frame(
+        self, m: dict, schema: StructType
+    ) -> DataFrame | None:
+        """The ``(file, id)`` pairs of every live deletion vector of
+        ``m`` — ``None`` when the snapshot has none (the common case:
+        zero plan overhead for DV-free tables)."""
+        dv = m.get("dv") or {}
+        if not dv:
+            return None
+        id_col = self.properties["id_col"]
+        dv_schema = StructType(
+            [StructField(_DV_FILE_COL, StringType(), False)]
+            + [f for f in schema.fields if f.name == id_col]
+        )
+        return self.spark.read.schema(dv_schema).parquet(
+            *(os.path.join(self.path, r) for r in dv)
+        )
+
+    def _apply_dv(
+        self, df: DataFrame, m: dict, schema: StructType
+    ) -> DataFrame:
+        """Merge-on-read: drop the rows a deletion vector marks dead.
+        The anti-join key is *(source file, id)* — NOT the id alone —
+        so an id DV-deleted from file A and later re-inserted into
+        file B stays visible: a DV row binds to the immutable file it
+        was cut from, and rewrites mint new paths.  The DV side is
+        broadcast (DVs are point/small deletes by construction; large
+        delete sets take ``mode='cow'``), so the plan stays scan +
+        BroadcastHashJoin — no shuffle, no sort, and files the
+        manifest pruned are never opened."""
+        dvdf = self._dv_frame(m, schema)
+        if dvdf is None:
+            return df
+        id_col = self.properties["id_col"]
+        return (
+            df.withColumn(_DV_FILE_COL, _rel_file_col())
+            .join(
+                F.broadcast(dvdf), [_DV_FILE_COL, id_col], "left_anti"
+            )
+            .drop(_DV_FILE_COL)
         )
 
     def read_range(
@@ -1247,8 +1358,12 @@ class VersionedCollection:
         if not keep:
             df = self.spark.createDataFrame([], schema)
         else:
-            df = self.spark.read.schema(schema).parquet(
-                *(os.path.join(self.path, f) for f in keep)
+            df = self._apply_dv(
+                self.spark.read.schema(schema).parquet(
+                    *(os.path.join(self.path, f) for f in keep)
+                ),
+                m,
+                schema,
             )
         return df.filter(
             (F.col(col) >= F.lit(lower)) & (F.col(col) <= F.lit(upper))
@@ -1536,6 +1651,10 @@ class VersionedCollection:
                 key_list is not None
                 and len(candidates) <= _LOCAL_REWRITE_MAX_FILES
                 and _local_writable(out_schema)
+                # outstanding deletion vectors: the distributed path
+                # applies them to the survivors read; the local
+                # collect does not — correctness gate, not a size one
+                and not m.get("dv")
                 # normalized-cosine updates need the JVM l2_normalize
                 # on incoming rows (bit-identical scaling); a source
                 # missing table columns must keep the Spark path so it
@@ -1645,8 +1764,15 @@ class VersionedCollection:
                     self._rel_of_uri(r[0]) for r in hit_rows
                 }
             if matched_files:
-                rewr = self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, f) for f in matched_files)
+                rewr = self._apply_dv(
+                    self.spark.read.schema(schema).parquet(
+                        *(
+                            os.path.join(self.path, f)
+                            for f in matched_files
+                        )
+                    ),
+                    m,
+                    schema,
                 )
                 # small key sets: a literal NOT IN survives as a scan-
                 # stage filter (no broadcast build job, no join);
@@ -1701,21 +1827,36 @@ class VersionedCollection:
         raise last_err  # type: ignore[misc]
 
     def delete_where(
-        self, predicate, max_retries: int = 3
+        self, predicate, max_retries: int = 3, mode: str = "cow"
     ) -> "VersionedCollection":
-        """Copy-on-write DELETE: rewrite only the files containing a
-        matching row, carry the rest.  ``predicate`` is a Column or
-        SQL string.
+        """DELETE matching rows.  ``predicate`` is a Column or SQL
+        string; rows where it is NULL are KEPT (SQL ``DELETE WHERE``
+        deletes only where the predicate is true).  Two execution
+        modes, Delta's exact split:
 
-        The predicate itself drives file discovery — no key set is
-        materialized or shuffled: one scan tags matching rows with
-        their file (``input_file_name``), matched files are rewritten
-        with the negated predicate, the rest are carried by
-        reference.  Rows where the predicate is NULL are KEPT (SQL
-        ``DELETE WHERE`` deletes only where the predicate is true).
+        * ``mode='cow'`` (default) — copy-on-write: rewrite only the
+          files containing a matching row, carry the rest.  The
+          predicate itself drives file discovery — no key set is
+          materialized or shuffled: one scan tags matching rows with
+          their file (``input_file_name``), matched files are
+          rewritten with the negated predicate.  Right for large
+          deletes (the rewrite amortizes and reads stay join-free).
+        * ``mode='mor'`` — merge-on-read deletion vectors: NO data
+          file is rewritten; the matched ``(file, id)`` pairs are
+          written to a small sidecar parquet and the commit only adds
+          a ``dv`` manifest entry.  A point delete on a 100 TB table
+          is one narrow column scan plus a KB write.  Readers apply
+          the DV as a broadcast *(file, id)* anti-join until a later
+          rewrite (merge / compact / recluster) of the covered file
+          materializes it away.
+
         On a publish race the delete re-plans on the winning snapshot
         and retries."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown delete mode={mode!r}")
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if mode == "mor":
+            return self._delete_where_mor(pred, max_retries)
         last_err: Exception | None = None
         for attempt in range(max_retries):
             base = self.latest_version()
@@ -1732,6 +1873,9 @@ class VersionedCollection:
             can_fuse = (
                 0 < len(files) <= _LOCAL_REWRITE_MAX_FILES
                 and _local_writable(schema)
+                # outstanding DVs take the distributed path, which
+                # applies them to the rewrite read
+                and not m.get("dv")
             )
             if can_fuse:
                 can_fuse = self._fits_local_rewrite(files)
@@ -1800,12 +1944,15 @@ class VersionedCollection:
                 survivors = None
             else:
                 survivors = (
-                    self.spark.read.schema(schema)
-                    .parquet(
-                        *(
-                            os.path.join(self.path, f)
-                            for f in matched_files
-                        )
+                    self._apply_dv(
+                        self.spark.read.schema(schema).parquet(
+                            *(
+                                os.path.join(self.path, f)
+                                for f in matched_files
+                            )
+                        ),
+                        m,
+                        schema,
                     )
                     .filter(~F.coalesce(pred, F.lit(False)))
                     .coalesce(max(1, len(matched_files)))
@@ -1826,6 +1973,112 @@ class VersionedCollection:
                 )
                 return self
             except ConcurrentWriteError as exc:
+                last_err = exc
+        raise last_err  # type: ignore[misc]
+
+    def _delete_where_mor(
+        self, pred, max_retries: int
+    ) -> "VersionedCollection":
+        """Merge-on-read DELETE: write the matched ``(file, id)``
+        pairs as a deletion-vector parquet and commit ONLY the
+        manifest's ``dv`` entry — zero data rewrite, commit bytes ∝
+        deleted rows.  The matching scan applies existing DVs first,
+        so re-deleting an already-dead row is a no-op (DV pair sets
+        stay disjoint).  All files carry; parent DV covers stay valid
+        verbatim because no file leaves the snapshot."""
+        id_col = self.properties["id_col"]
+        last_err: Exception | None = None
+        for _attempt in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            files = m["files"]
+            dv_rels: list[str] = []
+            covered: list[str] = []
+            out: str | None = None
+            if files:
+                # tag the file BEFORE the DV anti-join:
+                # input_file_name() must bind while the plan has one
+                # file source (Spark's PreReadCheck rejects it above a
+                # join of two scans), and the matched select reuses
+                # the same tag
+                cand = self.spark.read.schema(schema).parquet(
+                    *(os.path.join(self.path, f) for f in files)
+                ).withColumn(_DV_FILE_COL, _rel_file_col())
+                dvdf = self._dv_frame(m, schema)
+                if dvdf is not None:
+                    cand = cand.join(
+                        F.broadcast(dvdf),
+                        [_DV_FILE_COL, id_col],
+                        "left_anti",
+                    )
+                matched = cand.filter(
+                    F.coalesce(pred, F.lit(False))
+                ).select(F.col(_DV_FILE_COL), F.col(id_col))
+                sub = os.path.join(
+                    _DATA_DIR,
+                    f"c{base + 1:08d}-dv-{uuid.uuid4().hex[:8]}",
+                )
+                out = os.path.join(self.path, sub)
+                # one narrow job: only (file-path metadata, id) ever
+                # shuffles/writes — the vector payload is pruned at
+                # the scan
+                matched.coalesce(1).write.mode("error").parquet(out)
+                self.io_counters["dv_writes"] = (
+                    self.io_counters.get("dv_writes", 0) + 1
+                )
+                dv_rels = sorted(
+                    os.path.join(sub, f)
+                    for f in os.listdir(out)
+                    if f.endswith(".parquet")
+                    and not f.startswith(("_", "."))
+                )
+                if dv_rels:
+                    covered = [
+                        r[0]
+                        for r in self.spark.read.parquet(
+                            *(
+                                os.path.join(self.path, r)
+                                for r in dv_rels
+                            )
+                        )
+                        .select(_DV_FILE_COL)
+                        .distinct()
+                        .collect()
+                    ]
+            if not covered:
+                # nothing matched — still commit a no-op version so
+                # the operation is visible in history (cow parity)
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
+                dv_next, dv_add = None, None
+            else:
+                dv_next = {
+                    r: list(cov)
+                    for r, cov in (m.get("dv") or {}).items()
+                }
+                for r in dv_rels:
+                    dv_next[r] = covered
+                dv_add = {r: covered for r in dv_rels}
+            try:
+                self._commit(
+                    None,
+                    base + 1,
+                    base,
+                    "delete_where:mor",
+                    carried=list(files),
+                    schema=schema,
+                    carried_stats=dict(m.get("stats", {})),
+                    carried_col_stats=dict(m.get("col_stats", {})),
+                    id_col=id_col,
+                    parent_manifest=m,
+                    dv=dv_next,
+                    dv_add=dv_add,
+                )
+                return self
+            except ConcurrentWriteError as exc:
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
                 last_err = exc
         raise last_err  # type: ignore[misc]
 
@@ -1867,8 +2120,15 @@ class VersionedCollection:
             }
         carried = [f for f, s in sized if s >= target_file_bytes]
         schema = StructType.fromJson(json.loads(m["schema"]))
-        df = self.spark.read.schema(schema).parquet(
-            *(os.path.join(self.path, f) for f, _ in small)
+        # DV-applied read: compacting a covered file MATERIALIZES its
+        # deletion vector (the dead rows stay out of the rewrite and
+        # the cover prunes with the departing file)
+        df = self._apply_dv(
+            self.spark.read.schema(schema).parquet(
+                *(os.path.join(self.path, f) for f, _ in small)
+            ),
+            m,
+            schema,
         )
         n_out = max(
             1, math.ceil(sum(s for _, s in small) / target_file_bytes)
@@ -1921,6 +2181,11 @@ class VersionedCollection:
                 "files": list(target["files"]),
                 "stats": dict(target.get("stats", {})),
                 "col_stats": dict(target.get("col_stats", {})),
+                **(
+                    {"dv": dict(target["dv"])}
+                    if target.get("dv")
+                    else {}
+                ),
             }
         )
         return {"version": base + 1, "restored_from": version}
@@ -1962,7 +2227,7 @@ class VersionedCollection:
         )
         import errno
 
-        for f in m["files"]:
+        for f in list(m["files"]) + list((m.get("dv") or {}).keys()):
             src_f = os.path.join(self.path, f)
             dst_f = os.path.join(dst.path, f)
             os.makedirs(os.path.dirname(dst_f), exist_ok=True)
@@ -1995,6 +2260,9 @@ class VersionedCollection:
                     "files": list(m["files"]),
                     "stats": dict(m.get("stats", {})),
                     "col_stats": dict(m.get("col_stats", {})),
+                    **(
+                        {"dv": dict(m["dv"])} if m.get("dv") else {}
+                    ),
                 }
             )
         except ConcurrentWriteError:
@@ -2003,10 +2271,13 @@ class VersionedCollection:
             # stay — they are the winner's links too), mirroring
             # _commit's orphan sweep
             try:
-                keep = set(dst.manifest(0)["files"])
+                m0 = dst.manifest(0)
+                keep = set(m0["files"]) | set(m0.get("dv") or {})
             except Exception:
                 keep = set()
-            for f in m["files"]:
+            for f in list(m["files"]) + list(
+                (m.get("dv") or {}).keys()
+            ):
                 if f not in keep:
                     try:
                         os.unlink(os.path.join(dst.path, f))
@@ -2078,6 +2349,85 @@ class VersionedCollection:
                 a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
         a = a.select(*cols)
         b = _read(only_b, sb).select(*cols)
+
+        # Deletion vectors: a merge-on-read DELETE changes no file, so
+        # the file diff alone would miss it.  Each side's effective
+        # rows = files minus its DV pairs, and rows of files CARRIED
+        # across the span whose DV membership changed are the span's
+        # deletes (pair newly dead) / inserts (pair revived by
+        # restore).  Cost stays ∝ touch set: only the DV-covered
+        # common files are read, semi-joined against the (file, id)
+        # pairs of the DV files that differ between the manifests.
+        dva, dvb = ma.get("dv") or {}, mb.get("dv") or {}
+        if dva or dvb:
+            id_field = [f for f in sb.fields if f.name == id_col]
+            dv_schema = StructType(
+                [StructField(_DV_FILE_COL, StringType(), False)]
+                + id_field
+            )
+
+            def _pairs(rels: list[str]) -> DataFrame:
+                return self.spark.read.schema(dv_schema).parquet(
+                    *(os.path.join(self.path, r) for r in rels)
+                )
+
+            def _anti_dv(df: DataFrame, dvmap: dict) -> DataFrame:
+                # pairs bind (file, id): pairs on files outside the
+                # side's read simply never match — no pre-filtering
+                if not dvmap:
+                    return df
+                return (
+                    df.withColumn(_DV_FILE_COL, _rel_file_col())
+                    .join(
+                        F.broadcast(_pairs(list(dvmap))),
+                        [_DV_FILE_COL, id_col],
+                        "left_anti",
+                    )
+                    .drop(_DV_FILE_COL)
+                )
+
+            def _carried_hits(
+                rels: list[str], covers: dict, other_files: set[str]
+            ) -> DataFrame | None:
+                data_files = sorted(
+                    {
+                        f
+                        for r in rels
+                        for f in covers[r]
+                        if f in other_files
+                    }
+                )
+                if not data_files:
+                    return None
+                d = self.spark.read.schema(sb).parquet(
+                    *(
+                        os.path.join(self.path, f)
+                        for f in data_files
+                    )
+                )
+                return (
+                    d.withColumn(_DV_FILE_COL, _rel_file_col())
+                    .join(
+                        F.broadcast(_pairs(rels)),
+                        [_DV_FILE_COL, id_col],
+                        "semi",
+                    )
+                    .drop(_DV_FILE_COL)
+                    .select(*cols)
+                )
+
+            a = _anti_dv(a, dva)
+            b = _anti_dv(b, dvb)
+            new_rels = [r for r in dvb if r not in dva]
+            gone_rels = [r for r in dva if r not in dvb]
+            if new_rels:  # newly dead on carried files → deletes
+                hits = _carried_hits(new_rels, dvb, files_a)
+                if hits is not None:
+                    a = a.unionByName(hits)
+            if gone_rels:  # revived on carried files (restore) → inserts
+                hits = _carried_hits(gone_rels, dva, files_b)
+                if hits is not None:
+                    b = b.unionByName(hits)
 
         val_cols = [c for c in cols if c != id_col]
         packed = F.struct(*[F.col(c) for c in val_cols]).alias("_v")
@@ -2373,6 +2723,9 @@ class VersionedCollection:
         for v in keep:  # ascending, so rewritten bases resolve first
             m = self.manifest(v)
             referenced.update(m["files"])
+            # deletion vectors are part of the snapshot: sweeping a
+            # referenced DV would RESURRECT its deleted rows
+            referenced.update((m.get("dv") or {}).keys())
             keep_ts[v] = m["timestamp_ms"]
             # A retained delta manifest whose base is about to be
             # vacuumed must be materialized as a full manifest first,

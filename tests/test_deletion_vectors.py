@@ -1,0 +1,321 @@
+"""Merge-on-read deletion vectors: ``delete_where(mode='mor')``
+commits a DELETE as a (file, id) sidecar parquet — zero data rewrite —
+and every reader / maintenance path honors or materializes it.
+
+The reference's delete surface is the whole-collection recreate
+(`Qdrant/VectorDB/Database.py:10-14`); this is Delta's DV split
+(rewrite-free deletes, materialized on the next rewrite) re-expressed
+over the versioned manifest log.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from legalchatbot_vectordb_exp_spark.sources.versioned import (
+    VersionedCollection,
+)
+
+
+def _vec(i: int) -> list[float]:
+    return [float(i), 1.0, 0.0]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(i, _vec(i), lbl) for i, lbl in rows],
+        "id long, vector array<double>, label long",
+    )
+
+
+def _state(c, **kw):
+    return {
+        (r.id, r.label)
+        for r in c.read(**kw).select("id", "label").collect()
+    }
+
+
+def _clustered(spark, tmp_path, name, n=8, files=4):
+    c = VersionedCollection(spark, str(tmp_path), name)
+    c.create(
+        _mk(spark, [(i, 10 * i) for i in range(n)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=files,
+    )
+    return c
+
+
+def test_mor_delete_rewrites_no_file_and_time_travels(spark, tmp_path):
+    c = _clustered(spark, tmp_path, "mor1")
+    files0 = c.manifest(0)["files"]
+    c.delete_where("id >= 6", mode="mor")
+    m1 = c.manifest(1)
+    assert m1["files"] == files0  # zero data rewrite
+    assert m1["n_written"] == 0
+    assert m1["operation"] == "delete_where:mor"
+    dv = m1["dv"]
+    assert len(dv) == 1
+    # the one DV covers exactly the file holding ids 6..7 (4-file
+    # range clustering → 2 ids per file)
+    (cov,) = dv.values()
+    assert len(cov) == 1 and cov[0] in files0
+    assert _state(c) == {(i, 10 * i) for i in range(6)}
+    assert _state(c, version=0) == {(i, 10 * i) for i in range(8)}
+
+
+def test_mor_reinsert_of_deleted_id_is_visible(spark, tmp_path):
+    """The anti-join key is (file, id), NOT the id: a later merge
+    re-inserting a DV-deleted id writes it into a NEW file the DV
+    cannot match."""
+    c = _clustered(spark, tmp_path, "mor2")
+    c.delete_where("id = 7", mode="mor")
+    assert (7, 70) not in _state(c)
+    c.merge(_mk(spark, [(7, 777)]))
+    assert (7, 777) in _state(c)
+    # and the DV-era snapshot still reads without id 7
+    assert (7, 777) not in _state(c, version=1)
+    assert (7, 70) not in _state(c, version=1)
+
+
+def test_cow_rewrite_materializes_dv_without_resurrection(
+    spark, tmp_path
+):
+    """A merge that rewrites a DV-covered file must apply the DV to
+    the survivors (no resurrection) and drop the cover with the
+    departing file."""
+    c = _clustered(spark, tmp_path, "mor3")
+    c.delete_where("id = 1", mode="mor")  # file [0,1]
+    c.merge(_mk(spark, [(0, 999)]))  # rewrites the same file
+    m = c.manifest(c.latest_version())
+    assert not m.get("dv")  # cover pruned with the rewritten file
+    assert _state(c) == {(0, 999)} | {
+        (i, 10 * i) for i in range(2, 8)
+    }
+
+
+def test_mor_redelete_is_noop_and_pairs_stay_disjoint(spark, tmp_path):
+    c = _clustered(spark, tmp_path, "mor4")
+    c.delete_where("id >= 6", mode="mor")
+    dv1 = c.manifest(1)["dv"]
+    c.delete_where("id >= 6", mode="mor")  # all targets already dead
+    m2 = c.manifest(2)
+    assert m2["operation"] == "delete_where:mor"
+    assert m2.get("dv") == dv1  # no new DV entry
+    assert _state(c) == {(i, 10 * i) for i in range(6)}
+
+
+def test_mor_delete_no_match_commits_noop(spark, tmp_path):
+    c = _clustered(spark, tmp_path, "mor5")
+    c.delete_where("id > 1000", mode="mor")
+    m1 = c.manifest(1)
+    assert not m1.get("dv")
+    assert _state(c) == {(i, 10 * i) for i in range(8)}
+
+
+def test_compact_and_recluster_materialize_dv(spark, tmp_path):
+    c = _clustered(spark, tmp_path, "mor6")
+    c.delete_where("id in (2, 5)", mode="mor")
+    out = c.compact(target_file_bytes=1 << 30)  # everything is small
+    assert out["compacted"] > 0
+    m = c.manifest(c.latest_version())
+    assert not m.get("dv")
+    want = {(i, 10 * i) for i in range(8) if i not in (2, 5)}
+    assert _state(c) == want
+
+    c2 = _clustered(spark, tmp_path, "mor6b")
+    c2.delete_where("id in (0, 7)", mode="mor")
+    c2.recluster(target_files=2)
+    m2 = c2.manifest(c2.latest_version())
+    assert not m2.get("dv")
+    assert _state(c2) == {(i, 10 * i) for i in range(1, 7)}
+
+
+def test_read_range_applies_dv(spark, tmp_path):
+    c = _clustered(spark, tmp_path, "mor7")
+    c.delete_where("id = 3", mode="mor")
+    got = {
+        r.id for r in c.read_range(2, 5).select("id").collect()
+    }
+    assert got == {2, 4, 5}
+    # pruning still happened (files outside [2,5] skipped)
+    assert c.last_read_stats["files_pruned"] >= 1
+
+
+def test_changes_emits_mor_deletes_with_preimages(spark, tmp_path):
+    c = _clustered(spark, tmp_path, "mor8")
+    c.delete_where("id >= 6", mode="mor")
+    feed = {
+        (r.id, r.label, r._change_type)
+        for r in c.changes(0, 1).collect()
+    }
+    assert feed == {(6, 60, "delete"), (7, 70, "delete")}
+    # a DV-era base with a later insert: delete + insert both surface
+    c.merge(_mk(spark, [(6, 666)]))
+    feed2 = {
+        (r.id, r.label, r._change_type)
+        for r in c.changes(0, 2).collect()
+    }
+    assert feed2 == {(7, 70, "delete"), (6, 666, "update_postimage")}
+
+
+def test_restore_revives_dv_state_and_changes_sees_inserts(
+    spark, tmp_path
+):
+    c = _clustered(spark, tmp_path, "mor9")
+    c.delete_where("id >= 6", mode="mor")  # v1
+    c.restore(0)  # v2: rows revived, DV map back to empty
+    assert _state(c) == {(i, 10 * i) for i in range(8)}
+    feed = {
+        (r.id, r.label, r._change_type)
+        for r in c.changes(1, 2).collect()
+    }
+    assert feed == {(6, 60, "insert"), (7, 70, "insert")}
+    # restore TO the DV state also round-trips
+    c.restore(1)  # v3
+    assert _state(c) == {(i, 10 * i) for i in range(6)}
+
+
+def test_vacuum_never_sweeps_referenced_dv(spark, tmp_path):
+    c = _clustered(spark, tmp_path, "mor10")
+    c.delete_where("id = 0", mode="mor")
+    c.merge(_mk(spark, [(4, 444)]))
+    c.vacuum(keep_last=1, min_file_age_ms=0)
+    dv = c.manifest(c.latest_version())["dv"]
+    assert dv  # still referenced
+    for rel in dv:
+        assert os.path.isfile(os.path.join(c.path, rel))
+    assert _state(c) == {(4, 444)} | {
+        (i, 10 * i) for i in range(1, 8) if i != 4
+    }
+
+
+def test_vacuum_sweeps_unreferenced_dv_after_rewrite(spark, tmp_path):
+    c = _clustered(spark, tmp_path, "mor11")
+    c.delete_where("id = 0", mode="mor")  # v1: DV on file [0,1]
+    dv_rel = next(iter(c.manifest(1)["dv"]))
+    c.recluster(target_files=2)  # v2: DV materialized away
+    c.vacuum(keep_last=1, min_file_age_ms=0)
+    assert not os.path.isfile(os.path.join(c.path, dv_rel))
+    assert _state(c) == {(i, 10 * i) for i in range(1, 8)}
+
+
+def test_clone_carries_dv_and_survives_source_vacuum(spark, tmp_path):
+    c = _clustered(spark, tmp_path, "mor12")
+    c.delete_where("id >= 6", mode="mor")
+    d = c.clone("mor12_clone")
+    assert _state(d) == {(i, 10 * i) for i in range(6)}
+    # source moves on and vacuums; the clone's hard links survive
+    c.recluster(target_files=2)
+    c.vacuum(keep_last=1, min_file_age_ms=0)
+    assert _state(d) == {(i, 10 * i) for i in range(6)}
+
+
+def _inject_mor_delete(monkeypatch, spark, wh, name, predicate):
+    orig = VersionedCollection._write_payload
+    fired = []
+
+    def hooked(self, df, version, id_col, stat_cols=None):
+        payload = orig(self, df, version, id_col, stat_cols)
+        if not fired:
+            fired.append(1)
+            other = VersionedCollection(spark, wh, name)
+            other.delete_where(predicate, mode="mor")
+        return payload
+
+    monkeypatch.setattr(
+        VersionedCollection, "_write_payload", hooked
+    )
+    return fired
+
+
+def test_dv_on_touched_file_is_a_conflict(spark, tmp_path, monkeypatch):
+    """A DV landing on a file our in-flight merge rewrites is a
+    write-write conflict: blind republish would resurrect the
+    winner's deleted row (the rewrite mints a path the DV no longer
+    matches).  The merge must re-plan, not rebase."""
+    c = _clustered(spark, tmp_path, "morc1", files=2)  # [0..3] [4..7]
+    w = VersionedCollection(spark, str(tmp_path), "morc1")
+    # winner MOR-deletes id 2 — same [0..3] file our key-1 merge
+    # rewrites
+    _inject_mor_delete(
+        monkeypatch, spark, str(tmp_path), "morc1", "id = 2"
+    )
+    w.merge(_mk(spark, [(1, 111)]))
+    st = w.last_merge_stats
+    assert st["rebases"] == 0
+    assert st["retries"] == 1  # re-planned on the winner's snapshot
+    assert _state(c) == {(0, 0), (1, 111), (3, 30)} | {
+        (i, 10 * i) for i in range(4, 8)
+    }
+
+
+def test_dv_on_untouched_file_rebases(spark, tmp_path, monkeypatch):
+    """A DV on a file the merge does NOT rewrite is disjoint: the
+    loser rebases, the winner's DV carries, and both commits land
+    with one data job each."""
+    c = _clustered(spark, tmp_path, "morc2", files=2)
+    w = VersionedCollection(spark, str(tmp_path), "morc2")
+    # winner MOR-deletes id 6 (file [4..7]); we merge key 1 ([0..3])
+    _inject_mor_delete(
+        monkeypatch, spark, str(tmp_path), "morc2", "id = 6"
+    )
+    w.merge(_mk(spark, [(1, 111)]))
+    st = w.last_merge_stats
+    assert st["rebases"] == 1
+    assert st["retries"] == 0
+    assert w.io_counters["data_writes"] == 1
+    assert c.manifest(c.latest_version())["dv"]  # DV carried
+    assert _state(c) == {(0, 0), (1, 111), (2, 20), (3, 30)} | {
+        (i, 10 * i) for i in range(4, 8) if i != 6
+    }
+
+
+def test_dv_read_plan_stays_broadcast(spark, tmp_path):
+    """The MOR read is scan + BroadcastHashJoin(LeftAnti) — no
+    shuffle, no sort-merge join."""
+    c = _clustered(spark, tmp_path, "morp")
+    c.delete_where("id = 0", mode="mor")
+    plan = c.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_mor_delete_with_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE WHERE semantics: NULL predicate rows are kept."""
+    c = VersionedCollection(spark, str(tmp_path), "mornull")
+    df = spark.createDataFrame(
+        [(0, _vec(0), 5), (1, _vec(1), None), (2, _vec(2), 9)],
+        "id long, vector array<double>, label long",
+    )
+    c.create(df, dim=3, metric="dot", normalize=False)
+    c.delete_where(F.col("label") > 6, mode="mor")
+    assert _state(c) == {(0, 5), (1, None)}
+
+
+def test_schema_evolution_over_dv_covered_file(spark, tmp_path):
+    """An evolving merge that rewrites a DV-covered file: survivors
+    apply the DV (no resurrection into the evolved schema), the cover
+    prunes, and the span's CDC feed carries the MOR delete in the
+    evolved shape."""
+    c = _clustered(spark, tmp_path, "morevo")
+    c.delete_where("id = 1", mode="mor")  # DV on file [0,1]
+    src = spark.createDataFrame(
+        [(0, _vec(0), 999, "x")],
+        "id long, vector array<double>, label long, tag string",
+    )
+    c.merge(src, schema_evolution=True)
+    rows = {(r.id, r.label, r.tag) for r in c.read().collect()}
+    assert (0, 999, "x") in rows
+    assert not any(r[0] == 1 for r in rows)
+    assert not c.manifest(c.latest_version()).get("dv")
+    feed = {
+        (r.id, r.label, r._change_type)
+        for r in c.changes(0, 2).collect()
+    }
+    assert (1, 10, "delete") in feed

@@ -2082,6 +2082,308 @@ class VersionedCollection:
                 last_err = exc
         raise last_err  # type: ignore[misc]
 
+    # -------------------------------------------------------------- update
+
+    def _resolve_set_exprs(
+        self, set_exprs: dict, schema: StructType
+    ) -> dict:
+        """Validate and normalize an UPDATE's SET map: keys must be
+        existing non-key columns, values become Columns cast to the
+        target column's type (so ``score + 1`` on an int column can't
+        silently widen the table schema)."""
+        if not isinstance(set_exprs, dict) or not set_exprs:
+            raise ValueError(
+                "update_where needs a non-empty {column: expr} set map"
+            )
+        props = self.properties
+        id_col, vector_col = props["id_col"], props["vector_col"]
+        fields = {f.name: f for f in schema.fields}
+        out: dict = {}
+        for c, v in set_exprs.items():
+            if c == id_col:
+                raise ValueError(
+                    f"cannot update key column {id_col!r} — "
+                    "delete + re-insert (or merge) to change a key"
+                )
+            if c not in fields:
+                raise ValueError(
+                    f"update column {c!r} not in table schema "
+                    f"{sorted(fields)}"
+                )
+            col = F.expr(v) if isinstance(v, str) else v
+            col = col.cast(fields[c].dataType)
+            if c == vector_col:
+                # write invariant: vectors stay non-null and exactly
+                # dim wide — enforced inline so the check rides the
+                # same job as the rewrite (no extra scan)
+                dim = props["dim"]
+                col = F.when(F.size(col) == dim, col).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"collection {self.name}: update "
+                            f"violates dim={dim}"
+                        )
+                    )
+                )
+            out[c] = col
+        return out
+
+    def update_where(
+        self,
+        predicate,
+        set_exprs: dict,
+        max_retries: int = 3,
+        mode: str = "cow",
+    ) -> "VersionedCollection":
+        """Row-level UPDATE (Delta ``UPDATE table SET ... WHERE ...``
+        parity): rows where ``predicate`` is true get each ``set_exprs``
+        column replaced by its expression (a Column or SQL string,
+        evaluated against the OLD row — ``{"score": "score + 1"}``
+        increments).  NULL-predicate rows are untouched, the key
+        column cannot be updated, and a vector update enforces the
+        table's dim invariant inline.  Two execution modes, the same
+        split as :meth:`delete_where`:
+
+        * ``mode='cow'`` (default) — rewrite only the files containing
+          a matching row (per-column ``CASE WHEN`` over the rewrite
+          scan); carried files are untouched and any deletion vector
+          on a rewritten file is materialized away.  Right for broad
+          updates.
+        * ``mode='mor'`` — no data file is rewritten: the matched
+          ``(file, id)`` pairs land in a deletion-vector sidecar
+          (killing the old versions in place) and the updated rows are
+          appended as a NEW file in the same commit.  A point update
+          on a 100 TB table is two narrow jobs plus a KB-sized write;
+          the next rewrite of a covered file folds the DV away.
+
+        Either way :meth:`changes` surfaces the span as
+        ``update_postimage`` (+ ``update_preimage`` when asked) rows —
+        the feed diffs snapshot STATE, so the mechanism (rewrite vs
+        DV + append) is invisible to CDC consumers, and a SET that
+        produces identical values yields no change row at all.
+
+        The reference has no row-level update — its only mutation is
+        the whole-collection recreate (``Qdrant/VectorDB/Database.py``).
+        On a publish race the update re-plans on the winning snapshot
+        and retries."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown update mode={mode!r}")
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if mode == "mor":
+            return self._update_where_mor(pred, set_exprs, max_retries)
+        id_col = self.properties["id_col"]
+        last_err: Exception | None = None
+        for _attempt in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            setx = self._resolve_set_exprs(set_exprs, schema)
+            stats = m.get("stats", {})
+            files = m["files"]
+            matched_files: set[str] = set()
+            if files:
+                cand = self.spark.read.schema(schema).parquet(
+                    *(os.path.join(self.path, f) for f in files)
+                )
+                hit_files = (
+                    cand.filter(pred)
+                    .withColumn("_vc_file", F.input_file_name())
+                    .select("_vc_file")
+                    .distinct()
+                    .collect()
+                )
+                matched_files = {self._rel_of_uri(r[0]) for r in hit_files}
+            carried = [f for f in files if f not in matched_files]
+            if not matched_files:
+                survivors = None  # no-op version, history parity
+            else:
+                src = self._apply_dv(
+                    self.spark.read.schema(schema).parquet(
+                        *(
+                            os.path.join(self.path, f)
+                            for f in matched_files
+                        )
+                    ),
+                    m,
+                    schema,
+                ).withColumn("_vc_hit", F.coalesce(pred, F.lit(False)))
+                hit = F.col("_vc_hit")
+                survivors = src.select(
+                    *[
+                        (
+                            F.when(hit, setx[c])
+                            .otherwise(F.col(c))
+                            .alias(c)
+                            if c in setx
+                            else F.col(c)
+                        )
+                        for c in schema.fieldNames()
+                    ]
+                ).coalesce(max(1, len(matched_files)))
+            try:
+                self._commit(
+                    survivors,
+                    base + 1,
+                    base,
+                    "update_where",
+                    carried=carried,
+                    schema=schema,
+                    carried_stats={
+                        f: stats[f] for f in carried if f in stats
+                    },
+                    id_col=id_col,
+                    parent_manifest=m,
+                )
+                return self
+            except ConcurrentWriteError as exc:
+                last_err = exc
+        raise last_err  # type: ignore[misc]
+
+    def _update_where_mor(
+        self, pred, set_exprs: dict, max_retries: int
+    ) -> "VersionedCollection":
+        """Merge-on-read UPDATE: job 1 writes the matched ``(file,
+        id)`` pairs as a deletion-vector sidecar (old versions die in
+        place, zero data rewrite); job 2 semi-joins the SIDECAR back
+        against only the covered files — the exact matched rows, so a
+        non-deterministic predicate can't diverge between the two
+        jobs — applies the SET expressions, and appends the result as
+        new data file(s) in the SAME commit.  Commit bytes ∝ updated
+        rows; every parent file carries."""
+        id_col = self.properties["id_col"]
+        last_err: Exception | None = None
+        for _attempt in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            setx = self._resolve_set_exprs(set_exprs, schema)
+            files = m["files"]
+            dv_rels: list[str] = []
+            covered: list[str] = []
+            out: str | None = None
+            if files:
+                cand = self.spark.read.schema(schema).parquet(
+                    *(os.path.join(self.path, f) for f in files)
+                ).withColumn(_DV_FILE_COL, _rel_file_col())
+                dvdf = self._dv_frame(m, schema)
+                if dvdf is not None:
+                    cand = cand.join(
+                        F.broadcast(dvdf),
+                        [_DV_FILE_COL, id_col],
+                        "left_anti",
+                    )
+                matched = cand.filter(
+                    F.coalesce(pred, F.lit(False))
+                ).select(F.col(_DV_FILE_COL), F.col(id_col))
+                sub = os.path.join(
+                    _DATA_DIR,
+                    f"c{base + 1:08d}-dv-{uuid.uuid4().hex[:8]}",
+                )
+                out = os.path.join(self.path, sub)
+                matched.coalesce(1).write.mode("error").parquet(out)
+                self.io_counters["dv_writes"] = (
+                    self.io_counters.get("dv_writes", 0) + 1
+                )
+                dv_rels = sorted(
+                    os.path.join(sub, f)
+                    for f in os.listdir(out)
+                    if f.endswith(".parquet")
+                    and not f.startswith(("_", "."))
+                )
+                if dv_rels:
+                    covered = [
+                        r[0]
+                        for r in self.spark.read.parquet(
+                            *(
+                                os.path.join(self.path, r)
+                                for r in dv_rels
+                            )
+                        )
+                        .select(_DV_FILE_COL)
+                        .distinct()
+                        .collect()
+                    ]
+            if not covered:
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
+                try:
+                    self._commit(
+                        None,
+                        base + 1,
+                        base,
+                        "update_where:mor",
+                        carried=list(files),
+                        schema=schema,
+                        carried_stats=dict(m.get("stats", {})),
+                        carried_col_stats=dict(m.get("col_stats", {})),
+                        id_col=id_col,
+                        parent_manifest=m,
+                    )
+                    return self
+                except ConcurrentWriteError as exc:
+                    last_err = exc
+                    continue
+            dv_next = {
+                r: list(cov) for r, cov in (m.get("dv") or {}).items()
+            }
+            for r in dv_rels:
+                dv_next[r] = covered
+            dv_add = {r: covered for r in dv_rels}
+            id_field = [f for f in schema.fields if f.name == id_col]
+            dv_schema = StructType(
+                [StructField(_DV_FILE_COL, StringType(), False)]
+                + id_field
+            )
+            # the sidecar IS the matched-row set: semi-join it back
+            # against only the covered files (footer-pruned read) and
+            # apply SET — the predicate is never re-evaluated
+            upd_src = (
+                self.spark.read.schema(schema)
+                .parquet(
+                    *(os.path.join(self.path, f) for f in covered)
+                )
+                .withColumn(_DV_FILE_COL, _rel_file_col())
+                .join(
+                    F.broadcast(
+                        self.spark.read.schema(dv_schema).parquet(
+                            *(
+                                os.path.join(self.path, r)
+                                for r in dv_rels
+                            )
+                        )
+                    ),
+                    [_DV_FILE_COL, id_col],
+                    "semi",
+                )
+            )
+            updated = upd_src.select(
+                *[
+                    (setx[c].alias(c) if c in setx else F.col(c))
+                    for c in schema.fieldNames()
+                ]
+            ).coalesce(max(1, len(covered)))
+            try:
+                self._commit(
+                    updated,
+                    base + 1,
+                    base,
+                    "update_where:mor",
+                    carried=list(files),
+                    schema=schema,
+                    carried_stats=dict(m.get("stats", {})),
+                    carried_col_stats=dict(m.get("col_stats", {})),
+                    id_col=id_col,
+                    parent_manifest=m,
+                    dv=dv_next,
+                    dv_add=dv_add,
+                )
+                return self
+            except ConcurrentWriteError as exc:
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
+                last_err = exc
+        raise last_err  # type: ignore[misc]
+
     # ------------------------------------------------------------- compact
 
     def compact(

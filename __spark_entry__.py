@@ -37,6 +37,8 @@ _SAMPLE_PRIORITY = [
     # part_affinity rewrite, and the persisted-IVF query whose
     # staging is now process-cached (fresh driver process still
     # rebuilds, so the oracle path is unchanged)
+    "update_where_read",
+    "scd2_apply",
     "mor_delete_read",
     "concurrent_merge_rebase",
     "restore_rollback",

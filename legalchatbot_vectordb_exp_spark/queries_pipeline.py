@@ -775,3 +775,103 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "px_sum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# scd2_apply — slowly-changing-dimension type 2 maintenance
+
+
+@register(
+    "scd2_apply",
+    sql="""
+    WITH seed AS (
+      SELECT o_custkey AS c_custkey, o_orderpriority AS priority,
+             o_orderdate AS eff
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      ) WHERE rn = 1
+    ),
+    ups AS (
+      SELECT o_custkey AS c_custkey, o_orderpriority AS priority,
+             o_orderdate AS eff, o_orderkey AS ok
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    allv AS (
+      SELECT c_custkey, priority, eff, 0 AS src, NULL::BIGINT AS ok
+      FROM seed
+      UNION ALL
+      SELECT c_custkey, priority, eff, 1, ok FROM ups
+    ),
+    lagged AS (
+      SELECT *, lag(priority) OVER w AS pprio,
+             (lag(src) OVER w IS NOT NULL) AS has_prev
+      FROM allv
+      WINDOW w AS (PARTITION BY c_custkey ORDER BY eff, src, ok)
+    ),
+    dedup AS (
+      SELECT * FROM lagged
+      WHERE NOT (has_prev AND priority IS NOT DISTINCT FROM pprio)
+    )
+    SELECT c_custkey, priority, eff AS valid_from,
+           lead(eff) OVER w2 AS valid_to,
+           (lead(eff) OVER w2 IS NULL) AS is_current
+    FROM dedup
+    WINDOW w2 AS (PARTITION BY c_custkey ORDER BY eff, src, ok)
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (E10): seed a customer
+    order-priority dimension from each customer's LATEST pre-1998
+    order, then fold every 1998+ order through
+    ``operators.scd.scd2_apply`` — each priority change opens an
+    effective-dated version and closes its predecessor, no-op repeats
+    mint nothing, timestamp ties break on the order key.  The oracle
+    re-derives the whole chained history relationally (two window
+    passes: consecutive-duplicate suppression, then valid_to/
+    is_current chaining).
+
+    Scale shape: ONE hash shuffle on the dimension key for the
+    version-chaining window; closed history passes through filter +
+    union unshuffled, nothing collects to the driver.  A 100 TB
+    fact stream folds into a dimension at cost ∝ batch + open rows."""
+    from legalchatbot_vectordb_exp_spark.operators.scd import scd2_apply
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    # pin every timestamp to o_orderdate's own type (TIMESTAMP_NTZ
+    # from the nanos conversion) — a bare cast('timestamp') would be
+    # LTZ and the union's NTZ→LTZ coercion leaks the session tz
+    odt = orders.schema["o_orderdate"].dataType
+    cut = F.lit("1998-01-01").cast(odt)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    dim = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lit(None).cast(odt).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    ups = orders.filter(F.col("o_orderdate") >= cut).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("eff"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    return scd2_apply(
+        dim,
+        ups,
+        key="c_custkey",
+        tracked=["priority"],
+        effective_col="eff",
+        tie_breakers=["ok"],
+    )

@@ -1636,3 +1636,136 @@ def q_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("cdf").alias("side"), "*")
         )
     )
+
+
+# ---------------------------------------------------------------------
+# update_where_read — row-level UPDATE (cow + mor), oracle-gated
+
+_UPD_HISTORY: dict[str, str] = {}  # sf_dir -> built warehouse
+
+
+@register(
+    "update_where_read",
+    sql="""
+    WITH v0 AS (
+      SELECT vec_id AS id, label FROM embeddings WHERE vec_id < 200
+    ),
+    v1 AS (
+      SELECT id,
+             CASE WHEN id >= 150 THEN label + 1000 ELSE label END
+               AS label
+      FROM v0
+    ),
+    v2 AS (
+      SELECT id,
+             CASE WHEN id < 30 THEN label * 2 ELSE label END AS label
+      FROM v1
+    ),
+    chg AS (
+      SELECT a.label AS l0, b.label AS l2
+      FROM v0 a JOIN v2 b USING (id)
+      WHERE a.label <> b.label
+    )
+    SELECT 'final' AS side, count(*)::BIGINT AS n_rows,
+           sum(label)::BIGINT AS sum_label
+    FROM v2
+    UNION ALL
+    SELECT 'v1', count(*)::BIGINT, sum(label)::BIGINT FROM v1
+    UNION ALL
+    SELECT 'cdf', (2 * count(*))::BIGINT, sum(l0 + l2)::BIGINT
+    FROM chg
+    """,
+)
+def q_update_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (E11, Delta UPDATE parity) through the oracle
+    gate — both execution modes stacked on one table:
+
+    * v1 ``update_where('id >= 150', {label: label + 1000},
+      mode='mor')`` — rewrites NOTHING (hard-asserted: every parent
+      file carries, a ``dv`` entry kills the old versions in place,
+      the updated rows append as one new file).
+    * v2 ``update_where('id < 30', {label: label * 2})`` — copy-on-
+      write over a DIFFERENT file; the v1 deletion vector (on an
+      untouched file) must carry through verbatim (asserted).
+    * v3 ``compact()`` — materializes the v1 DV away (asserted: no
+      ``dv`` at v3) without changing state.
+
+    Returns the final and the v1 snapshot aggregates plus the
+    ``changes(0, 3, preimages=True)`` feed aggregate: CDC diffs
+    snapshot STATE, so both mechanisms surface as update_postimage +
+    update_preimage pairs — the oracle folds the same four-type feed
+    relationally (2 rows per changed id, labels summing old + new).  A
+    reader that double-applied a DV pair, resurrected a pre-image, or
+    leaked the underlying delete+insert pair into the feed breaks the
+    hash.
+
+    Scale shape: the MOR update is two narrow jobs (a (file-tag, id)
+    match scan and a sidecar-semi-joined rewrite of ONLY the matched
+    rows) plus a KB-sized write — commit bytes ∝ updated rows on a
+    100 TB table; the COW update rewrites only files containing a
+    match (discovery scan is predicate-pruned).  The reference's only
+    mutation is the whole-collection recreate
+    (`Qdrant/VectorDB/Database.py:10-14`)."""
+    import shutil
+
+    warehouse = _scratch(sf_dir, "update_where_read")
+    c = VersionedCollection(spark, warehouse, "upd")
+    if _UPD_HISTORY.get(sf_dir) != warehouse:
+        if os.path.isdir(warehouse):
+            shutil.rmtree(warehouse)
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").head()[0])
+        c.create(
+            emb.filter(F.col("vec_id") < 200).select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("vector"),
+                F.col("label").cast("long").alias("label"),
+            ),
+            dim=dim,
+            metric="dot",
+            normalize=False,
+            cluster_files=4,
+        )
+        files0 = c.manifest(0)["files"]
+        c.update_where(
+            "id >= 150", {"label": "label + 1000"}, mode="mor"
+        )
+        m1 = c.manifest(1)
+        if not (set(files0) < set(m1["files"])) or not m1.get("dv"):
+            raise AssertionError(
+                f"MOR update must carry every parent file and add a "
+                f"dv: files={len(m1['files'])}, dv={m1.get('dv')}"
+            )
+        c.update_where("id < 30", {"label": "label * 2"})
+        m2 = c.manifest(2)
+        if m2.get("dv") != m1["dv"]:
+            raise AssertionError(
+                "COW update of an uncovered file must carry the v1 "
+                f"deletion vector verbatim: {m2.get('dv')}"
+            )
+        c.compact(target_file_bytes=1 << 30, min_files=2)
+        if c.manifest(3).get("dv"):
+            raise AssertionError(
+                "compact did not materialize the deletion vector"
+            )
+        _UPD_HISTORY[sf_dir] = warehouse
+
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("label").cast("bigint").alias("sum_label"),
+    ]
+    return (
+        c.read()
+        .agg(*agg)
+        .select(F.lit("final").alias("side"), "*")
+        .unionByName(
+            c.read(version=1)
+            .agg(*agg)
+            .select(F.lit("v1").alias("side"), "*")
+        )
+        .unionByName(
+            c.changes(0, 3, preimages=True)
+            .agg(*agg)
+            .select(F.lit("cdf").alias("side"), "*")
+        )
+    )

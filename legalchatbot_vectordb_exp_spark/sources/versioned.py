@@ -1511,6 +1511,12 @@ class VersionedCollection:
             # ONE distributed aggregation — the source is scanned once
             # instead of once for validation plus once for bounds.
             dim = props["dim"]
+            guard = self._constraint_guard(id_col)
+            if guard is not None:
+                # CHECK constraints ride the first job that touches
+                # the source (the small-batch collect or the
+                # validation aggregation) — no extra scan
+                source = source.withColumn(id_col, guard)
             small = _collect_if_small(source, _ISIN_PUSHDOWN_LIMIT)
             if small is not None:
                 _validate_rows(small, dim, vector_col, id_col, self.name)
@@ -2082,6 +2088,100 @@ class VersionedCollection:
                 last_err = exc
         raise last_err  # type: ignore[misc]
 
+    # --------------------------------------------------------- constraints
+
+    @property
+    def constraints(self) -> dict:
+        """The table's CHECK constraints, ``{name: sql_expr}``."""
+        return self.properties.get("constraints") or {}
+
+    def _rewrite_props(self, mutate) -> None:
+        """Atomically rewrite the props file through ``mutate(props)``
+        (write-temp + rename; concurrent metadata edits are
+        last-writer-wins, like Delta's TBLPROPERTIES)."""
+        props = self.properties
+        mutate(props)
+        tmp = os.path.join(
+            self.path, f"._props.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "w") as f:
+            json.dump(props, f)
+        os.replace(tmp, os.path.join(self.path, _PROPS_FILE))
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """Add a CHECK constraint (Delta ``ALTER TABLE ADD CONSTRAINT``
+        parity): ``expr`` is a SQL boolean expression over the table's
+        columns; a row violates only when it evaluates to FALSE (NULL
+        passes — SQL CHECK semantics).  The CURRENT snapshot is
+        scanned first and the add fails if any live row violates;
+        afterwards every write that introduces or changes rows
+        (create-less — merges, updates, stream micro-batches) enforces
+        the constraint INLINE on the write job itself (a guarded
+        projection on the key column — zero extra jobs, and the
+        driver-side small-batch paths evaluate it at collect time).
+        Carried rows are never re-checked (restore can revive
+        pre-constraint rows, same as Delta RESTORE)."""
+        if not name or not isinstance(expr, str) or not expr.strip():
+            raise ValueError("constraint needs a name and a SQL expr")
+        if name in self.constraints:
+            raise ValueError(
+                f"constraint {name!r} already exists: "
+                f"({self.constraints[name]})"
+            )
+        offender = (
+            self.read()
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .head(1)
+        )
+        if offender:
+            raise ValueError(
+                f"collection {self.name}: cannot add CHECK constraint "
+                f"{name!r} — existing rows violate ({expr})"
+            )
+        self._rewrite_props(
+            lambda p: p.setdefault("constraints", {}).__setitem__(
+                name, expr
+            )
+        )
+
+    def drop_constraint(self, name: str) -> None:
+        if name not in self.constraints:
+            raise ValueError(f"no CHECK constraint named {name!r}")
+
+        def _drop(p):
+            del p["constraints"][name]
+            if not p["constraints"]:
+                del p["constraints"]
+
+        self._rewrite_props(_drop)
+
+    def _constraint_guard(self, id_col: str, extra_cond=None):
+        """A Column replacing ``id_col`` that raises on the first
+        violated CHECK constraint and passes the id through
+        untouched otherwise — evaluated against the row AS WRITTEN,
+        riding whatever job writes it.  ``extra_cond`` (e.g. "this row
+        was actually updated") limits enforcement to changed rows.
+        Returns None when the table has no constraints."""
+        cons = self.constraints
+        if not cons:
+            return None
+        out = F.col(id_col)
+        for cname in sorted(cons):
+            cexpr = cons[cname]
+            viol = ~F.coalesce(F.expr(cexpr), F.lit(True))
+            if extra_cond is not None:
+                viol = extra_cond & viol
+            out = F.when(
+                viol,
+                F.raise_error(
+                    F.lit(
+                        f"collection {self.name}: CHECK constraint "
+                        f"{cname} violated: ({cexpr})"
+                    )
+                ),
+            ).otherwise(out)
+        return out
+
     # -------------------------------------------------------------- update
 
     def _resolve_set_exprs(
@@ -2219,7 +2319,16 @@ class VersionedCollection:
                         )
                         for c in schema.fieldNames()
                     ]
-                ).coalesce(max(1, len(matched_files)))
+                )
+                guard = self._constraint_guard(id_col)
+                if guard is not None:
+                    # checked against the row AS WRITTEN (post-SET);
+                    # rewriting a legacy row that violates a
+                    # later-added constraint fails, Delta-style
+                    survivors = survivors.withColumn(id_col, guard)
+                survivors = survivors.coalesce(
+                    max(1, len(matched_files))
+                )
             try:
                 self._commit(
                     survivors,
@@ -2361,7 +2470,11 @@ class VersionedCollection:
                     (setx[c].alias(c) if c in setx else F.col(c))
                     for c in schema.fieldNames()
                 ]
-            ).coalesce(max(1, len(covered)))
+            )
+            guard = self._constraint_guard(id_col)
+            if guard is not None:
+                updated = updated.withColumn(id_col, guard)
+            updated = updated.coalesce(max(1, len(covered)))
             try:
                 self._commit(
                     updated,
@@ -2382,6 +2495,12 @@ class VersionedCollection:
                 if out is not None:
                     shutil.rmtree(out, ignore_errors=True)
                 last_err = exc
+            except Exception:
+                # e.g. a CHECK-constraint violation in the data job:
+                # nothing committed — sweep the sidecar, don't orphan
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
+                raise
         raise last_err  # type: ignore[misc]
 
     # ------------------------------------------------------------- compact

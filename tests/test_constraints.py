@@ -1,0 +1,168 @@
+"""CHECK constraints on the versioned collection (Delta ``ALTER TABLE
+ADD CONSTRAINT`` parity): add scans the current snapshot, enforcement
+rides the write jobs inline (guarded key projection — zero extra
+jobs), NULL passes (SQL CHECK semantics), and the driver-side
+small-batch paths enforce at collect time.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from legalchatbot_vectordb_exp_spark.sources.versioned import (
+    VersionedCollection,
+)
+
+
+def _vec(i: int) -> list[float]:
+    return [float(i), 1.0, 0.0]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(i, _vec(i), lbl) for i, lbl in rows],
+        "id long, vector array<double>, label long",
+    )
+
+
+def _coll(spark, tmp_path, name, rows=None):
+    c = VersionedCollection(spark, str(tmp_path), name)
+    c.create(
+        _mk(spark, rows or [(i, 10 * i) for i in range(4)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=2,
+    )
+    return c
+
+
+def test_add_constraint_persists_and_lists(spark, tmp_path):
+    c = _coll(spark, tmp_path, "c1")
+    c.add_constraint("label_nonneg", "label >= 0")
+    assert c.constraints == {"label_nonneg": "label >= 0"}
+
+
+def test_add_fails_when_existing_rows_violate(spark, tmp_path):
+    c = _coll(spark, tmp_path, "c2")
+    with pytest.raises(ValueError, match="existing rows violate"):
+        c.add_constraint("label_big", "label > 100")
+    assert c.constraints == {}
+
+
+def test_small_merge_violating_fails_without_commit(spark, tmp_path):
+    """The small-batch merge path collects the source driver-side —
+    the guard must fire at collect time, before anything is written."""
+    c = _coll(spark, tmp_path, "c3")
+    c.add_constraint("label_nonneg", "label >= 0")
+    with pytest.raises(Exception, match="CHECK constraint label_nonneg"):
+        c.merge(_mk(spark, [(9, -5)]))
+    assert c.latest_version() == 0
+
+
+def test_large_merge_violating_fails(spark, tmp_path):
+    c = _coll(spark, tmp_path, "c4")
+    c.add_constraint("label_nonneg", "label >= 0")
+    big = _mk(
+        spark, [(100 + i, i) for i in range(2000)] + [(5000, -1)]
+    )
+    with pytest.raises(Exception, match="CHECK constraint label_nonneg"):
+        c.merge(big)
+    assert c.latest_version() == 0
+
+
+def test_valid_merge_passes_and_values_intact(spark, tmp_path):
+    """The guard projection must not perturb the key values it rides."""
+    c = _coll(spark, tmp_path, "c5")
+    c.add_constraint("label_nonneg", "label >= 0")
+    c.merge(_mk(spark, [(9, 90), (0, 5)]))
+    got = {
+        (r.id, r.label)
+        for r in c.read().select("id", "label").collect()
+    }
+    assert got == {(0, 5), (1, 10), (2, 20), (3, 30), (9, 90)}
+
+
+def test_null_expr_passes(spark, tmp_path):
+    """SQL CHECK: only FALSE violates — NULL passes."""
+    c = _coll(spark, tmp_path, "c6")
+    c.add_constraint("weird", "CASE WHEN label < 0 THEN NULL ELSE true END")
+    c.merge(_mk(spark, [(9, -7)]))  # expr NULL for this row → passes
+    assert (9, -7) in {
+        (r.id, r.label)
+        for r in c.read().select("id", "label").collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_update_violating_fails_without_commit(spark, tmp_path, mode):
+    c = _coll(spark, tmp_path, f"c7{mode}")
+    c.add_constraint("label_nonneg", "label >= 0")
+    with pytest.raises(Exception, match="CHECK constraint label_nonneg"):
+        c.update_where("id = 1", {"label": F.lit(-1)}, mode=mode)
+    assert c.latest_version() == 0
+    # a failed MOR update must not leave a dangling DV sidecar
+    # visible to readers
+    assert c.read().count() == 4
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_update_valid_passes(spark, tmp_path, mode):
+    c = _coll(spark, tmp_path, f"c8{mode}")
+    c.add_constraint("label_nonneg", "label >= 0")
+    c.update_where("id = 1", {"label": "label + 1"}, mode=mode)
+    assert (1, 11) in {
+        (r.id, r.label)
+        for r in c.read().select("id", "label").collect()
+    }
+
+
+def test_delete_ignores_constraints(spark, tmp_path):
+    """Deletes write no new rows — a constraint referencing them must
+    never fire."""
+    c = _coll(spark, tmp_path, "c9")
+    c.add_constraint("label_nonneg", "label >= 0")
+    c.delete_where("id = 2", mode="mor")
+    c.delete_where("id = 3")
+    assert c.read().count() == 2
+
+
+def test_drop_constraint_restores_writes(spark, tmp_path):
+    c = _coll(spark, tmp_path, "c10")
+    c.add_constraint("label_nonneg", "label >= 0")
+    c.drop_constraint("label_nonneg")
+    assert c.constraints == {}
+    c.merge(_mk(spark, [(9, -5)]))  # no longer guarded
+    assert c.latest_version() == 1
+
+
+def test_duplicate_and_missing_names_rejected(spark, tmp_path):
+    c = _coll(spark, tmp_path, "c11")
+    c.add_constraint("x", "label >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        c.add_constraint("x", "label >= 1")
+    with pytest.raises(ValueError, match="no CHECK constraint"):
+        c.drop_constraint("y")
+
+
+def test_two_constraints_both_enforced(spark, tmp_path):
+    c = _coll(spark, tmp_path, "c12")
+    c.add_constraint("nonneg", "label >= 0")
+    c.add_constraint("cap", "label < 1000")
+    with pytest.raises(Exception, match="CHECK constraint cap"):
+        c.merge(_mk(spark, [(9, 5000)]))
+    with pytest.raises(Exception, match="CHECK constraint nonneg"):
+        c.merge(_mk(spark, [(9, -1)]))
+    c.merge(_mk(spark, [(9, 500)]))
+    assert c.latest_version() == 1
+
+
+def test_constraint_survives_reopen(spark, tmp_path):
+    """Constraints persist in the props file — a fresh handle on the
+    same warehouse enforces them."""
+    c = _coll(spark, tmp_path, "c13")
+    c.add_constraint("label_nonneg", "label >= 0")
+    c2 = VersionedCollection(spark, str(tmp_path), "c13")
+    with pytest.raises(Exception, match="CHECK constraint"):
+        c2.merge(_mk(spark, [(9, -5)]))

@@ -33,6 +33,7 @@ def scd2_apply(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     is_current: str = "is_current",
+    reject_late: bool = True,
 ) -> DataFrame:
     """Apply ``updates`` — rows of ``(key, *tracked, effective_col)``
     — to an SCD2 ``dim`` of ``(key, *tracked, valid_from, valid_to,
@@ -51,8 +52,16 @@ def scd2_apply(
     * Closed history rows are carried verbatim (never re-windowed).
 
     Records must not predate their key's current ``valid_from``
-    (late-arriving history is not re-opened — standard batch SCD2);
-    ties on the effective timestamp are ordered by ``tie_breakers``
+    (late-arriving history is not re-opened — standard batch SCD2).
+    With ``reject_late=True`` (default) that precondition is ENFORCED
+    inline on the chaining job: a batch record whose effective
+    timestamp sorts strictly before its key's incumbent ``valid_from``
+    raises instead of silently corrupting the chain (incumbent closed
+    with ``valid_to`` earlier than its ``valid_from``, wrong
+    ``is_current``).  The check is a window max over the same
+    key-partitioning — no extra shuffle.  ``reject_late=False``
+    restores the unchecked behavior for callers that pre-filter.
+    Ties on the effective timestamp are ordered by ``tie_breakers``
     (required for determinism when a batch can carry equal
     timestamps), with the incumbent dimension row always sorting
     first.
@@ -83,6 +92,38 @@ def scd2_apply(
         "_eff", "_src", *[f"_tb_{t}" for t in tie_breakers]
     )
     chained = cur.unionByName(ups)
+    if reject_late:
+        # the incumbent's valid_from, broadcast to every row of the
+        # key via an unbounded window over the SAME partitioning (the
+        # exchange is reused — no extra shuffle); a batch record
+        # strictly before it is late-arriving history this operator
+        # is documented not to re-open, so fail loudly
+        inc_eff = F.max(
+            F.when(F.col("_src") == 0, F.col("_eff"))
+        ).over(Window.partitionBy(key))
+        late = (
+            (F.col("_src") == 1)
+            & inc_eff.isNotNull()
+            & (F.col("_eff") < inc_eff)
+        )
+        chained = chained.withColumn(
+            "_eff",
+            F.when(
+                late,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "scd2_apply: late-arriving record for key "
+                        ),
+                        F.col(key).cast("string"),
+                        F.lit(
+                            " predates the incumbent valid_from; "
+                            "history is not re-opened"
+                        ),
+                    )
+                ),
+            ).otherwise(F.col("_eff")),
+        )
     # suppress consecutive duplicates: a row all of whose tracked
     # values null-safe-equal the previous version's is a no-op
     same_as_prev = F.lit(True)

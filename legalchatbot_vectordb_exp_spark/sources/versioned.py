@@ -1511,11 +1511,16 @@ class VersionedCollection:
             # ONE distributed aggregation — the source is scanned once
             # instead of once for validation plus once for bounds.
             dim = props["dim"]
-            guard = self._constraint_guard(id_col)
+            guard = self._constraint_guard(
+                id_col, resolvable_on=source
+            )
             if guard is not None:
                 # CHECK constraints ride the first job that touches
                 # the source (the small-batch collect or the
-                # validation aggregation) — no extra scan
+                # validation aggregation) — no extra scan.
+                # Constraints over columns the source lacks (a
+                # schema_evolution merge) are skipped: the written
+                # rows get NULL there and SQL CHECK passes NULL.
                 source = source.withColumn(id_col, guard)
             small = _collect_if_small(source, _ISIN_PUSHDOWN_LIMIT)
             if small is not None:
@@ -2097,16 +2102,39 @@ class VersionedCollection:
 
     def _rewrite_props(self, mutate) -> None:
         """Atomically rewrite the props file through ``mutate(props)``
-        (write-temp + rename; concurrent metadata edits are
-        last-writer-wins, like Delta's TBLPROPERTIES)."""
-        props = self.properties
-        mutate(props)
-        tmp = os.path.join(
-            self.path, f"._props.{uuid.uuid4().hex[:8]}.tmp"
-        )
-        with open(tmp, "w") as f:
-            json.dump(props, f)
-        os.replace(tmp, os.path.join(self.path, _PROPS_FILE))
+        under a create-if-absent lock file, so two concurrent metadata
+        edits serialize their read-modify-write instead of
+        last-writer-wins dropping one (two racing ``add_constraint``
+        calls both land).  The lock is advisory and bounded: a holder
+        that died is overridden after a short timeout — props edits
+        are rare, tiny, and idempotent to re-apply."""
+        lock = os.path.join(self.path, "._props.lock")
+        deadline = time.time() + 5.0
+        fd = None
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() >= deadline:
+                    break  # stale/dead holder: proceed unlocked
+                time.sleep(0.01)
+        try:
+            props = self.properties
+            mutate(props)
+            tmp = os.path.join(
+                self.path, f"._props.{uuid.uuid4().hex[:8]}.tmp"
+            )
+            with open(tmp, "w") as f:
+                json.dump(props, f)
+            os.replace(tmp, os.path.join(self.path, _PROPS_FILE))
+        finally:
+            if fd is not None:
+                os.close(fd)
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
 
     def add_constraint(self, name: str, expr: str) -> None:
         """Add a CHECK constraint (Delta ``ALTER TABLE ADD CONSTRAINT``
@@ -2120,7 +2148,20 @@ class VersionedCollection:
         projection on the key column — zero extra jobs, and the
         driver-side small-batch paths evaluate it at collect time).
         Carried rows are never re-checked (restore can revive
-        pre-constraint rows, same as Delta RESTORE)."""
+        pre-constraint rows, same as Delta RESTORE).
+
+        Concurrency fence: the snapshot scan pins the version it
+        validated; after the props land, any commit that raced into
+        the window is re-verified by scanning ONLY its added files
+        (new/changed rows can live nowhere else — manifest
+        arithmetic, not a table rescan).  A violating racer rolls the
+        constraint back and raises.  Two concurrent ``add_constraint``
+        calls serialize through the props lock (neither is lost).
+        Residual window, documented: a writer that read the props
+        before the constraint landed and commits after the final
+        re-verify passes unchecked — closing it fully needs
+        constraint DDL in the commit log itself, which the props file
+        (Delta TBLPROPERTIES parity) deliberately is not."""
         if not name or not isinstance(expr, str) or not expr.strip():
             raise ValueError("constraint needs a name and a SQL expr")
         if name in self.constraints:
@@ -2128,10 +2169,10 @@ class VersionedCollection:
                 f"constraint {name!r} already exists: "
                 f"({self.constraints[name]})"
             )
+        viol = ~F.coalesce(F.expr(expr), F.lit(True))
+        v0 = self.latest_version()
         offender = (
-            self.read()
-            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
-            .head(1)
+            self._read_manifest(self.manifest(v0)).filter(viol).head(1)
         )
         if offender:
             raise ValueError(
@@ -2143,6 +2184,31 @@ class VersionedCollection:
                 name, expr
             )
         )
+        for _ in range(5):
+            v1 = self.latest_version()
+            if v1 == v0:
+                return
+            m1 = self.manifest(v1)
+            seen = set(self.manifest(v0)["files"])
+            added = [f for f in m1["files"] if f not in seen]
+            if added:
+                racer = self._apply_dv(
+                    self.spark.read.schema(
+                        StructType.fromJson(json.loads(m1["schema"]))
+                    ).parquet(
+                        *(os.path.join(self.path, f) for f in added)
+                    ),
+                    m1,
+                    StructType.fromJson(json.loads(m1["schema"])),
+                )
+                if racer.filter(viol).head(1):
+                    self.drop_constraint(name)
+                    raise ValueError(
+                        f"collection {self.name}: CHECK constraint "
+                        f"{name!r} rolled back — a concurrent commit "
+                        f"wrote rows violating ({expr})"
+                    )
+            v0 = v1
 
     def drop_constraint(self, name: str) -> None:
         if name not in self.constraints:
@@ -2155,16 +2221,37 @@ class VersionedCollection:
 
         self._rewrite_props(_drop)
 
-    def _constraint_guard(self, id_col: str, extra_cond=None):
+    def _constraint_guard(
+        self, id_col: str, extra_cond=None, resolvable_on=None
+    ):
         """A Column replacing ``id_col`` that raises on the first
         violated CHECK constraint and passes the id through
         untouched otherwise — evaluated against the row AS WRITTEN,
         riding whatever job writes it.  ``extra_cond`` (e.g. "this row
         was actually updated") limits enforcement to changed rows.
-        Returns None when the table has no constraints."""
+        ``resolvable_on`` (a DataFrame) drops constraints that do not
+        analyze against that frame's columns: a ``schema_evolution``
+        merge whose source lacks a constrained column writes NULL for
+        it, and SQL CHECK passes NULL — enforcing against the raw
+        source would be a spurious AnalysisException.  Returns None
+        when no (applicable) constraints exist."""
         cons = self.constraints
         if not cons:
             return None
+        if resolvable_on is not None:
+            kept = {}
+            for cname, cexpr in cons.items():
+                try:
+                    # analysis is eager and job-free: this only
+                    # checks the expression resolves on the source's
+                    # columns, it never scans data
+                    resolvable_on.select(F.expr(cexpr))
+                    kept[cname] = cexpr
+                except Exception:
+                    pass
+            cons = kept
+            if not cons:
+                return None
         out = F.col(id_col)
         for cname in sorted(cons):
             cexpr = cons[cname]
@@ -2190,7 +2277,14 @@ class VersionedCollection:
         """Validate and normalize an UPDATE's SET map: keys must be
         existing non-key columns, values become Columns cast to the
         target column's type (so ``score + 1`` on an int column can't
-        silently widen the table schema)."""
+        silently widen the table schema).  The cast is GUARDED: a
+        non-null SET value that the cast turns into null (e.g. a
+        non-numeric string into an int column, silently null under
+        Spark's default non-ANSI mode) raises instead — Delta UPDATE
+        errors there too.  A vector-column SET on a cosine/normalized
+        table is re-normalized exactly like :meth:`create` and
+        :meth:`merge` ingest, so the stored-unit-vector invariant the
+        search paths rely on (dot == cosine) survives updates."""
         if not isinstance(set_exprs, dict) or not set_exprs:
             raise ValueError(
                 "update_where needs a non-empty {column: expr} set map"
@@ -2210,8 +2304,8 @@ class VersionedCollection:
                     f"update column {c!r} not in table schema "
                     f"{sorted(fields)}"
                 )
-            col = F.expr(v) if isinstance(v, str) else v
-            col = col.cast(fields[c].dataType)
+            raw = F.expr(v) if isinstance(v, str) else v
+            col = raw.cast(fields[c].dataType)
             if c == vector_col:
                 # write invariant: vectors stay non-null and exactly
                 # dim wide — enforced inline so the check rides the
@@ -2225,6 +2319,33 @@ class VersionedCollection:
                         )
                     )
                 )
+                if props["metric"] == "cosine" and props.get(
+                    "normalize", True
+                ):
+                    # same invariant as create()/merge() ingest: the
+                    # table stores unit vectors so search's dot IS
+                    # cosine — an un-normalized SET would silently
+                    # corrupt every similarity score for that row
+                    col = l2_normalize(col)
+            else:
+                # guarded cast, mode-independent: non-ANSI Spark
+                # turns an un-castable value into NULL silently, ANSI
+                # raises a generic CAST_INVALID_INPUT mid-job.
+                # try_cast + an explicit raise gives Delta UPDATE's
+                # behavior with a message naming the SET column in
+                # BOTH modes.  Raise only when the pre-cast value was
+                # non-null (NULL in, NULL out stays legal).
+                col = raw.try_cast(fields[c].dataType)
+                col = F.when(
+                    raw.isNotNull() & col.isNull(),
+                    F.raise_error(
+                        F.lit(
+                            f"collection {self.name}: update SET for "
+                            f"{c!r} does not cast to "
+                            f"{fields[c].dataType.simpleString()}"
+                        )
+                    ),
+                ).otherwise(col)
             out[c] = col
         return out
 

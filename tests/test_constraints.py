@@ -166,3 +166,72 @@ def test_constraint_survives_reopen(spark, tmp_path):
     c2 = VersionedCollection(spark, str(tmp_path), "c13")
     with pytest.raises(Exception, match="CHECK constraint"):
         c2.merge(_mk(spark, [(9, -5)]))
+
+
+def test_schema_evolution_merge_skips_unresolvable_constraint(
+    spark, tmp_path
+):
+    """A schema_evolution merge whose source LACKS a constrained
+    column writes NULL there — SQL CHECK passes NULL, so the merge
+    must succeed instead of failing analysis on the raw source."""
+    c = _coll(spark, tmp_path, "c14")
+    c.add_constraint("label_nonneg", "label >= 0")
+    src = spark.createDataFrame(
+        [(9, _vec(9))], "id long, vector array<double>"
+    )
+    c.merge(src, schema_evolution=True)
+    row = c.read().filter(F.col("id") == 9).head()
+    assert row.label is None
+    # a source that DOES carry the column is still enforced
+    with pytest.raises(Exception, match="CHECK constraint"):
+        c.merge(_mk(spark, [(10, -1)]))
+
+
+def test_concurrent_add_constraint_both_land(spark, tmp_path):
+    """Two racing add_constraint calls serialize through the props
+    lock — neither metadata edit is lost."""
+    import threading
+
+    c = _coll(spark, tmp_path, "c15")
+    c2 = VersionedCollection(spark, str(tmp_path), "c15")
+    errs = []
+
+    def add(h, name, expr):
+        try:
+            h.add_constraint(name, expr)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=add, args=(c, "a", "label >= 0"))
+    t2 = threading.Thread(target=add, args=(c2, "b", "label < 10000"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert set(c.constraints) == {"a", "b"}
+
+
+def test_add_constraint_rolls_back_on_racing_violation(
+    spark, tmp_path, monkeypatch
+):
+    """The fence: a writer that read the props pre-constraint and
+    commits violating rows into the validation window is caught by
+    the added-files re-verify — the constraint rolls back."""
+    c = _coll(spark, tmp_path, "c16")
+    orig = VersionedCollection._rewrite_props
+    fired = {"n": 0}
+
+    def racing(self, mutate):
+        orig(self, mutate)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            c2 = VersionedCollection(spark, str(tmp_path), "c16")
+            # simulate a writer that read props BEFORE the
+            # constraint landed: no guard on its write job
+            c2._constraint_guard = lambda *a, **k: None
+            c2.merge(_mk(spark, [(99, -5)]))
+
+    monkeypatch.setattr(
+        VersionedCollection, "_rewrite_props", racing
+    )
+    with pytest.raises(ValueError, match="rolled back"):
+        c.add_constraint("label_nonneg", "label >= 0")
+    assert "label_nonneg" not in c.constraints

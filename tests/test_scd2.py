@@ -151,3 +151,45 @@ def test_plan_has_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_late_record_raises(spark):
+    """A batch record predating its key's incumbent valid_from is
+    late-arriving history — the inline guard fails the job instead of
+    silently corrupting the chain."""
+    import pytest
+
+    dim = _dim(
+        spark,
+        [(1, "a", _ts("2024-06-01"), None, True)],
+    )
+    ups = _ups(spark, [(1, "b", _ts("2024-01-01"), 0)])
+    with pytest.raises(Exception, match="late-arriving"):
+        _apply(dim, ups).collect()
+
+
+def test_late_record_passthrough_when_unchecked(spark):
+    """reject_late=False restores the documented precondition-on-
+    caller behavior (no raise)."""
+    dim = _dim(
+        spark,
+        [(1, "a", _ts("2024-06-01"), None, True)],
+    )
+    ups = _ups(spark, [(1, "b", _ts("2024-01-01"), 0)])
+    out = scd2_apply(
+        dim, ups, key="k", tracked=["attr"], effective_col="eff",
+        tie_breakers=["ok"], reject_late=False,
+    )
+    out.collect()  # no raise; chain shape is caller's problem
+
+
+def test_on_time_records_unaffected_by_guard(spark):
+    """The guard never fires for records at or after the incumbent
+    valid_from (equality is legal — same-instant supersede)."""
+    dim = _dim(
+        spark,
+        [(1, "a", _ts("2024-06-01"), None, True)],
+    )
+    ups = _ups(spark, [(1, "b", _ts("2024-06-01"), 0)])
+    rows = _rows(_apply(dim, ups))
+    assert (1, "b", _ts("2024-06-01"), None, True) in rows

@@ -269,3 +269,52 @@ def test_update_concurrent_race_retries(spark, tmp_path, monkeypatch):
     assert _state(c) == {(0, 111), (7, 700)} | {
         (i, 10 * i) for i in range(1, 7)
     }
+
+
+def _cosine(spark, tmp_path, name, n=6):
+    c = VersionedCollection(spark, str(tmp_path), name)
+    c.create(
+        _mk(spark, [(i, 10 * i) for i in range(n)]),
+        dim=3,
+        metric="cosine",
+        normalize=True,
+        cluster_files=2,
+    )
+    return c
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_vector_update_renormalizes_on_cosine_table(
+    spark, tmp_path, mode
+):
+    """A SET on the vector column of a cosine/normalized table stores
+    a UNIT vector (same invariant as create/merge ingest) — search's
+    dot-product == cosine contract survives updates."""
+    c = _cosine(spark, tmp_path, f"u19{mode}")
+    c.update_where(
+        "id = 2",
+        {"vector": F.array(F.lit(3.0), F.lit(4.0), F.lit(0.0))},
+        mode=mode,
+    )
+    row = c.read().filter(F.col("id") == 2).head()
+    assert [round(x, 6) for x in row.vector] == [0.6, 0.8, 0.0]
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_update_set_uncastable_raises(spark, tmp_path, mode):
+    """Default-mode Spark casts 'abc' -> bigint to NULL silently; the
+    guarded SET cast raises instead (Delta UPDATE parity)."""
+    c = _clustered(spark, tmp_path, f"u20{mode}")
+    with pytest.raises(Exception, match="does not cast"):
+        c.update_where("id = 0", {"label": F.lit("abc")}, mode=mode)
+    # nothing committed, value intact
+    assert _state(c) == {(i, 10 * i) for i in range(8)}
+
+
+def test_update_set_explicit_null_is_legal(spark, tmp_path):
+    """NULL in, NULL out: the cast guard only fires when a NON-null
+    value nulls out under the cast."""
+    c = _clustered(spark, tmp_path, "u21")
+    c.update_where("id = 0", {"label": F.lit(None)})
+    row = c.read().filter(F.col("id") == 0).head()
+    assert row.label is None

@@ -111,11 +111,17 @@ def scd2_apply(
             F.when(
                 late,
                 F.raise_error(
-                    F.concat(
+                    # concat_ws + coalesce, NOT concat: concat
+                    # null-propagates, so a NULL key would erase the
+                    # whole diagnostic message
+                    F.concat_ws(
+                        "",
                         F.lit(
                             "scd2_apply: late-arriving record for key "
                         ),
-                        F.col(key).cast("string"),
+                        F.coalesce(
+                            F.col(key).cast("string"), F.lit("NULL")
+                        ),
                         F.lit(
                             " predates the incumbent valid_from; "
                             "history is not re-opened"

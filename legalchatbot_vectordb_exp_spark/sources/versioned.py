@@ -88,18 +88,31 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
+import warnings
 from urllib.parse import unquote, urlparse
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
+try:  # Spark 3.3+ location
+    from pyspark.errors import AnalysisException
+except ImportError:  # pragma: no cover - older Spark
+    from pyspark.sql.utils import AnalysisException
+
 from legalchatbot_vectordb_exp_spark.functions.vector import l2_normalize
 
 _PROPS_FILE = "_collection.json"
+
+# Advisory props-lock bound: a _rewrite_props waits at most this long
+# for a live holder; a lock file OLDER than this is provably stale (a
+# crashed holder) and is unlinked + re-acquired, so the lock
+# self-heals instead of degrading every later edit to wait+unlocked.
+_PROPS_LOCK_TIMEOUT = 5.0
 _VERSIONS_DIR = "_versions"
 _CHECKPOINT_FILE = "_checkpoint.json"
 _DATA_DIR = "data"
@@ -240,6 +253,10 @@ def _json_clean_bounds(mm) -> bool:
         for v in mm
     )
 
+# Default outstanding-DV-sidecar budget (see
+# VersionedCollection.dv_file_budget).
+_DV_FILE_BUDGET = 64
+
 # Protocol version this reader/writer speaks (Delta-style gate): a
 # manifest written by a newer engine with incompatible semantics bumps
 # this, and older readers fail loudly instead of misreading the table.
@@ -267,6 +284,163 @@ def _rel_file_col():
 
 
 _DV_FILE_COL = "_vc_file"
+
+
+def _parse_sql_literal(tok: str):
+    """A Python value for a simple SQL literal token (int, float, or
+    single-quoted string), else ``None``."""
+    tok = tok.strip()
+    if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
+        inner = tok[1:-1]
+        return None if "'" in inner else inner  # escaped quotes: punt
+    try:
+        return int(tok)
+    except ValueError:
+        try:
+            return float(tok)
+        except ValueError:
+            return None
+
+
+def _predicate_id_bounds(pred, id_col: str):
+    """Best-effort ``(lo, hi)`` bounds on ``id_col`` implied by a SQL
+    predicate STRING, or ``None`` when no bound can be proven.
+    Recognizes top-level conjunctions of simple comparisons on the
+    bare id column (``id = 7``, ``id >= 3 AND id < 9 AND label = 'x'``,
+    ``id BETWEEN 2 AND 5``, ``id IN (1, 4, 9)``); anything containing
+    OR / NOT / parenthesized structure beyond ``IN (...)`` gives up —
+    ``None`` means "unbounded", which every consumer treats
+    conservatively (no file pruned, any concurrent append conflicts).
+    Non-id conjuncts only narrow the row set further, so bounds from
+    the id conjuncts alone remain valid for pruning and conflict
+    checks.  Feeds the same two machines merge already uses: manifest
+    footer-stats pruning of the discovery scan, and
+    ``_conflict_free_base``'s added-file disjointness test."""
+    if not isinstance(pred, str):
+        return None
+    s = pred.strip()
+    if re.search(r"\bor\b|\bnot\b", s, re.IGNORECASE):
+        return None
+    ident = re.escape(id_col)
+    lo, hi = None, None
+    found = False
+
+    def _tighten(new_lo=None, new_hi=None):
+        nonlocal lo, hi, found
+        try:
+            if new_lo is not None and (lo is None or new_lo > lo):
+                lo = new_lo
+            if new_hi is not None and (hi is None or new_hi < hi):
+                hi = new_hi
+        except TypeError:
+            return False
+        found = True
+        return True
+
+    # BETWEEN first — its embedded AND must not split the conjunct
+    for m0 in re.finditer(
+        rf"\b{ident}\s+between\s+(\S+)\s+and\s+(\S+)", s, re.IGNORECASE
+    ):
+        a, b = _parse_sql_literal(m0.group(1)), _parse_sql_literal(
+            m0.group(2)
+        )
+        if a is None or b is None or not _tighten(a, b):
+            return None
+    s = re.sub(
+        rf"\b{ident}\s+between\s+\S+\s+and\s+\S+",
+        "1=1",
+        s,
+        flags=re.IGNORECASE,
+    )
+    # IN-lists next (their parens would otherwise read as structure)
+    for m0 in re.finditer(
+        rf"\b{ident}\s+in\s*\(([^()]*)\)", s, re.IGNORECASE
+    ):
+        vals = [_parse_sql_literal(t) for t in m0.group(1).split(",")]
+        if not vals or any(v is None for v in vals):
+            return None
+        try:
+            if not _tighten(min(vals), max(vals)):
+                return None
+        except TypeError:
+            return None
+    s = re.sub(
+        rf"\b{ident}\s+in\s*\([^()]*\)", "1=1", s, flags=re.IGNORECASE
+    )
+    if "(" in s or ")" in s:
+        return None
+    for conj in re.split(r"\band\b", s, flags=re.IGNORECASE):
+        conj = conj.strip()
+        m0 = re.fullmatch(
+            rf"{ident}\s*(==|=|>=|<=|>|<)\s*(.+)", conj
+        ) or None
+        rev = (
+            None
+            if m0
+            else re.fullmatch(rf"(.+?)\s*(==|=|>=|<=|>|<)\s*{ident}", conj)
+        )
+        if m0:
+            op, lit_tok = m0.group(1), m0.group(2)
+        elif rev:
+            # flip 'lit <= id' into 'id >= lit'
+            op = {
+                ">": "<", "<": ">", ">=": "<=", "<=": ">=",
+                "=": "=", "==": "==",
+            }[rev.group(2)]
+            lit_tok = rev.group(1)
+        else:
+            continue  # a non-id conjunct: only narrows further
+        lit = _parse_sql_literal(lit_tok)
+        if lit is None:
+            # a comparison ON the id col we can't parse: the bound
+            # may be tighter than anything we found — stay useful
+            # only if another conjunct bounds it; this one is skipped
+            continue
+        ok = True
+        if op in ("=", "=="):
+            ok = _tighten(lit, lit)
+        elif op in (">", ">="):
+            ok = _tighten(new_lo=lit)
+        else:
+            ok = _tighten(new_hi=lit)
+        if not ok:
+            return None
+    if found and lo is not None and hi is not None:
+        try:
+            lo <= hi  # mixed-type bounds are meaningless — give up
+        except TypeError:
+            return None
+    return (lo, hi) if found else None
+
+
+def _stats_candidates(
+    files: list[str], stats: dict, bounds: tuple | None
+) -> tuple[list[str], int]:
+    """Split ``files`` into (candidates, pruned_count) using manifest
+    footer id-stats against predicate-implied ``bounds`` — the same
+    tier-1 arithmetic merge uses: a file whose id range provably
+    cannot intersect the bounds is never opened.  Files without stats
+    (or no bounds at all) stay candidates."""
+    if not bounds:
+        return list(files), 0
+    lo, hi = bounds
+    cands, pruned = [], 0
+    for f in files:
+        mm = stats.get(f)
+        keep = True
+        if mm is not None and _json_clean_bounds(mm):
+            try:
+                if (hi is not None and mm[0] > hi) or (
+                    lo is not None and mm[1] < lo
+                ):
+                    keep = False
+            except TypeError:
+                keep = True  # non-comparable: never prune blind
+        if keep:
+            cands.append(f)
+        else:
+            pruned += 1
+    return cands, pruned
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -448,6 +622,17 @@ class VersionedCollection:
         self.last_merge_stats: dict | None = None
         #: populated by the most recent read_range() on this instance
         self.last_read_stats: dict | None = None
+        #: populated by the most recent delete_where()/update_where()
+        self.last_delete_stats: dict | None = None
+        self.last_update_stats: dict | None = None
+        #: outstanding deletion-vector sidecar budget: every reader
+        #: broadcasts ALL dv sidecars into the anti-join build side,
+        #: so an unbounded MOR-delete-only workload degrades every
+        #: read.  Past the budget, MOR deletes/updates warn (default)
+        #: or — with dv_auto_compact=True — materialize the DVs away
+        #: by rewriting only the covered files (O(covered bytes)).
+        self.dv_file_budget: int = _DV_FILE_BUDGET
+        self.dv_auto_compact: bool = False
 
     # ---------------------------------------------------------- manifests
 
@@ -595,6 +780,81 @@ class VersionedCollection:
             return json.load(f)
 
     # ------------------------------------------------------------- commit
+
+    def _commit_mapping(
+        self, pm: dict | None, schema: StructType
+    ) -> tuple[dict, list]:
+        """``(column_mapping, retired_columns)`` for a DATA commit
+        that is a child of ``pm`` and writes ``schema``: the parent's
+        mapping carried verbatim, plus a fresh physical name for any
+        NEW column (schema evolution) whose logical name collides
+        with a physical name already bound to another logical column
+        or retired by a drop — old data files still carry that
+        physical column, and reusing it would resurrect their values
+        into the new column.  DETERMINISTIC (content-hash physical
+        names), so the write job and the publish — and a rebase's
+        republish — agree without threading state.  Tables that never
+        ran a rename/drop return ``({}, [])`` and pay nothing."""
+        if pm is None:
+            return {}, []
+        mapping = dict(pm.get("column_mapping") or {})
+        retired = list(pm.get("retired_columns") or [])
+        if not mapping and not retired:
+            return {}, []
+        parent_fields = set(
+            StructType.fromJson(json.loads(pm["schema"])).fieldNames()
+        )
+        blocked = {
+            mapping.get(f, f) for f in parent_fields
+        } | set(retired)
+        import hashlib
+
+        token = "|".join(sorted(blocked))
+        for f in schema.fieldNames():
+            if f in parent_fields or f in mapping:
+                continue
+            if f in blocked:
+                h = hashlib.sha1(
+                    f"{f}|{token}".encode()
+                ).hexdigest()[:8]
+                mapping[f] = f"{f}_{h}"
+        return mapping, retired
+
+    def _read_files(
+        self,
+        files: list[str],
+        m: dict,
+        schema: StructType | None = None,
+    ) -> DataFrame:
+        """Read snapshot data files with the manifest's column
+        mapping applied: files are stored under PHYSICAL column names
+        (immutable since first write — rename/drop are metadata-only
+        commits), the returned frame carries the manifest's LOGICAL
+        names.  A dropped column simply isn't in the read schema
+        (parquet column pruning skips it for free); a renamed one is
+        read by its physical name and aliased — Catalyst pushes
+        filters and pruning through the aliasing projection, so the
+        scan shape is identical to an unmapped table.  Tables that
+        never ran a rename/drop skip the projection entirely."""
+        schema = schema or StructType.fromJson(json.loads(m["schema"]))
+        paths = [os.path.join(self.path, f) for f in files]
+        mapping = m.get("column_mapping") or {}
+        if not mapping:
+            return self.spark.read.schema(schema).parquet(*paths)
+        phys = StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        return self.spark.read.schema(phys).parquet(*paths).select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
     def _write_files(
         self,
@@ -1088,6 +1348,66 @@ class VersionedCollection:
                 rebases += 1
                 parent, pm = nb, self.manifest(nb)
 
+    def _publish_mor(
+        self,
+        payload: tuple[str | None, list[str], dict, dict],
+        base: int,
+        base_manifest: dict,
+        covered: list[str],
+        dv_rels: list[str],
+        operation: str,
+        key_bounds: tuple | None,
+    ) -> tuple[int, int]:
+        """Publish a merge-on-read commit — a deletion-vector sidecar
+        over ``covered`` files plus an optional appended ``payload``
+        (MOR update) — at ``base + 1``; on a lost publish race, REBASE
+        onto the winner without rerunning the matching scan or the
+        append job when ``_conflict_free_base`` proves the window
+        disjoint from our ``covered`` set (no window commit rewrote or
+        DV'd a covered file, no added file's id range intersects
+        ``key_bounds``).  The sidecar and appended files are reused
+        verbatim; only the manifest's ``dv`` map is recomputed from
+        each new parent.  Returns ``(version, rebases)``; a real
+        conflict sweeps the appended payload (the caller owns the
+        sidecar sweep) and re-raises for a full re-plan."""
+        base_schema_json = base_manifest["schema"]
+        schema = StructType.fromJson(json.loads(base_schema_json))
+        touched = set(covered)
+        parent, pm = base, base_manifest
+        rebases = 0
+        while True:
+            dv_next = {
+                r: list(cov) for r, cov in (pm.get("dv") or {}).items()
+            }
+            for r in dv_rels:
+                dv_next[r] = list(covered)
+            dv_add = {r: list(covered) for r in dv_rels}
+            try:
+                self._publish_payload(
+                    payload,
+                    parent + 1,
+                    parent,
+                    operation,
+                    carried=list(pm["files"]),
+                    schema=schema,
+                    carried_stats=dict(pm.get("stats", {})),
+                    carried_col_stats=dict(pm.get("col_stats", {})),
+                    parent_manifest=pm,
+                    dv=dv_next or None,
+                    dv_add=dv_add or None,
+                )
+                return parent + 1, rebases
+            except ConcurrentWriteError:
+                nb = self._conflict_free_base(
+                    parent, touched, key_bounds, base_schema_json
+                )
+                if nb is None:
+                    if payload[0] is not None:
+                        shutil.rmtree(payload[0], ignore_errors=True)
+                    raise
+                rebases += 1
+                parent, pm = nb, self.manifest(nb)
+
     # --------------------------------------------------------------- DDL
 
     def create(
@@ -1511,17 +1831,24 @@ class VersionedCollection:
             # ONE distributed aggregation — the source is scanned once
             # instead of once for validation plus once for bounds.
             dim = props["dim"]
-            guard = self._constraint_guard(
-                id_col, resolvable_on=source
-            )
-            if guard is not None:
+            if self.constraints:
                 # CHECK constraints ride the first job that touches
                 # the source (the small-batch collect or the
-                # validation aggregation) — no extra scan.
-                # Constraints over columns the source lacks (a
-                # schema_evolution merge) are skipped: the written
-                # rows get NULL there and SQL CHECK passes NULL.
-                source = source.withColumn(id_col, guard)
+                # validation aggregation) — no extra scan.  Columns
+                # the source lacks (a schema_evolution merge) are
+                # substituted as typed NULLs — the value actually
+                # written — so null-sensitive constraints enforce.
+                source = self._guard_source(
+                    source,
+                    id_col,
+                    StructType.fromJson(
+                        json.loads(
+                            self.manifest(self.latest_version())[
+                                "schema"
+                            ]
+                        )
+                    ),
+                )
             small = _collect_if_small(source, _ISIN_PUSHDOWN_LIMIT)
             if small is not None:
                 _validate_rows(small, dim, vector_col, id_col, self.name)
@@ -1861,13 +2188,24 @@ class VersionedCollection:
           rewrite (merge / compact / recluster) of the covered file
           materializes it away.
 
-        On a publish race the delete re-plans on the winning snapshot
-        and retries."""
+        When the predicate (given as a SQL string) provably bounds the
+        id column (``"id >= 3 AND id < 9"``, ``"id IN (2, 7)"``), the
+        SAME manifest footer-stats arithmetic merge uses prunes the
+        match-file discovery — files whose id range cannot intersect
+        are never opened — and on a publish race the already-written
+        payload is REBASED onto the winner without rerunning the data
+        job when every window commit is provably disjoint (same
+        protocol as :meth:`merge`); only an actual conflict re-plans.
+        ``last_delete_stats`` records the split."""
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown delete mode={mode!r}")
+        id_col = self.properties.get("id_col")
+        bounds = (
+            _predicate_id_bounds(predicate, id_col) if id_col else None
+        )
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         if mode == "mor":
-            return self._delete_where_mor(pred, max_retries)
+            return self._delete_where_mor(pred, max_retries, bounds)
         last_err: Exception | None = None
         for attempt in range(max_retries):
             base = self.latest_version()
@@ -1875,6 +2213,7 @@ class VersionedCollection:
             schema = StructType.fromJson(json.loads(m["schema"]))
             stats = m.get("stats", {})
             files = m["files"]
+            candidates, pruned = _stats_candidates(files, stats, bounds)
 
             # Fused local path — tiny tables: ONE collect evaluates
             # the predicate (still Spark SQL — arbitrary expressions)
@@ -1882,24 +2221,23 @@ class VersionedCollection:
             # survivors and the rewrite all happen driver-side, so the
             # whole DELETE is one job instead of three.
             can_fuse = (
-                0 < len(files) <= _LOCAL_REWRITE_MAX_FILES
+                0 < len(candidates) <= _LOCAL_REWRITE_MAX_FILES
                 and _local_writable(schema)
                 # outstanding DVs take the distributed path, which
                 # applies them to the rewrite read
                 and not m.get("dv")
             )
             if can_fuse:
-                can_fuse = self._fits_local_rewrite(files)
+                can_fuse = self._fits_local_rewrite(candidates)
             if can_fuse:
                 crows = self._collect_tagged(
-                    files,
+                    candidates,
                     schema,
                     extra={"_vc_hit": F.coalesce(pred, F.lit(False))},
                 )
                 matched_files = {
                     d["_vc_rel"] for d in crows if d["_vc_hit"]
                 }
-                carried = [f for f in files if f not in matched_files]
                 if not matched_files:
                     survivors = None
                 else:
@@ -1916,29 +2254,36 @@ class VersionedCollection:
                         ),
                         schema,
                     )
+                payload = self._write_payload(
+                    survivors, base + 1, id_col
+                )
                 try:
-                    self._commit(
-                        survivors,
-                        base + 1,
+                    _v, rebases = self._publish_merge(
+                        payload,
                         base,
+                        m,
+                        matched_files,
+                        schema,
                         "delete_where",
-                        carried=carried,
-                        schema=schema,
-                        carried_stats={
-                            f: stats[f] for f in carried if f in stats
-                        },
-                        id_col=self.properties.get("id_col"),
-                        parent_manifest=m,
+                        bounds,
                     )
+                    self.last_delete_stats = {
+                        "files_total": len(files),
+                        "files_pruned_by_stats": pruned,
+                        "files_scanned": len(candidates),
+                        "files_rewritten": len(matched_files),
+                        "retries": attempt,
+                        "rebases": rebases,
+                    }
                     return self
                 except ConcurrentWriteError as exc:
                     last_err = exc
                     continue
 
             matched_files: set[str] = set()
-            if files:
+            if candidates:
                 cand = self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, f) for f in files)
+                    *(os.path.join(self.path, f) for f in candidates)
                 )
                 hit = (
                     cand.filter(pred)
@@ -1948,7 +2293,6 @@ class VersionedCollection:
                     .collect()
                 )
                 matched_files = {self._rel_of_uri(r[0]) for r in hit}
-            carried = [f for f in files if f not in matched_files]
             if not matched_files:
                 # nothing to delete — still commit a no-op version so
                 # the operation is visible in history (Delta parity)
@@ -1968,27 +2312,32 @@ class VersionedCollection:
                     .filter(~F.coalesce(pred, F.lit(False)))
                     .coalesce(max(1, len(matched_files)))
                 )
+            payload = self._write_payload(survivors, base + 1, id_col)
             try:
-                self._commit(
-                    survivors,
-                    base + 1,
+                _v, rebases = self._publish_merge(
+                    payload,
                     base,
+                    m,
+                    matched_files,
+                    schema,
                     "delete_where",
-                    carried=carried,
-                    schema=schema,
-                    carried_stats={
-                        f: stats[f] for f in carried if f in stats
-                    },
-                    id_col=self.properties.get("id_col"),
-                    parent_manifest=m,
+                    bounds,
                 )
+                self.last_delete_stats = {
+                    "files_total": len(files),
+                    "files_pruned_by_stats": pruned,
+                    "files_scanned": len(candidates),
+                    "files_rewritten": len(matched_files),
+                    "retries": attempt,
+                    "rebases": rebases,
+                }
                 return self
             except ConcurrentWriteError as exc:
                 last_err = exc
         raise last_err  # type: ignore[misc]
 
     def _delete_where_mor(
-        self, pred, max_retries: int
+        self, pred, max_retries: int, bounds: tuple | None = None
     ) -> "VersionedCollection":
         """Merge-on-read DELETE: write the matched ``(file, id)``
         pairs as a deletion-vector parquet and commit ONLY the
@@ -1996,7 +2345,11 @@ class VersionedCollection:
         deleted rows.  The matching scan applies existing DVs first,
         so re-deleting an already-dead row is a no-op (DV pair sets
         stay disjoint).  All files carry; parent DV covers stay valid
-        verbatim because no file leaves the snapshot."""
+        verbatim because no file leaves the snapshot.  Predicate-
+        implied id ``bounds`` prune the matching scan to
+        stats-intersecting files, and a lost publish race rebases the
+        sidecar onto the winner (:meth:`_publish_mor`) instead of
+        re-scanning."""
         id_col = self.properties["id_col"]
         last_err: Exception | None = None
         for _attempt in range(max_retries):
@@ -2004,17 +2357,20 @@ class VersionedCollection:
             m = self.manifest(base)
             schema = StructType.fromJson(json.loads(m["schema"]))
             files = m["files"]
+            candidates, pruned = _stats_candidates(
+                files, m.get("stats", {}), bounds
+            )
             dv_rels: list[str] = []
             covered: list[str] = []
             out: str | None = None
-            if files:
+            if candidates:
                 # tag the file BEFORE the DV anti-join:
                 # input_file_name() must bind while the plan has one
                 # file source (Spark's PreReadCheck rejects it above a
                 # join of two scans), and the matched select reuses
                 # the same tag
                 cand = self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, f) for f in files)
+                    *(os.path.join(self.path, f) for f in candidates)
                 ).withColumn(_DV_FILE_COL, _rel_file_col())
                 dvdf = self._dv_frame(m, schema)
                 if dvdf is not None:
@@ -2057,39 +2413,122 @@ class VersionedCollection:
                         .distinct()
                         .collect()
                     ]
-            if not covered:
+            if not covered and out is not None:
                 # nothing matched — still commit a no-op version so
                 # the operation is visible in history (cow parity)
-                if out is not None:
-                    shutil.rmtree(out, ignore_errors=True)
-                dv_next, dv_add = None, None
-            else:
-                dv_next = {
-                    r: list(cov)
-                    for r, cov in (m.get("dv") or {}).items()
-                }
-                for r in dv_rels:
-                    dv_next[r] = covered
-                dv_add = {r: covered for r in dv_rels}
+                shutil.rmtree(out, ignore_errors=True)
             try:
-                self._commit(
-                    None,
-                    base + 1,
+                _v, rebases = self._publish_mor(
+                    (None, [], {}, {}),
                     base,
+                    m,
+                    covered,
+                    dv_rels if covered else [],
                     "delete_where:mor",
-                    carried=list(files),
-                    schema=schema,
-                    carried_stats=dict(m.get("stats", {})),
-                    carried_col_stats=dict(m.get("col_stats", {})),
-                    id_col=id_col,
-                    parent_manifest=m,
-                    dv=dv_next,
-                    dv_add=dv_add,
+                    bounds,
                 )
+                self.last_delete_stats = {
+                    "files_total": len(files),
+                    "files_pruned_by_stats": pruned,
+                    "files_scanned": len(candidates),
+                    "files_rewritten": 0,
+                    "retries": _attempt,
+                    "rebases": rebases,
+                }
+                self._dv_budget_check()
                 return self
             except ConcurrentWriteError as exc:
                 if out is not None:
                     shutil.rmtree(out, ignore_errors=True)
+                last_err = exc
+        raise last_err  # type: ignore[misc]
+
+    # ---------------------------------------------------------- DV budget
+
+    def _dv_budget_check(self) -> None:
+        """Fires after every MOR delete/update commit: when the
+        outstanding sidecar count passes ``dv_file_budget``, either
+        warn (default) or — ``dv_auto_compact=True`` — call
+        :meth:`materialize_dvs` so the read-side broadcast stays
+        bounded.  Reads one RAW manifest (every manifest carries its
+        full dv map) — no chain fold, no data I/O."""
+        try:
+            raw = self._raw_manifest(self.latest_version())
+        except (FileNotFoundError, RuntimeError):
+            return
+        n_dv = len(raw.get("dv") or {})
+        if n_dv <= self.dv_file_budget:
+            return
+        if self.dv_auto_compact:
+            self.materialize_dvs()
+            return
+        warnings.warn(
+            f"collection {self.name}: {n_dv} deletion-vector "
+            f"sidecars outstanding (budget {self.dv_file_budget}) — "
+            f"every read broadcasts them all; run materialize_dvs() "
+            f"(or set dv_auto_compact=True) to fold them into the "
+            f"covered files",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+    def materialize_dvs(self, max_retries: int = 3) -> dict:
+        """Rewrite ONLY the DV-covered data files of the latest
+        snapshot with their deletion vectors applied, dropping every
+        ``dv`` entry — one commit that bounds the read-side broadcast
+        after a long MOR delete/update run.  Cost is O(covered
+        bytes): uncovered files carry by reference, never a table
+        rescan.  (Delta calls this REORG TABLE ... APPLY (PURGE).)"""
+        id_col = self.properties.get("id_col")
+        last_err: Exception | None = None
+        for attempt in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            dv = m.get("dv") or {}
+            if not dv:
+                return {
+                    "rewritten": 0,
+                    "dv_dropped": 0,
+                    "version": base,
+                }
+            covered = sorted({f for cov in dv.values() for f in cov})
+            cset = set(covered)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            stats = m.get("stats", {})
+            df = self._apply_dv(
+                self.spark.read.schema(schema).parquet(
+                    *(os.path.join(self.path, f) for f in covered)
+                ),
+                m,
+                schema,
+            ).coalesce(max(1, len(covered)))
+            payload = self._write_payload(df, base + 1, id_col)
+            carried = [f for f in m["files"] if f not in cset]
+            try:
+                self._publish_payload(
+                    payload,
+                    base + 1,
+                    base,
+                    "materialize_dvs",
+                    carried=carried,
+                    schema=schema,
+                    carried_stats={
+                        f: stats[f] for f in carried if f in stats
+                    },
+                    parent_manifest=m,
+                    dv={},  # every cover departs with its file
+                )
+                # sidecar parquet files are now unreferenced; vacuum
+                # retires them once their manifests age out
+                return {
+                    "rewritten": len(covered),
+                    "dv_dropped": len(dv),
+                    "version": base + 1,
+                    "retries": attempt,
+                }
+            except ConcurrentWriteError as exc:
+                if payload[0] is not None:
+                    shutil.rmtree(payload[0], ignore_errors=True)
                 last_err = exc
         raise last_err  # type: ignore[misc]
 
@@ -2106,18 +2545,39 @@ class VersionedCollection:
         edits serialize their read-modify-write instead of
         last-writer-wins dropping one (two racing ``add_constraint``
         calls both land).  The lock is advisory and bounded: a holder
-        that died is overridden after a short timeout — props edits
-        are rare, tiny, and idempotent to re-apply."""
+        that died leaves the lock file behind, so on timeout a lock
+        OLDER than the timeout is unlinked and the ``O_EXCL`` create
+        retried — the lock SELF-HEALS after a crash instead of every
+        later edit paying the full wait and running unlocked.  A
+        live-but-slow holder (fresh mtime) is still only waited on
+        for the bounded timeout — props edits are rare, tiny, and
+        idempotent to re-apply."""
         lock = os.path.join(self.path, "._props.lock")
-        deadline = time.time() + 5.0
+        deadline = time.time() + _PROPS_LOCK_TIMEOUT
         fd = None
+        healed = False
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder just released: retry create
+                if age >= _PROPS_LOCK_TIMEOUT and not healed:
+                    # provably-stale lock (crashed holder): unlink
+                    # it and retry the O_EXCL create once —
+                    # immediately, not after burning the full wait
+                    healed = True
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
+                    deadline = time.time() + 1.0
+                    continue
                 if time.time() >= deadline:
-                    break  # stale/dead holder: proceed unlocked
+                    break  # live holder overran the bound: unlocked
                 time.sleep(0.01)
         try:
             props = self.properties
@@ -2184,7 +2644,7 @@ class VersionedCollection:
                 name, expr
             )
         )
-        for _ in range(5):
+        for _ in range(8):
             v1 = self.latest_version()
             if v1 == v0:
                 return
@@ -2209,6 +2669,21 @@ class VersionedCollection:
                         f"wrote rows violating ({expr})"
                     )
             v0 = v1
+        else:
+            # the table kept advancing through every re-verify round:
+            # the constraint IS installed and every inspected window
+            # commit passed, but the LAST window is unverified — say
+            # so instead of returning as if fully fenced (docstring
+            # honesty; a quiet write moment lets a re-add fully
+            # verify)
+            warnings.warn(
+                f"collection {self.name}: CHECK constraint {name!r} "
+                f"added, but the table kept advancing during the "
+                f"concurrency fence — commits after version {v0} "
+                f"were not re-verified against ({expr})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def drop_constraint(self, name: str) -> None:
         if name not in self.constraints:
@@ -2221,37 +2696,59 @@ class VersionedCollection:
 
         self._rewrite_props(_drop)
 
-    def _constraint_guard(
-        self, id_col: str, extra_cond=None, resolvable_on=None
-    ):
+    def _guard_source(
+        self, source: DataFrame, id_col: str, table_schema: StructType
+    ) -> DataFrame:
+        """Apply the CHECK-constraint guard to a merge SOURCE,
+        evaluating every constraint against the row AS WRITTEN: table
+        columns the source lacks (a ``schema_evolution`` merge) are
+        written as NULL, so they are substituted as typed NULL
+        literals — ``F.lit(None).cast(<table type>)`` — before the
+        guard analyzes.  Null-sensitive constraints (``label IS NOT
+        NULL``) therefore correctly FAIL on the NULL actually written
+        instead of being skipped; null-passing ones (``label >= 0``)
+        pass, per SQL CHECK semantics.  A constraint that still does
+        not analyze after the substitution (typo'd column/function) is
+        an error, not a silent skip — only column-resolution /
+        analysis failures are caught, and they raise.  Returns the
+        (possibly guarded) source with its ORIGINAL column set."""
+        cons = self.constraints
+        if not cons:
+            return source
+        missing = {
+            f.name: F.lit(None).cast(f.dataType)
+            for f in table_schema.fields
+            if f.name not in source.columns
+        }
+        probe = source.withColumns(missing) if missing else source
+        for cname, cexpr in cons.items():
+            try:
+                # analysis is eager and job-free: this only checks
+                # the expression resolves, it never scans data
+                probe.select(F.expr(cexpr))
+            except AnalysisException as exc:
+                raise ValueError(
+                    f"collection {self.name}: CHECK constraint "
+                    f"{cname!r} ({cexpr}) does not resolve against "
+                    f"the merge source (with NULL-filled table "
+                    f"columns): {exc}"
+                ) from None
+        guard = self._constraint_guard(id_col)
+        if guard is None:  # a test/caller disabled the guard
+            return source
+        out = probe.withColumn(id_col, guard)
+        return out.drop(*missing) if missing else out
+
+    def _constraint_guard(self, id_col: str, extra_cond=None):
         """A Column replacing ``id_col`` that raises on the first
         violated CHECK constraint and passes the id through
         untouched otherwise — evaluated against the row AS WRITTEN,
         riding whatever job writes it.  ``extra_cond`` (e.g. "this row
         was actually updated") limits enforcement to changed rows.
-        ``resolvable_on`` (a DataFrame) drops constraints that do not
-        analyze against that frame's columns: a ``schema_evolution``
-        merge whose source lacks a constrained column writes NULL for
-        it, and SQL CHECK passes NULL — enforcing against the raw
-        source would be a spurious AnalysisException.  Returns None
-        when no (applicable) constraints exist."""
+        Returns None when no constraints exist."""
         cons = self.constraints
         if not cons:
             return None
-        if resolvable_on is not None:
-            kept = {}
-            for cname, cexpr in cons.items():
-                try:
-                    # analysis is eager and job-free: this only
-                    # checks the expression resolves on the source's
-                    # columns, it never scans data
-                    resolvable_on.select(F.expr(cexpr))
-                    kept[cname] = cexpr
-                except Exception:
-                    pass
-            cons = kept
-            if not cons:
-                return None
         out = F.col(id_col)
         for cname in sorted(cons):
             cexpr = cons[cname]
@@ -2385,14 +2882,22 @@ class VersionedCollection:
 
         The reference has no row-level update — its only mutation is
         the whole-collection recreate (``Qdrant/VectorDB/Database.py``).
-        On a publish race the update re-plans on the winning snapshot
-        and retries."""
+        When the predicate (a SQL string) provably bounds the id
+        column, manifest footer stats prune the match-file discovery
+        to intersecting files (merge's tier-1 arithmetic), and a lost
+        publish race REBASES the already-written payload onto the
+        winner instead of re-running the data job when the window is
+        provably disjoint; only an actual conflict re-plans.
+        ``last_update_stats`` records the split."""
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown update mode={mode!r}")
+        id_col = self.properties["id_col"]
+        bounds = _predicate_id_bounds(predicate, id_col)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         if mode == "mor":
-            return self._update_where_mor(pred, set_exprs, max_retries)
-        id_col = self.properties["id_col"]
+            return self._update_where_mor(
+                pred, set_exprs, max_retries, bounds
+            )
         last_err: Exception | None = None
         for _attempt in range(max_retries):
             base = self.latest_version()
@@ -2401,10 +2906,11 @@ class VersionedCollection:
             setx = self._resolve_set_exprs(set_exprs, schema)
             stats = m.get("stats", {})
             files = m["files"]
+            candidates, pruned = _stats_candidates(files, stats, bounds)
             matched_files: set[str] = set()
-            if files:
+            if candidates:
                 cand = self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, f) for f in files)
+                    *(os.path.join(self.path, f) for f in candidates)
                 )
                 hit_files = (
                     cand.filter(pred)
@@ -2414,7 +2920,6 @@ class VersionedCollection:
                     .collect()
                 )
                 matched_files = {self._rel_of_uri(r[0]) for r in hit_files}
-            carried = [f for f in files if f not in matched_files]
             if not matched_files:
                 survivors = None  # no-op version, history parity
             else:
@@ -2450,27 +2955,36 @@ class VersionedCollection:
                 survivors = survivors.coalesce(
                     max(1, len(matched_files))
                 )
+            payload = self._write_payload(survivors, base + 1, id_col)
             try:
-                self._commit(
-                    survivors,
-                    base + 1,
+                _v, rebases = self._publish_merge(
+                    payload,
                     base,
+                    m,
+                    matched_files,
+                    schema,
                     "update_where",
-                    carried=carried,
-                    schema=schema,
-                    carried_stats={
-                        f: stats[f] for f in carried if f in stats
-                    },
-                    id_col=id_col,
-                    parent_manifest=m,
+                    bounds,
                 )
+                self.last_update_stats = {
+                    "files_total": len(files),
+                    "files_pruned_by_stats": pruned,
+                    "files_scanned": len(candidates),
+                    "files_rewritten": len(matched_files),
+                    "retries": _attempt,
+                    "rebases": rebases,
+                }
                 return self
             except ConcurrentWriteError as exc:
                 last_err = exc
         raise last_err  # type: ignore[misc]
 
     def _update_where_mor(
-        self, pred, set_exprs: dict, max_retries: int
+        self,
+        pred,
+        set_exprs: dict,
+        max_retries: int,
+        bounds: tuple | None = None,
     ) -> "VersionedCollection":
         """Merge-on-read UPDATE: job 1 writes the matched ``(file,
         id)`` pairs as a deletion-vector sidecar (old versions die in
@@ -2488,12 +3002,15 @@ class VersionedCollection:
             schema = StructType.fromJson(json.loads(m["schema"]))
             setx = self._resolve_set_exprs(set_exprs, schema)
             files = m["files"]
+            candidates, pruned = _stats_candidates(
+                files, m.get("stats", {}), bounds
+            )
             dv_rels: list[str] = []
             covered: list[str] = []
             out: str | None = None
-            if files:
+            if candidates:
                 cand = self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, f) for f in files)
+                    *(os.path.join(self.path, f) for f in candidates)
                 ).withColumn(_DV_FILE_COL, _rel_file_col())
                 dvdf = self._dv_frame(m, schema)
                 if dvdf is not None:
@@ -2537,28 +3054,27 @@ class VersionedCollection:
                 if out is not None:
                     shutil.rmtree(out, ignore_errors=True)
                 try:
-                    self._commit(
-                        None,
-                        base + 1,
+                    _v, rebases = self._publish_mor(
+                        (None, [], {}, {}),
                         base,
+                        m,
+                        [],
+                        [],
                         "update_where:mor",
-                        carried=list(files),
-                        schema=schema,
-                        carried_stats=dict(m.get("stats", {})),
-                        carried_col_stats=dict(m.get("col_stats", {})),
-                        id_col=id_col,
-                        parent_manifest=m,
+                        bounds,
                     )
+                    self.last_update_stats = {
+                        "files_total": len(files),
+                        "files_pruned_by_stats": pruned,
+                        "files_scanned": len(candidates),
+                        "files_rewritten": 0,
+                        "retries": _attempt,
+                        "rebases": rebases,
+                    }
                     return self
                 except ConcurrentWriteError as exc:
                     last_err = exc
                     continue
-            dv_next = {
-                r: list(cov) for r, cov in (m.get("dv") or {}).items()
-            }
-            for r in dv_rels:
-                dv_next[r] = covered
-            dv_add = {r: covered for r in dv_rels}
             id_field = [f for f in schema.fields if f.name == id_col]
             dv_schema = StructType(
                 [StructField(_DV_FILE_COL, StringType(), False)]
@@ -2597,20 +3113,27 @@ class VersionedCollection:
                 updated = updated.withColumn(id_col, guard)
             updated = updated.coalesce(max(1, len(covered)))
             try:
-                self._commit(
-                    updated,
-                    base + 1,
-                    base,
-                    "update_where:mor",
-                    carried=list(files),
-                    schema=schema,
-                    carried_stats=dict(m.get("stats", {})),
-                    carried_col_stats=dict(m.get("col_stats", {})),
-                    id_col=id_col,
-                    parent_manifest=m,
-                    dv=dv_next,
-                    dv_add=dv_add,
+                payload = self._write_payload(
+                    updated, base + 1, id_col
                 )
+                _v, rebases = self._publish_mor(
+                    payload,
+                    base,
+                    m,
+                    covered,
+                    dv_rels,
+                    "update_where:mor",
+                    bounds,
+                )
+                self.last_update_stats = {
+                    "files_total": len(files),
+                    "files_pruned_by_stats": pruned,
+                    "files_scanned": len(candidates),
+                    "files_rewritten": 0,
+                    "retries": _attempt,
+                    "rebases": rebases,
+                }
+                self._dv_budget_check()
                 return self
             except ConcurrentWriteError as exc:
                 if out is not None:

@@ -7,6 +7,8 @@ small-batch paths enforce at collect time.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -235,3 +237,61 @@ def test_add_constraint_rolls_back_on_racing_violation(
     with pytest.raises(ValueError, match="rolled back"):
         c.add_constraint("label_nonneg", "label >= 0")
     assert "label_nonneg" not in c.constraints
+
+
+def test_schema_evolution_merge_enforces_null_sensitive_constraint(
+    spark, tmp_path
+):
+    """A constraint that a NULL actually FAILS (``label IS NOT
+    NULL``) must fire on a schema_evolution merge whose source lacks
+    the column — the written row carries NULL, and skipping the
+    constraint (old behavior) silently committed violating rows."""
+    c = _coll(spark, tmp_path, "c17")
+    c.add_constraint("label_present", "label IS NOT NULL")
+    src = spark.createDataFrame(
+        [(9, _vec(9))], "id long, vector array<double>"
+    )
+    with pytest.raises(Exception, match="CHECK constraint label_present"):
+        c.merge(src, schema_evolution=True)
+    # nothing committed
+    assert c.read().filter(F.col("id") == 9).count() == 0
+
+
+def test_broken_constraint_raises_not_skipped(spark, tmp_path):
+    """A constraint whose expression genuinely does not analyze
+    (typo'd column) must surface as an error on the next merge — not
+    be silently disabled by the resolution probe."""
+    c = _coll(spark, tmp_path, "c18")
+    # inject directly: add_constraint's own validation scan would
+    # reject it, which is exactly why a broken expr can only appear
+    # through out-of-band props edits — and must still not be skipped
+    c._rewrite_props(
+        lambda p: p.setdefault("constraints", {}).__setitem__(
+            "broken", "no_such_col > 0"
+        )
+    )
+    with pytest.raises(ValueError, match="does not resolve"):
+        c.merge(_mk(spark, [(9, 5)]), schema_evolution=True)
+    with pytest.raises(ValueError, match="does not resolve"):
+        c.merge(_mk(spark, [(9, 5)]))
+
+
+def test_stale_props_lock_self_heals(spark, tmp_path):
+    """A lock file left by a crashed holder is unlinked and
+    re-acquired instead of degrading every later props edit to
+    wait-the-timeout-then-run-unlocked."""
+    import time as _time
+
+    c = _coll(spark, tmp_path, "c19")
+    lock = os.path.join(c.path, "._props.lock")
+    with open(lock, "w"):
+        pass
+    old = _time.time() - 60.0
+    os.utime(lock, (old, old))
+    t0 = _time.time()
+    c.add_constraint("label_nonneg", "label >= 0")
+    elapsed = _time.time() - t0
+    assert elapsed < 4.0, f"stale lock not healed fast: {elapsed:.1f}s"
+    assert c.constraints == {"label_nonneg": "label >= 0"}
+    # healed: the stale file is gone and the lock cycle completed
+    assert not os.path.exists(lock)

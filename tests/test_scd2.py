@@ -193,3 +193,14 @@ def test_on_time_records_unaffected_by_guard(spark):
     ups = _ups(spark, [(1, "b", _ts("2024-06-01"), 0)])
     rows = _rows(_apply(dim, ups))
     assert (1, "b", _ts("2024-06-01"), None, True) in rows
+
+
+def test_late_record_null_key_keeps_message(spark):
+    """The late-record diagnostic must survive a NULL key — concat
+    null-propagates, concat_ws + coalesce does not."""
+    import pytest
+
+    dim = _dim(spark, [(None, "a", _ts("2024-06-01"), None, True)])
+    ups = _ups(spark, [(None, "b", _ts("2024-01-01"), 10)])
+    with pytest.raises(Exception, match="key NULL"):
+        _apply(dim, ups).collect()

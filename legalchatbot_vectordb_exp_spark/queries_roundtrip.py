@@ -1769,3 +1769,140 @@ def q_update_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("cdf").alias("side"), "*")
         )
     )
+
+
+# ---------------------------------------------------------------------
+# column_mapping_read — rename/drop column as metadata-only commits
+
+_CMAP_HISTORY: dict[str, str] = {}  # sf_dir -> built warehouse
+
+
+@register(
+    "column_mapping_read",
+    sql="""
+    WITH v0 AS (
+      SELECT vec_id AS id, label, label % 7 AS grade
+      FROM embeddings WHERE vec_id < 200
+    ),
+    fin AS (
+      SELECT id, label AS score FROM v0 WHERE id < 150
+      UNION ALL
+      SELECT r AS id, r * 3 AS score FROM range(150, 220) t(r)
+    ),
+    chg AS (
+      SELECT f.id, f.score
+      FROM fin f LEFT JOIN v0 o USING (id)
+      WHERE f.id >= 150 AND (o.id IS NULL OR o.label <> f.score)
+    )
+    SELECT 'final' AS side, count(*)::BIGINT AS n_rows,
+           sum(score)::BIGINT AS sum_score
+    FROM fin
+    UNION ALL
+    SELECT 'v0', count(*)::BIGINT, sum(label + grade)::BIGINT FROM v0
+    UNION ALL
+    SELECT 'cdf', count(*)::BIGINT, sum(score)::BIGINT FROM chg
+    """,
+)
+def q_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (E11, Delta column-mapping parity) through the
+    oracle gate — rename and drop as METADATA-ONLY commits on a
+    populated versioned table:
+
+    * v0 ``create`` ids < 200 with two payload columns
+      (``label``, ``grade``).
+    * v1 ``rename_column('label', 'score')`` — hard-asserted zero
+      data-file changes: files keep the immutable PHYSICAL name, the
+      manifest's logical→physical map resolves reads.
+    * v2 ``drop_column('grade')`` — also metadata-only; the physical
+      name is RETIRED so a future re-add cannot resurrect old values.
+    * v3 ``merge`` of ids 150..219 under the NEW name (50 updates +
+      20 inserts) — written files store the physical name, reads
+      resolve old and new files through the same map.
+
+    Returns the final aggregate, the PRE-RENAME time-travel aggregate
+    (old names, both columns), and the ``changes(0, 3)`` feed
+    aggregate — the CDC diff compares the renamed column by PHYSICAL
+    identity, so the rename itself contributes no change rows and
+    real updates surface under the new name.  The reference's only
+    schema change is lazily adding a column (`Qdrant/llm.py:89-91`);
+    this is the full rename/drop lifecycle.
+
+    Scale shape: both DDLs cost ONE manifest write regardless of
+    table size — no data I/O on a 100 TB table — and the mapped read
+    is a scan-stage aliasing projection Catalyst prunes/pushes
+    through (zero extra exchanges)."""
+    import shutil
+
+    warehouse = _scratch(sf_dir, "column_mapping_read")
+    c = VersionedCollection(spark, warehouse, "cmap")
+    if _CMAP_HISTORY.get(sf_dir) != warehouse:
+        if os.path.isdir(warehouse):
+            shutil.rmtree(warehouse)
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").head()[0])
+        c.create(
+            emb.filter(F.col("vec_id") < 200).select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("vector"),
+                F.col("label").cast("long").alias("label"),
+                (F.col("label").cast("long") % 7).alias("grade"),
+            ),
+            dim=dim,
+            metric="dot",
+            normalize=False,
+            cluster_files=4,
+        )
+        files0 = c.manifest(0)["files"]
+        c.rename_column("label", "score")
+        m1 = c.manifest(1)
+        if m1["files"] != files0 or m1["n_written"] != 0:
+            raise AssertionError(
+                "rename_column must be metadata-only: "
+                f"{len(m1['files'])} files, n_written={m1['n_written']}"
+            )
+        c.drop_column("grade")
+        m2 = c.manifest(2)
+        if m2["files"] != files0 or m2.get("retired_columns") != [
+            "grade"
+        ]:
+            raise AssertionError(
+                "drop_column must be metadata-only and retire the "
+                f"physical name: {m2.get('retired_columns')}"
+            )
+        c.merge(
+            emb.filter(
+                (F.col("vec_id") >= 150) & (F.col("vec_id") < 220)
+            ).select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("vector"),
+                (F.col("vec_id") * 3).cast("long").alias("score"),
+            )
+        )
+        _CMAP_HISTORY[sf_dir] = warehouse
+
+    return (
+        c.read()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+        .select(F.lit("final").alias("side"), "*")
+        .unionByName(
+            c.read(version=0)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("label") + F.col("grade"))
+                .cast("bigint")
+                .alias("sum_score"),
+            )
+            .select(F.lit("v0").alias("side"), "*")
+        )
+        .unionByName(
+            c.changes(0, 3)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("score").cast("bigint").alias("sum_score"),
+            )
+            .select(F.lit("cdf").alias("side"), "*")
+        )
+    )

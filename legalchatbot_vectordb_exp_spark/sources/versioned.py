@@ -856,12 +856,29 @@ class VersionedCollection:
             ]
         )
 
+    def _dv_covered_files(self, dv_rels: list[str]) -> list[str]:
+        """Distinct covered data files recorded in just-written DV
+        sidecar(s) — read driver-side with pyarrow (the sidecar is a
+        KB-sized file this process wrote a moment ago; manifest I/O is
+        already driver-local), so confirming a MOR commit's cover set
+        costs zero Spark jobs."""
+        import pyarrow.parquet as pq
+
+        seen: set[str] = set()
+        for rel in dv_rels:
+            t = pq.read_table(
+                os.path.join(self.path, rel), columns=[_DV_FILE_COL]
+            )
+            seen.update(t.column(_DV_FILE_COL).to_pylist())
+        return sorted(seen)
+
     def _write_files(
         self,
         df: DataFrame,
         version: int,
         id_col: str | None,
         stat_cols: list[str] | None = None,
+        expected_ndv: int | None = None,
     ) -> tuple[str, list[str], dict, dict]:
         """Write a commit's data files into a fresh immutable subdir;
         returns (subdir, collection-relative paths, per-file id-column
@@ -881,10 +898,24 @@ class VersionedCollection:
             # IN FULL when NDV is unknown, ballooning small files
             # ~1 MiB each (measured).  128 KiB ≈ 109k NDV at 1% fpp —
             # right-sized for a 128 MB file of wide vector rows, 0.1%
-            # overhead at production file sizes.
+            # overhead at production file sizes.  For SMALL commits the
+            # cap alone still dominates (a 20-row MOR append measured
+            # 132 KB with the cap vs 1.6 KB data), so size it down:
+            # ``expected_ndv`` (known for key-validated merges) sizes
+            # the bloom exactly, and adaptive mode right-sizes from the
+            # observed NDV when no hint is available.
             writer = writer.option(
                 f"parquet.bloom.filter.enabled#{id_col}", "true"
             ).option("parquet.bloom.filter.max.bytes", str(128 << 10))
+            if expected_ndv is not None:
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{id_col}",
+                    str(max(1, expected_ndv)),
+                )
+            else:
+                writer = writer.option(
+                    "parquet.bloom.filter.adaptive.enabled", "true"
+                )
         writer.parquet(out)
         files = sorted(
             os.path.join(sub, f)
@@ -1038,6 +1069,8 @@ class VersionedCollection:
         version: int,
         id_col: str | None,
         stat_cols: list[str] | None = None,
+        mapping: dict | None = None,
+        expected_ndv: int | None = None,
     ) -> tuple[str | None, list[str], dict, dict]:
         """The data-write half of a commit: materialize ``df`` into an
         immutable subdir and return ``(out_dir, files, stats,
@@ -1045,18 +1078,75 @@ class VersionedCollection:
         can REBASE — republish the same files under a new parent —
         without rerunning the data job (the subdir's ``c<version>``
         prefix is a label, not an address; manifests reference files
-        by relative path)."""
+        by relative path).
+
+        ``mapping`` (logical → physical, from ``_commit_mapping``)
+        renames columns to their PHYSICAL names before the write —
+        data files always store physical names, so rename/drop DDL
+        stays metadata-only.  Footer stats are read under physical
+        names and recorded back under logical ones."""
+        if df is None:
+            return None, [], {}, {}
+        phys_id = (mapping or {}).get(id_col, id_col)
+        phys_stat_cols = (
+            [(mapping or {}).get(c, c) for c in stat_cols]
+            if stat_cols
+            else stat_cols
+        )
+        self.io_counters["data_writes"] = (
+            self.io_counters.get("data_writes", 0) + 1
+        )
         if isinstance(df, _LocalRows):
-            self.io_counters["data_writes"] = (
-                self.io_counters.get("data_writes", 0) + 1
+            if mapping:
+                df = _LocalRows(
+                    [
+                        [
+                            {mapping.get(k, k): v for k, v in r.items()}
+                            for r in chunk
+                        ]
+                        for chunk in df.chunks
+                    ],
+                    StructType(
+                        [
+                            StructField(
+                                mapping.get(f.name, f.name),
+                                f.dataType,
+                                f.nullable,
+                            )
+                            for f in df.schema.fields
+                        ]
+                    ),
+                )
+            out = self._write_files_local(
+                df, version, phys_id, phys_stat_cols
             )
-            return self._write_files_local(df, version, id_col, stat_cols)
-        if df is not None:
-            self.io_counters["data_writes"] = (
-                self.io_counters.get("data_writes", 0) + 1
+        else:
+            if mapping:
+                df = df.select(
+                    *[
+                        F.col(c).alias(mapping.get(c, c))
+                        for c in df.columns
+                    ]
+                )
+            out = self._write_files(
+                df,
+                version,
+                phys_id,
+                phys_stat_cols,
+                expected_ndv=expected_ndv,
             )
-            return self._write_files(df, version, id_col, stat_cols)
-        return None, [], {}, {}
+        if mapping and out[3]:
+            inv = {p: l for l, p in mapping.items()}
+            out = (
+                out[0],
+                out[1],
+                out[2],
+                {
+                    f: {inv.get(c, c): mm for c, mm in cs.items()}
+                    for f, cs in out[3].items()
+                },
+            )
+        return out
 
     def _commit(
         self,
@@ -1078,7 +1168,13 @@ class VersionedCollection:
         written data subdir is swept best-effort before re-raising, so
         retry loops don't strew orphans (vacuum's age guard covers any
         sweep that itself fails)."""
-        payload = self._write_payload(df, version, id_col, stat_cols)
+        pm = parent_manifest
+        if pm is None and parent is not None:
+            pm = self.manifest(parent)
+        mapping, _ = self._commit_mapping(pm, schema)
+        payload = self._write_payload(
+            df, version, id_col, stat_cols, mapping=mapping or None
+        )
         try:
             self._publish_payload(
                 payload,
@@ -1089,7 +1185,7 @@ class VersionedCollection:
                 schema,
                 carried_stats,
                 carried_col_stats,
-                parent_manifest,
+                pm,
                 dv=dv,
                 dv_add=dv_add,
             )
@@ -1111,12 +1207,21 @@ class VersionedCollection:
         parent_manifest: dict | None = None,
         dv: dict | None = None,
         dv_add: dict | None = None,
+        column_mapping: dict | None = None,
+        retired_columns: list | None = None,
     ) -> None:
         """The manifest half of a commit: build the (delta or full)
         manifest for an already-written payload and publish it
         atomically.  Raises ``ConcurrentWriteError`` on a lost race
         WITHOUT touching the payload files — the caller decides
         between sweep-and-rerun and rebase-and-republish.
+
+        ``column_mapping``/``retired_columns`` are stamped explicitly
+        by the rename/drop DDL commits (and restore); data commits
+        leave them ``None`` and inherit the parent's via
+        ``_commit_mapping`` — every manifest of a mapped table carries
+        the full (tiny) map, so snapshot resolution never walks the
+        chain for it.
 
         ``dv`` is the commit's RESOLVED deletion-vector map
         ``{dv_rel: [covered data files]}``; when ``None`` it derives
@@ -1176,6 +1281,14 @@ class VersionedCollection:
             manifest["dv"] = dv
         if dv_add:
             manifest["dv_add"] = dv_add
+        if column_mapping is None and parent is not None:
+            column_mapping, retired_columns = self._commit_mapping(
+                _parent_manifest(), schema
+            )
+        if column_mapping:
+            manifest["column_mapping"] = column_mapping
+        if retired_columns:
+            manifest["retired_columns"] = retired_columns
         # carried files keep their Z-order column stats without every
         # caller having to thread them through — only materialized on
         # the full-manifest branch (a delta carries stats implicitly)
@@ -1578,9 +1691,7 @@ class VersionedCollection:
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not m["files"]:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(
-            *(os.path.join(self.path, f) for f in m["files"])
-        )
+        df = self._read_files(m["files"], m, schema)
         return self._apply_dv(df, m, schema)
 
     def _dv_frame(
@@ -1679,11 +1790,7 @@ class VersionedCollection:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self._apply_dv(
-                self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, f) for f in keep)
-                ),
-                m,
-                schema,
+                self._read_files(keep, m, schema), m, schema
             )
         return df.filter(
             (F.col(col) >= F.lit(lower)) & (F.col(col) <= F.lit(upper))
@@ -1723,15 +1830,21 @@ class VersionedCollection:
         files: list[str],
         schema: StructType,
         extra: dict | None = None,
+        m: dict | None = None,
     ) -> list[dict]:
         """One bounded collect of the candidate files with every row
         tagged by its collection-relative source file (``_vc_rel``)
         plus any extra derived columns — the shared front half of the
-        fused merge and delete rewrites."""
+        fused merge and delete rewrites.  ``m`` (the snapshot
+        manifest) applies the column mapping when present."""
         if not files:
             return []
-        df = self.spark.read.schema(schema).parquet(
-            *(os.path.join(self.path, f) for f in files)
+        df = (
+            self._read_files(files, m, schema)
+            if m is not None
+            else self.spark.read.schema(schema).parquet(
+                *(os.path.join(self.path, f) for f in files)
+            )
         )
         for name, col in (extra or {}).items():
             df = df.withColumn(name, col)
@@ -2013,7 +2126,7 @@ class VersionedCollection:
             if can_fuse:
                 _k = lambda v: bytes(v) if isinstance(v, bytearray) else v
                 keyset = {_k(k) for k in key_list}
-                crows = self._collect_tagged(candidates, schema)
+                crows = self._collect_tagged(candidates, schema, m=m)
                 matched_files = {
                     d["_vc_rel"]
                     for d in crows
@@ -2040,7 +2153,11 @@ class VersionedCollection:
                     out_schema,
                 )
                 payload = self._write_payload(
-                    local_rows, base + 1, id_col
+                    local_rows,
+                    base + 1,
+                    id_col,
+                    mapping=self._commit_mapping(m, out_schema)[0]
+                    or None,
                 )
                 try:
                     _v, rebases = self._publish_merge(
@@ -2080,9 +2197,7 @@ class VersionedCollection:
                     and n_keys <= _ISIN_PUSHDOWN_LIMIT
                 ):
                     key_list = [r[0] for r in keys.collect()]
-                cand = self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, f) for f in candidates)
-                )
+                cand = self._read_files(candidates, m, schema)
                 if key_list is not None:
                     probe = cand.filter(
                         F.col(id_col).isin(key_list)
@@ -2103,12 +2218,7 @@ class VersionedCollection:
                 }
             if matched_files:
                 rewr = self._apply_dv(
-                    self.spark.read.schema(schema).parquet(
-                        *(
-                            os.path.join(self.path, f)
-                            for f in matched_files
-                        )
-                    ),
+                    self._read_files(sorted(matched_files), m, schema),
                     m,
                     schema,
                 )
@@ -2140,7 +2250,12 @@ class VersionedCollection:
             # small files (measured: 8 rewritten -> 18 written)
             out = out.coalesce(max(1, len(matched_files)))
 
-            payload = self._write_payload(out, base + 1, id_col)
+            payload = self._write_payload(
+                out,
+                base + 1,
+                id_col,
+                mapping=self._commit_mapping(m, out_schema)[0] or None,
+            )
             try:
                 _v, rebases = self._publish_merge(
                     payload,
@@ -2162,6 +2277,192 @@ class VersionedCollection:
                 return self
             except ConcurrentWriteError as exc:
                 last_err = exc  # conflicting window: re-plan on winner
+        raise last_err  # type: ignore[misc]
+
+    def merge_mor(
+        self,
+        source: DataFrame,
+        max_retries: int = 3,
+    ) -> "VersionedCollection":
+        """Merge-on-read UPSERT (``WHEN MATCHED UPDATE / WHEN NOT
+        MATCHED INSERT`` with ZERO data-file rewrite): the matched
+        ``(file, id)`` pairs land in a deletion-vector sidecar — old
+        row versions die in place — and the WHOLE batch appends as new
+        file(s) in the SAME commit.  Commit bytes ∝ batch size, never
+        matched-file size: a 10-row CDC batch touching 10 different
+        128 MB files costs one KB-sized sidecar plus one small append,
+        where :meth:`merge` (copy-on-write) would rewrite 1.28 GB.
+        The next rewrite (compact / :meth:`materialize_dvs` /
+        recluster) folds the DVs away; read cost is bounded by
+        ``dv_file_budget``.
+
+        Same validation contract as :meth:`merge` (dim/dup checks,
+        cosine re-normalization, CHECK constraints inline on the
+        append job); crash-replaying the same batch is
+        value-idempotent (the replay DVs the first attempt's appended
+        rows and appends equal ones).  Schema evolution is not
+        supported here — the append must match the table schema
+        exactly (use the COW merge for evolving batches).  Meant for
+        micro-batch-sized CDC upserts: the append is coalesced to one
+        file per commit."""
+        if max_retries < 1:
+            raise ValueError(f"max_retries must be >= 1, got {max_retries}")
+        props = self.properties
+        id_col, vector_col = props["id_col"], props["vector_col"]
+        dim = props["dim"]
+        if self.constraints:
+            source = self._guard_source(
+                source,
+                id_col,
+                StructType.fromJson(
+                    json.loads(
+                        self.manifest(self.latest_version())["schema"]
+                    )
+                ),
+            )
+        key_list: list | None = None
+        small = _collect_if_small(source, _ISIN_PUSHDOWN_LIMIT)
+        if small is not None:
+            _validate_rows(small, dim, vector_col, id_col, self.name)
+            key_list = [r[id_col] for r in small]
+            n_keys = len(key_list)
+            key_bounds = (
+                (min(key_list), max(key_list))
+                if key_list
+                else (None, None)
+            )
+        else:
+            row = source.agg(
+                F.sum(
+                    (
+                        F.col(vector_col).isNull()
+                        | (F.size(vector_col) != dim)
+                    ).cast("int")
+                ).alias("bad"),
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(F.col(id_col)).alias("n_keys"),
+                F.min(id_col).alias("lo"),
+                F.max(id_col).alias("hi"),
+            ).first()
+            if row["bad"]:
+                raise ValueError(
+                    f"collection {self.name}: {row['bad']} rows "
+                    f"violate dim={dim}"
+                )
+            if (row["n"] or 0) - (row["n_keys"] or 0):
+                raise ValueError(
+                    f"collection {self.name}: "
+                    f"{(row['n'] or 0) - (row['n_keys'] or 0)} "
+                    f"duplicate ids"
+                )
+            key_bounds = (row["lo"], row["hi"])
+            n_keys = row["n_keys"]
+        incoming = source
+        if props["metric"] == "cosine" and props.get("normalize", True):
+            incoming = incoming.withColumn(
+                vector_col, l2_normalize(vector_col)
+            )
+        last_err: Exception | None = None
+        for _attempt in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            extra = set(incoming.columns) - set(schema.fieldNames())
+            if extra:
+                raise ValueError(
+                    f"collection {self.name}: merge_mor source "
+                    f"carries columns not in the table schema "
+                    f"{sorted(extra)}; schema evolution needs the "
+                    f"copy-on-write merge()"
+                )
+            files = m["files"]
+            candidates, pruned = _stats_candidates(
+                files, m.get("stats", {}), key_bounds
+            )
+            dv_rels: list[str] = []
+            covered: list[str] = []
+            out: str | None = None
+            if candidates:
+                cand = self._read_files(
+                    candidates, m, schema
+                ).withColumn(_DV_FILE_COL, _rel_file_col())
+                dvdf = self._dv_frame(m, schema)
+                if dvdf is not None:
+                    cand = cand.join(
+                        F.broadcast(dvdf),
+                        [_DV_FILE_COL, id_col],
+                        "left_anti",
+                    )
+                if key_list is not None:
+                    matched = cand.filter(
+                        F.col(id_col).isin(key_list)
+                    )
+                else:
+                    matched = cand.join(
+                        F.broadcast(incoming.select(id_col))
+                        if n_keys is None
+                        or n_keys <= _BROADCAST_KEY_LIMIT
+                        else incoming.select(id_col),
+                        id_col,
+                        "semi",
+                    )
+                matched = matched.select(
+                    F.col(_DV_FILE_COL), F.col(id_col)
+                )
+                sub = os.path.join(
+                    _DATA_DIR,
+                    f"c{base + 1:08d}-dv-{uuid.uuid4().hex[:8]}",
+                )
+                out = os.path.join(self.path, sub)
+                matched.coalesce(1).write.mode("error").parquet(out)
+                self.io_counters["dv_writes"] = (
+                    self.io_counters.get("dv_writes", 0) + 1
+                )
+                dv_rels = sorted(
+                    os.path.join(sub, f)
+                    for f in os.listdir(out)
+                    if f.endswith(".parquet")
+                    and not f.startswith(("_", "."))
+                )
+                if dv_rels:
+                    covered = self._dv_covered_files(dv_rels)
+            if not covered and out is not None:
+                shutil.rmtree(out, ignore_errors=True)
+            try:
+                payload = self._write_payload(
+                    incoming.select(*schema.fieldNames()).coalesce(1),
+                    base + 1,
+                    id_col,
+                    mapping=self._commit_mapping(m, schema)[0] or None,
+                    expected_ndv=n_keys,
+                )
+                _v, rebases = self._publish_mor(
+                    payload,
+                    base,
+                    m,
+                    covered,
+                    dv_rels if covered else [],
+                    "merge:mor",
+                    key_bounds,
+                )
+                self.last_merge_stats = {
+                    "files_total": len(files),
+                    "files_pruned_by_stats": pruned,
+                    "files_scanned": len(candidates),
+                    "files_rewritten": 0,
+                    "retries": _attempt,
+                    "rebases": rebases,
+                }
+                self._dv_budget_check()
+                return self
+            except ConcurrentWriteError as exc:
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
+                last_err = exc
+            except Exception:
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
+                raise
         raise last_err  # type: ignore[misc]
 
     def delete_where(
@@ -2234,6 +2535,7 @@ class VersionedCollection:
                     candidates,
                     schema,
                     extra={"_vc_hit": F.coalesce(pred, F.lit(False))},
+                    m=m,
                 )
                 matched_files = {
                     d["_vc_rel"] for d in crows if d["_vc_hit"]
@@ -2255,7 +2557,10 @@ class VersionedCollection:
                         schema,
                     )
                 payload = self._write_payload(
-                    survivors, base + 1, id_col
+                    survivors,
+                    base + 1,
+                    id_col,
+                    mapping=self._commit_mapping(m, schema)[0] or None,
                 )
                 try:
                     _v, rebases = self._publish_merge(
@@ -2282,9 +2587,7 @@ class VersionedCollection:
 
             matched_files: set[str] = set()
             if candidates:
-                cand = self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, f) for f in candidates)
-                )
+                cand = self._read_files(candidates, m, schema)
                 hit = (
                     cand.filter(pred)
                     .withColumn("_vc_file", F.input_file_name())
@@ -2300,11 +2603,8 @@ class VersionedCollection:
             else:
                 survivors = (
                     self._apply_dv(
-                        self.spark.read.schema(schema).parquet(
-                            *(
-                                os.path.join(self.path, f)
-                                for f in matched_files
-                            )
+                        self._read_files(
+                            sorted(matched_files), m, schema
                         ),
                         m,
                         schema,
@@ -2312,7 +2612,12 @@ class VersionedCollection:
                     .filter(~F.coalesce(pred, F.lit(False)))
                     .coalesce(max(1, len(matched_files)))
                 )
-            payload = self._write_payload(survivors, base + 1, id_col)
+            payload = self._write_payload(
+                survivors,
+                base + 1,
+                id_col,
+                mapping=self._commit_mapping(m, schema)[0] or None,
+            )
             try:
                 _v, rebases = self._publish_merge(
                     payload,
@@ -2369,8 +2674,8 @@ class VersionedCollection:
                 # file source (Spark's PreReadCheck rejects it above a
                 # join of two scans), and the matched select reuses
                 # the same tag
-                cand = self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, f) for f in candidates)
+                cand = self._read_files(
+                    candidates, m, schema
                 ).withColumn(_DV_FILE_COL, _rel_file_col())
                 dvdf = self._dv_frame(m, schema)
                 if dvdf is not None:
@@ -2401,18 +2706,7 @@ class VersionedCollection:
                     and not f.startswith(("_", "."))
                 )
                 if dv_rels:
-                    covered = [
-                        r[0]
-                        for r in self.spark.read.parquet(
-                            *(
-                                os.path.join(self.path, r)
-                                for r in dv_rels
-                            )
-                        )
-                        .select(_DV_FILE_COL)
-                        .distinct()
-                        .collect()
-                    ]
+                    covered = self._dv_covered_files(dv_rels)
             if not covered and out is not None:
                 # nothing matched — still commit a no-op version so
                 # the operation is visible in history (cow parity)
@@ -2496,13 +2790,14 @@ class VersionedCollection:
             schema = StructType.fromJson(json.loads(m["schema"]))
             stats = m.get("stats", {})
             df = self._apply_dv(
-                self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, f) for f in covered)
-                ),
-                m,
-                schema,
+                self._read_files(covered, m, schema), m, schema
             ).coalesce(max(1, len(covered)))
-            payload = self._write_payload(df, base + 1, id_col)
+            payload = self._write_payload(
+                df,
+                base + 1,
+                id_col,
+                mapping=self._commit_mapping(m, schema)[0] or None,
+            )
             carried = [f for f in m["files"] if f not in cset]
             try:
                 self._publish_payload(
@@ -2529,6 +2824,213 @@ class VersionedCollection:
             except ConcurrentWriteError as exc:
                 if payload[0] is not None:
                     shutil.rmtree(payload[0], ignore_errors=True)
+                last_err = exc
+        raise last_err  # type: ignore[misc]
+
+    # ---------------------------------------------------------- schema DDL
+
+    def _schema_ddl_constraint_check(
+        self, new_schema: StructType
+    ) -> None:
+        """Fail a rename/drop whose resulting schema breaks a CHECK
+        constraint expression (it references the old/dropped name):
+        silently keeping the constraint would make every later write
+        die on analysis, silently dropping it would un-enforce it —
+        the caller must drop the constraint first, explicitly."""
+        cons = self.constraints
+        if not cons:
+            return
+        probe = self.spark.createDataFrame([], new_schema)
+        for cname, cexpr in cons.items():
+            try:
+                probe.select(F.expr(cexpr))
+            except AnalysisException:
+                raise ValueError(
+                    f"collection {self.name}: CHECK constraint "
+                    f"{cname!r} ({cexpr}) references the renamed/"
+                    f"dropped column — drop_constraint({cname!r}) "
+                    f"first"
+                ) from None
+
+    def _publish_schema_ddl(
+        self,
+        m: dict,
+        base: int,
+        operation: str,
+        new_schema: StructType,
+        mapping: dict,
+        retired: list,
+        col_stats: dict,
+        extra: dict,
+    ) -> None:
+        """Metadata-only schema commit: every data file carries by
+        reference (ZERO bytes rewritten), only the manifest's schema /
+        column-mapping change.  Always a FULL manifest so the remapped
+        ``col_stats`` land (a delta would re-inherit the old keys at
+        resolve time)."""
+        self._publish(
+            {
+                "version": base + 1,
+                "parent": base,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "n_carried": len(m["files"]),
+                "n_written": 0,
+                "schema": new_schema.json(),
+                "format_version": 1,
+                "files": list(m["files"]),
+                "stats": dict(m.get("stats", {})),
+                "col_stats": col_stats,
+                **({"dv": dict(m["dv"])} if m.get("dv") else {}),
+                **(
+                    {"column_mapping": mapping} if mapping else {}
+                ),
+                **(
+                    {"retired_columns": retired} if retired else {}
+                ),
+                **extra,
+            }
+        )
+
+    def rename_column(
+        self, old: str, new: str, max_retries: int = 3
+    ) -> "VersionedCollection":
+        """Rename a column as a METADATA-ONLY commit (Delta column
+        mapping: ``ALTER TABLE RENAME COLUMN``): no data file is
+        rewritten — files keep the immutable PHYSICAL column name and
+        the manifest's logical→physical map resolves reads, so the
+        commit costs one manifest write on a 100 TB table.  Time
+        travel to pre-rename versions sees the old name (each manifest
+        carries its own mapping), the change feed compares renamed
+        columns by physical identity, and Z-order ``col_stats`` keys
+        are remapped so range pruning on the renamed column keeps
+        working.  The key and vector columns cannot be renamed (table
+        properties address them by name); a CHECK constraint
+        referencing the old name fails the DDL — drop it first.
+
+        The reference's only schema change is lazily adding a column
+        (`Qdrant/llm.py:89-91`); this generalizes the pattern to the
+        full rename/drop lifecycle."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new or ""):
+            raise ValueError(f"invalid column name {new!r}")
+        props = self.properties
+        for role in ("id_col", "vector_col"):
+            if old == props.get(role):
+                raise ValueError(
+                    f"cannot rename the {role.split('_')[0]} column "
+                    f"{old!r} — table properties address it by name"
+                )
+        last_err: Exception | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            names = schema.fieldNames()
+            if old not in names:
+                raise ValueError(
+                    f"column {old!r} not in table schema "
+                    f"{sorted(names)}"
+                )
+            if new in names:
+                raise ValueError(
+                    f"column {new!r} already exists in table schema"
+                )
+            mapping = dict(m.get("column_mapping") or {})
+            phys = mapping.pop(old, old)
+            if phys != new:  # renaming back to the physical name
+                mapping[new] = phys
+            new_schema = StructType(
+                [
+                    (
+                        StructField(new, f.dataType, f.nullable)
+                        if f.name == old
+                        else f
+                    )
+                    for f in schema.fields
+                ]
+            )
+            self._schema_ddl_constraint_check(new_schema)
+            col_stats = {
+                f: {
+                    (new if c == old else c): mm
+                    for c, mm in cs.items()
+                }
+                for f, cs in m.get("col_stats", {}).items()
+            }
+            try:
+                self._publish_schema_ddl(
+                    m,
+                    base,
+                    "rename_column",
+                    new_schema,
+                    mapping,
+                    list(m.get("retired_columns") or []),
+                    col_stats,
+                    {"renamed": {old: new}},
+                )
+                return self
+            except ConcurrentWriteError as exc:
+                last_err = exc
+        raise last_err  # type: ignore[misc]
+
+    def drop_column(
+        self, name: str, max_retries: int = 3
+    ) -> "VersionedCollection":
+        """Drop a column as a METADATA-ONLY commit (Delta column
+        mapping: ``ALTER TABLE DROP COLUMN``): the physical column
+        stays in the immutable data files but leaves the logical
+        schema, so reads never select it (parquet column pruning —
+        zero I/O for the dropped bytes) and its physical name is
+        RETIRED: a later schema-evolution add under the same logical
+        name gets a fresh physical name instead of resurrecting the
+        old stored values.  Time travel to pre-drop versions still
+        reads the column.  The key and vector columns cannot be
+        dropped; a CHECK constraint referencing the column fails the
+        DDL — drop it first."""
+        props = self.properties
+        for role in ("id_col", "vector_col"):
+            if name == props.get(role):
+                raise ValueError(
+                    f"cannot drop the {role.split('_')[0]} column "
+                    f"{name!r}"
+                )
+        last_err: Exception | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            if name not in schema.fieldNames():
+                raise ValueError(
+                    f"column {name!r} not in table schema "
+                    f"{sorted(schema.fieldNames())}"
+                )
+            mapping = dict(m.get("column_mapping") or {})
+            phys = mapping.pop(name, name)
+            retired = list(m.get("retired_columns") or [])
+            if phys not in retired:
+                retired.append(phys)
+            new_schema = StructType(
+                [f for f in schema.fields if f.name != name]
+            )
+            self._schema_ddl_constraint_check(new_schema)
+            col_stats = {
+                f: {c: mm for c, mm in cs.items() if c != name}
+                for f, cs in m.get("col_stats", {}).items()
+            }
+            col_stats = {f: cs for f, cs in col_stats.items() if cs}
+            try:
+                self._publish_schema_ddl(
+                    m,
+                    base,
+                    "drop_column",
+                    new_schema,
+                    mapping,
+                    retired,
+                    col_stats,
+                    {"dropped": name},
+                )
+                return self
+            except ConcurrentWriteError as exc:
                 last_err = exc
         raise last_err  # type: ignore[misc]
 
@@ -2653,11 +3155,7 @@ class VersionedCollection:
             added = [f for f in m1["files"] if f not in seen]
             if added:
                 racer = self._apply_dv(
-                    self.spark.read.schema(
-                        StructType.fromJson(json.loads(m1["schema"]))
-                    ).parquet(
-                        *(os.path.join(self.path, f) for f in added)
-                    ),
+                    self._read_files(added, m1),
                     m1,
                     StructType.fromJson(json.loads(m1["schema"])),
                 )
@@ -2909,9 +3407,7 @@ class VersionedCollection:
             candidates, pruned = _stats_candidates(files, stats, bounds)
             matched_files: set[str] = set()
             if candidates:
-                cand = self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, f) for f in candidates)
-                )
+                cand = self._read_files(candidates, m, schema)
                 hit_files = (
                     cand.filter(pred)
                     .withColumn("_vc_file", F.input_file_name())
@@ -2924,12 +3420,7 @@ class VersionedCollection:
                 survivors = None  # no-op version, history parity
             else:
                 src = self._apply_dv(
-                    self.spark.read.schema(schema).parquet(
-                        *(
-                            os.path.join(self.path, f)
-                            for f in matched_files
-                        )
-                    ),
+                    self._read_files(sorted(matched_files), m, schema),
                     m,
                     schema,
                 ).withColumn("_vc_hit", F.coalesce(pred, F.lit(False)))
@@ -2955,7 +3446,12 @@ class VersionedCollection:
                 survivors = survivors.coalesce(
                     max(1, len(matched_files))
                 )
-            payload = self._write_payload(survivors, base + 1, id_col)
+            payload = self._write_payload(
+                survivors,
+                base + 1,
+                id_col,
+                mapping=self._commit_mapping(m, schema)[0] or None,
+            )
             try:
                 _v, rebases = self._publish_merge(
                     payload,
@@ -3009,8 +3505,8 @@ class VersionedCollection:
             covered: list[str] = []
             out: str | None = None
             if candidates:
-                cand = self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, f) for f in candidates)
+                cand = self._read_files(
+                    candidates, m, schema
                 ).withColumn(_DV_FILE_COL, _rel_file_col())
                 dvdf = self._dv_frame(m, schema)
                 if dvdf is not None:
@@ -3038,18 +3534,7 @@ class VersionedCollection:
                     and not f.startswith(("_", "."))
                 )
                 if dv_rels:
-                    covered = [
-                        r[0]
-                        for r in self.spark.read.parquet(
-                            *(
-                                os.path.join(self.path, r)
-                                for r in dv_rels
-                            )
-                        )
-                        .select(_DV_FILE_COL)
-                        .distinct()
-                        .collect()
-                    ]
+                    covered = self._dv_covered_files(dv_rels)
             if not covered:
                 if out is not None:
                     shutil.rmtree(out, ignore_errors=True)
@@ -3084,10 +3569,7 @@ class VersionedCollection:
             # against only the covered files (footer-pruned read) and
             # apply SET — the predicate is never re-evaluated
             upd_src = (
-                self.spark.read.schema(schema)
-                .parquet(
-                    *(os.path.join(self.path, f) for f in covered)
-                )
+                self._read_files(covered, m, schema)
                 .withColumn(_DV_FILE_COL, _rel_file_col())
                 .join(
                     F.broadcast(
@@ -3114,7 +3596,10 @@ class VersionedCollection:
             updated = updated.coalesce(max(1, len(covered)))
             try:
                 payload = self._write_payload(
-                    updated, base + 1, id_col
+                    updated,
+                    base + 1,
+                    id_col,
+                    mapping=self._commit_mapping(m, schema)[0] or None,
                 )
                 _v, rebases = self._publish_mor(
                     payload,
@@ -3189,9 +3674,7 @@ class VersionedCollection:
         # deletion vector (the dead rows stay out of the rewrite and
         # the cover prunes with the departing file)
         df = self._apply_dv(
-            self.spark.read.schema(schema).parquet(
-                *(os.path.join(self.path, f) for f, _ in small)
-            ),
+            self._read_files([f for f, _ in small], m, schema),
             m,
             schema,
         )
@@ -3249,6 +3732,24 @@ class VersionedCollection:
                 **(
                     {"dv": dict(target["dv"])}
                     if target.get("dv")
+                    else {}
+                ),
+                **(
+                    {
+                        "column_mapping": dict(
+                            target["column_mapping"]
+                        )
+                    }
+                    if target.get("column_mapping")
+                    else {}
+                ),
+                **(
+                    {
+                        "retired_columns": list(
+                            target["retired_columns"]
+                        )
+                    }
+                    if target.get("retired_columns")
                     else {}
                 ),
             }
@@ -3328,6 +3829,20 @@ class VersionedCollection:
                     **(
                         {"dv": dict(m["dv"])} if m.get("dv") else {}
                     ),
+                    **(
+                        {"column_mapping": dict(m["column_mapping"])}
+                        if m.get("column_mapping")
+                        else {}
+                    ),
+                    **(
+                        {
+                            "retired_columns": list(
+                                m["retired_columns"]
+                            )
+                        }
+                        if m.get("retired_columns")
+                        else {}
+                    ),
                 }
             )
         except ConcurrentWriteError:
@@ -3398,22 +3913,37 @@ class VersionedCollection:
         only_a = [f for f in ma["files"] if f not in files_b]
         only_b = [f for f in mb["files"] if f not in files_a]
 
-        def _read(files: list[str], schema: StructType) -> DataFrame:
+        def _read(
+            files: list[str], m: dict, schema: StructType
+        ) -> DataFrame:
             if not files:
                 return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(
-                *(os.path.join(self.path, f) for f in files)
-            )
+            return self._read_files(files, m, schema)
 
         # the "to" schema defines the feed shape; pre-evolution rows
-        # surface the appended columns as null
+        # surface the appended columns as null.  Alignment is by
+        # PHYSICAL column identity, not name: a column renamed inside
+        # the span still compares the same stored values (its physical
+        # name is immutable), while a drop + re-add under the same
+        # logical name is a genuinely different column — the from side
+        # reads NULL for it, exactly what field-id semantics require.
         cols = sb.fieldNames()
-        a = _read(only_a, sa)
+        map_a = ma.get("column_mapping") or {}
+        map_b = mb.get("column_mapping") or {}
+        phys_a = {
+            map_a.get(f.name, f.name): f.name for f in sa.fields
+        }
+        a = _read(only_a, ma, sa)
+        sel = []
         for f in sb.fields:
-            if f.name not in a.columns:
-                a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
-        a = a.select(*cols)
-        b = _read(only_b, sb).select(*cols)
+            la = phys_a.get(map_b.get(f.name, f.name))
+            sel.append(
+                F.col(la).alias(f.name)
+                if la is not None
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+        a = a.select(*sel)
+        b = _read(only_b, mb, sb).select(*cols)
 
         # Deletion vectors: a merge-on-read DELETE changes no file, so
         # the file diff alone would miss it.  Each side's effective
@@ -3464,12 +3994,7 @@ class VersionedCollection:
                 )
                 if not data_files:
                     return None
-                d = self.spark.read.schema(sb).parquet(
-                    *(
-                        os.path.join(self.path, f)
-                        for f in data_files
-                    )
-                )
+                d = self._read_files(data_files, mb, sb)
                 return (
                     d.withColumn(_DV_FILE_COL, _rel_file_col())
                     .join(

@@ -105,23 +105,38 @@ def stream_merge_into_versioned(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    mode: str = "cow",
 ) -> StreamingQuery:
     """Continuous index build into a ``VersionedCollection``
-    (``sources/versioned.py``): embed each micro-batch, COW-MERGE it.
+    (``sources/versioned.py``): embed each micro-batch and merge it —
+    ``mode='cow'`` (default) as a copy-on-write MERGE, ``mode='mor'``
+    as a merge-on-read upsert (``merge_mor``: matched rows die via a
+    deletion-vector sidecar, the batch appends as one new file).
 
     vs ``stream_index_into_collection``: every micro-batch becomes one
     committed VERSION — the ingest history is queryable (``history()``
-    shows one ``merge:update`` per non-empty batch) and any past index
-    state is time-travel readable while ingest keeps running (readers
-    resolve immutable snapshots; the stream never overwrites what a
-    concurrent query has open).  Restart semantics: checkpointed
-    source offsets make re-processing rare, and a re-merged batch is
-    value-idempotent (same keys → same rows) — it just burns an extra
-    version, which ``vacuum`` retires.  Duplicate ids *within* one
-    batch are rejected by merge's write-time validation: dedup
-    upstream (e.g. ``dropDuplicatesWithinWatermark``) for sources
-    that can repeat a key inside a trigger.
-    """
+    shows one ``merge:update``/``merge:mor`` per non-empty batch) and
+    any past index state is time-travel readable while ingest keeps
+    running (readers resolve immutable snapshots; the stream never
+    overwrites what a concurrent query has open).  Restart semantics:
+    checkpointed source offsets make re-processing rare, and a
+    re-merged batch is value-idempotent in BOTH modes (same keys →
+    same rows; the MOR replay DVs the first attempt's appended rows
+    and appends equal ones) — it just burns an extra version, which
+    ``vacuum`` retires.  Duplicate ids *within* one batch are rejected
+    by merge's write-time validation: dedup upstream (e.g.
+    ``dropDuplicatesWithinWatermark``) for sources that can repeat a
+    key inside a trigger.
+
+    Mode choice at scale: an update-heavy CDC stream re-touching the
+    same hot keys makes COW rewrite the containing files EVERY
+    micro-batch (per-epoch commit bytes ∝ matched-file size); MOR's
+    per-epoch commit bytes stay ∝ batch size, with the rewrite
+    deferred to one compact/materialize_dvs — see SCALE.md for the
+    measured per-epoch comparison.  ``dv_file_budget`` bounds the
+    read-side DV accumulation either way."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown ingest mode={mode!r}")
     props = collection.properties
     vector_col = props["vector_col"]
     cid = props["id_col"]
@@ -133,7 +148,10 @@ def stream_merge_into_versioned(
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         if not batch.isEmpty():
-            collection.merge(batch)
+            if mode == "mor":
+                collection.merge_mor(batch)
+            else:
+                collection.merge(batch)
 
     writer = embedded.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -1440,8 +1440,8 @@ def _inject_between_write_and_publish(monkeypatch, spark, wh, name, rows,
     orig = VersionedCollection._write_payload
     fired = []
 
-    def hooked(self, df, version, id_col, stat_cols=None):
-        payload = orig(self, df, version, id_col, stat_cols)
+    def hooked(self, df, version, id_col, stat_cols=None, **kw):
+        payload = orig(self, df, version, id_col, stat_cols, **kw)
         if not fired:
             fired.append(1)
             other = VersionedCollection(spark, wh, name)

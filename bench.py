@@ -107,8 +107,18 @@ def _fit_summary(
     )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def main(queries=None, sf_dir=None, stop=True, emit=True) -> dict:
+    """Run the suite and return the full payload dict.  ``queries``/
+    ``sf_dir``/``stop``/``emit`` exist so the pytest fault-isolation
+    gate can run a tiny poisoned suite in-process without tearing down
+    the shared session or clobbering ``bench_latest.json``; the CLI
+    path uses the defaults."""
+    if queries is None:
+        queries = QUERIES
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
     sf_str = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_str) if sf_str.replace(".", "").isdigit() else sf_str
     spark = get_spark(
@@ -161,14 +171,32 @@ def main() -> None:
         spreads.setdefault(name, []).append(dt)
         return dt
 
-    for name, fn in sorted(QUERIES.items()):
-        timings[name] = round(min(_run(name, fn), _run(name, fn)), 2)
+    # Per-query fault isolation: one broken query must NEVER void the
+    # other 149 timings (rounds 13+14 lost their entire bench artifact
+    # to a single exception).  A failing query is recorded in `errors`
+    # and the suite keeps going; rc stays 0 unless SETUP fails.
+    errors: dict[str, str] = {}
+
+    def _timed(name, fn):
+        try:
+            timings[name] = round(min(_run(name, fn), _run(name, fn)), 2)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            timings.pop(name, None)
+
+    for name, fn in sorted(queries.items()):
+        _timed(name, fn)
     # the heavy tail dominates the suite total AND shows the largest
     # shared-host swings (r5 judge: multimodal_frames 9.59 s driver vs
     # 3.52 s judge re-run, same code) — give the 10 slowest a third
     # repeat so one noisy sample can't own the round artifact
     for name in sorted(timings, key=timings.get, reverse=True)[:10]:
-        timings[name] = round(min(timings[name], _run(name, QUERIES[name])), 2)
+        try:
+            timings[name] = round(
+                min(timings[name], _run(name, queries[name])), 2
+            )
+        except Exception:  # the two good samples already stand
+            pass
 
     # Codec-library tier (Pillow), when the optional dep is present:
     # the image-decode queries re-run with the native backend routed
@@ -182,10 +210,8 @@ def main() -> None:
         B.set_codec_backend_factory(B.PillowBackend)
         try:
             for name in ("multimodal_decode", "multimodal_resize"):
-                lt = f"{name}_libtier"
-                timings[lt] = round(
-                    min(_run(lt, QUERIES[name]), _run(lt, QUERIES[name])), 2
-                )
+                if name in queries:
+                    _timed(f"{name}_libtier", queries[name])
         finally:
             B.set_codec_backend_factory(None)
 
@@ -193,7 +219,9 @@ def main() -> None:
     # high, best stable) from a plan regression (variance ~1, best up)
     # without a re-run
     variance = {
-        n: round(max(r) / max(min(r), 1e-9), 2) for n, r in spreads.items()
+        n: round(max(r) / max(min(r), 1e-9), 2)
+        for n, r in spreads.items()
+        if n in timings
     }
     # fixture-build vs query seconds for process-staged queries: the
     # first run paid the one-time fixture build, the steady min did
@@ -215,15 +243,20 @@ def main() -> None:
         "fixture": fixture,
         "sf": sf,
     }
-    full_line = json.dumps(payload, separators=(",", ":"))
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_latest.json"
-    )
-    with open(sidecar, "w") as fh:
-        fh.write(full_line + "\n")
-    print(full_line, flush=True)
-    print(_fit_summary(total, sf, timings, variance), flush=True)
-    spark.stop()
+    if errors:
+        payload["errors"] = errors
+    if emit:
+        full_line = json.dumps(payload, separators=(",", ":"))
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_latest.json"
+        )
+        with open(sidecar, "w") as fh:
+            fh.write(full_line + "\n")
+        print(full_line, flush=True)
+        print(_fit_summary(total, sf, timings, variance), flush=True)
+    if stop:
+        spark.stop()
+    return payload
 
 
 if __name__ == "__main__":

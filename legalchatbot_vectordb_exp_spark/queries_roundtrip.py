@@ -1451,8 +1451,8 @@ def q_concurrent_merge_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
         orig = VersionedCollection._write_payload
         fired: list[int] = []
 
-        def hooked(self, df, version, id_col, stat_cols=None):
-            payload = orig(self, df, version, id_col, stat_cols)
+        def hooked(self, df, version, id_col, stat_cols=None, **kw):
+            payload = orig(self, df, version, id_col, stat_cols, **kw)
             if not fired:
                 fired.append(1)
                 winner = VersionedCollection(spark, warehouse, "cmr")

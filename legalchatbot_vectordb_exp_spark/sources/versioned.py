@@ -302,6 +302,9 @@ def _parse_sql_literal(tok: str):
             return None
 
 
+_SQL_STR_LIT = re.compile(r"'(?:[^']|'')*'")
+
+
 def _predicate_id_bounds(pred, id_col: str):
     """Best-effort ``(lo, hi)`` bounds on ``id_col`` implied by a SQL
     predicate STRING, or ``None`` when no bound can be proven.
@@ -315,10 +318,37 @@ def _predicate_id_bounds(pred, id_col: str):
     the id conjuncts alone remain valid for pruning and conflict
     checks.  Feeds the same two machines merge already uses: manifest
     footer-stats pruning of the discovery scan, and
-    ``_conflict_free_base``'s added-file disjointness test."""
+    ``_conflict_free_base``'s added-file disjointness test.
+
+    Quoted string literals are masked with opaque placeholder tokens
+    BEFORE any structural matching, so text inside a literal (e.g.
+    ``note = 'keep id in (2,4) rows'``) can never be mistaken for
+    predicate structure; an unbalanced quote gives up (``None``)."""
     if not isinstance(pred, str):
         return None
     s = pred.strip()
+    # Mask '...' literals (SQL doubles embedded quotes) so their text
+    # is invisible to every structural regex below.  Any quote left
+    # after masking is unbalanced — conservatively unbounded.
+    lits: list[str] = []
+
+    def _mask(m):
+        lits.append(m.group(0))
+        return "\x00L{}\x00".format(len(lits) - 1)
+
+    s = _SQL_STR_LIT.sub(_mask, s)
+    if "'" in s:
+        return None
+
+    def _unmask_parse(tok):
+        tok = tok.strip()
+        m_tok = re.fullmatch(r"\x00L(\d+)\x00", tok)
+        if m_tok:
+            tok = lits[int(m_tok.group(1))]
+        elif "\x00" in tok:
+            return None  # literal glued to other text: not a literal
+        return _parse_sql_literal(tok)
+
     if re.search(r"\bor\b|\bnot\b", s, re.IGNORECASE):
         return None
     ident = re.escape(id_col)
@@ -341,9 +371,7 @@ def _predicate_id_bounds(pred, id_col: str):
     for m0 in re.finditer(
         rf"\b{ident}\s+between\s+(\S+)\s+and\s+(\S+)", s, re.IGNORECASE
     ):
-        a, b = _parse_sql_literal(m0.group(1)), _parse_sql_literal(
-            m0.group(2)
-        )
+        a, b = _unmask_parse(m0.group(1)), _unmask_parse(m0.group(2))
         if a is None or b is None or not _tighten(a, b):
             return None
     s = re.sub(
@@ -356,7 +384,7 @@ def _predicate_id_bounds(pred, id_col: str):
     for m0 in re.finditer(
         rf"\b{ident}\s+in\s*\(([^()]*)\)", s, re.IGNORECASE
     ):
-        vals = [_parse_sql_literal(t) for t in m0.group(1).split(",")]
+        vals = [_unmask_parse(t) for t in m0.group(1).split(",")]
         if not vals or any(v is None for v in vals):
             return None
         try:
@@ -390,7 +418,7 @@ def _predicate_id_bounds(pred, id_col: str):
             lit_tok = rev.group(1)
         else:
             continue  # a non-id conjunct: only narrows further
-        lit = _parse_sql_literal(lit_tok)
+        lit = _unmask_parse(lit_tok)
         if lit is None:
             # a comparison ON the id col we can't parse: the bound
             # may be tighter than anything we found — stay useful
@@ -407,7 +435,11 @@ def _predicate_id_bounds(pred, id_col: str):
             return None
     if found and lo is not None and hi is not None:
         try:
-            lo <= hi  # mixed-type bounds are meaningless — give up
+            # Contradictory or mixed-type bounds: give up (unbounded)
+            # rather than hand consumers an impossible range that
+            # prunes every file.
+            if not (lo <= hi):
+                return None
         except TypeError:
             return None
     return (lo, hi) if found else None

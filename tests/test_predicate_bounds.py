@@ -1,0 +1,164 @@
+"""Regression suite for ``_predicate_id_bounds`` literal masking.
+
+The round-14 verdict reproduced a silent-no-op DELETE: id-comparison
+text INSIDE a quoted string literal (``note = 'keep id in (2,4)
+rows' AND id >= 100``) was parsed as real predicate structure,
+producing the impossible bounds ``(100, 4)`` — every file was
+stats-pruned, ``delete_where``/``update_where`` matched nothing, and
+the same false bounds could wrongly approve a concurrent-merge
+rebase.  The fix masks ``'...'`` literals with opaque placeholders
+before any structural regex and rejects contradictory bounds
+(``lo > hi`` → unbounded ``None``), so consumers stay conservative.
+
+The reference has no predicate machinery at all — its only mutation
+is the whole-collection recreate (``Qdrant/VectorDB/Database.py``);
+this guards the Delta-parity layer built on top.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from legalchatbot_vectordb_exp_spark.sources.versioned import (
+    VersionedCollection,
+    _predicate_id_bounds,
+)
+
+TRICKY = "note = 'keep id in (2,4) rows' AND id >= 6"
+
+
+def _vec(i: int) -> list[float]:
+    return [float(i), 1.0, 0.0]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(i, _vec(i), lbl, "keep id in (2,4) rows") for i, lbl in rows],
+        "id long, vector array<double>, label long, note string",
+    )
+
+
+def _noted(spark, tmp_path, name, n=8, files=4):
+    c = VersionedCollection(spark, str(tmp_path), name)
+    c.create(
+        _mk(spark, [(i, 10 * i) for i in range(n)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=files,
+    )
+    return c
+
+
+# -------------------------------------------------------- unit: parsing
+
+
+def test_literal_text_is_not_predicate_structure():
+    # the verdict's exact reproducer: used to return (100, 4)
+    assert _predicate_id_bounds(
+        "note = 'keep id in (2,4) rows' AND id >= 100", "id"
+    ) == (100, None)
+
+
+def test_or_and_not_inside_literals_do_not_give_up():
+    assert _predicate_id_bounds(
+        "note = 'a OR b' AND id = 3", "id"
+    ) == (3, 3)
+    assert _predicate_id_bounds(
+        "note = 'do not delete' AND id < 10", "id"
+    ) == (None, 10)
+
+
+def test_parens_and_between_inside_literals_are_masked():
+    assert _predicate_id_bounds(
+        "note = '(x) id between 1 and 999' AND id BETWEEN 2 AND 5",
+        "id",
+    ) == (2, 5)
+
+
+def test_unbalanced_quote_is_unbounded():
+    assert (
+        _predicate_id_bounds("note = 'unbalanced AND id = 3", "id")
+        is None
+    )
+
+
+def test_contradictory_bounds_are_unbounded_not_impossible():
+    # a genuinely empty range must NOT prune every file (the caller
+    # treats None as "scan everything", which stays correct)
+    assert _predicate_id_bounds("id >= 100 AND id <= 4", "id") is None
+
+
+def test_string_id_bounds_still_work():
+    assert _predicate_id_bounds("id = 'abc'", "id") == ("abc", "abc")
+    assert _predicate_id_bounds(
+        "id BETWEEN 'a' AND 'c'", "id"
+    ) == ("a", "c")
+
+
+def test_doubled_quote_escape_is_one_literal():
+    assert _predicate_id_bounds(
+        "note = 'it''s id in (9)' AND id <= 5", "id"
+    ) == (None, 5)
+
+
+# ------------------------------------------------- end-to-end: deletes
+
+
+def test_delete_where_with_literal_id_text_actually_deletes(
+    spark, tmp_path
+):
+    """End-to-end reproducer: before the fix this DELETE silently
+    removed nothing (all files pruned by the impossible bounds) while
+    ``last_delete_stats`` reported success."""
+    c = _noted(spark, tmp_path, "litdel")
+    c.delete_where(TRICKY)
+    ids = {r.id for r in c.read().select("id").collect()}
+    assert ids == {0, 1, 2, 3, 4, 5}
+    st = c.last_delete_stats
+    assert st["files_rewritten"] >= 1
+    # pruning may still drop the provably-disjoint low files, but the
+    # high file MUST have been scanned
+    assert st["files_scanned"] >= 1
+
+
+def test_delete_where_mor_with_literal_id_text(spark, tmp_path):
+    c = _noted(spark, tmp_path, "litdelmor")
+    c.delete_where(TRICKY, mode="mor")
+    ids = {r.id for r in c.read().select("id").collect()}
+    assert ids == {0, 1, 2, 3, 4, 5}
+
+
+def test_update_where_with_literal_id_text(spark, tmp_path):
+    c = _noted(spark, tmp_path, "litupd")
+    c.update_where(TRICKY, {"label": F.col("label") + 1})
+    got = {
+        (r.id, r.label)
+        for r in c.read().select("id", "label").collect()
+    }
+    assert got == {(i, 10 * i) for i in range(6)} | {(6, 61), (7, 71)}
+
+
+# -------------------------------------- conflict check: no false rebase
+
+
+def test_literal_bounds_do_not_falsely_approve_rebase(spark, tmp_path):
+    """The same false bounds fed ``_conflict_free_base``: a predicate
+    whose LITERAL mentions far-away ids ('only id in (100, 200)')
+    used to bound the in-flight write to [100, 200], so a window
+    commit that actually touched ids 0..3 looked disjoint and the
+    rebase was approved — a lost update.  With masking the bounds are
+    (0, None); the overlapping window commit must veto."""
+    c = _noted(spark, tmp_path, "litrebase")
+    schema0 = c.manifest(0)["schema"]
+    pred = "note = 'only id in (100, 200) please' AND id >= 0"
+    bounds = _predicate_id_bounds(pred, "id")
+    assert bounds == (0, None)  # buggy parser said (100, 200)
+    # window commit: a merge that rewrites ids 0..3
+    c.merge(
+        spark.createDataFrame(
+            [(1, _vec(1), 999, "x")],
+            "id long, vector array<double>, label long, note string",
+        )
+    )
+    assert c._conflict_free_base(0, set(), bounds, schema0) is None

@@ -2408,9 +2408,19 @@ class VersionedCollection:
                     f"copy-on-write merge()"
                 )
             files = m["files"]
-            candidates, pruned = _stats_candidates(
-                files, m.get("stats", {}), key_bounds
-            )
+            if not n_keys:
+                # EMPTY batch: writing the zero-row parquet would add
+                # a stats-less file to the manifest, and stats-less
+                # added files read as "evidence missing → conflict" in
+                # every concurrent writer's _conflict_free_base until
+                # a compaction folds the file away.  Publish a
+                # carried-only no-op commit instead (history parity
+                # with the nothing-matched DELETE path).
+                candidates, pruned = [], 0
+            else:
+                candidates, pruned = _stats_candidates(
+                    files, m.get("stats", {}), key_bounds
+                )
             dv_rels: list[str] = []
             covered: list[str] = []
             out: str | None = None
@@ -2461,12 +2471,19 @@ class VersionedCollection:
             if not covered and out is not None:
                 shutil.rmtree(out, ignore_errors=True)
             try:
-                payload = self._write_payload(
-                    incoming.select(*schema.fieldNames()).coalesce(1),
-                    base + 1,
-                    id_col,
-                    mapping=self._commit_mapping(m, schema)[0] or None,
-                    expected_ndv=n_keys,
+                payload = (
+                    (None, [], {}, {})
+                    if not n_keys
+                    else self._write_payload(
+                        incoming.select(
+                            *schema.fieldNames()
+                        ).coalesce(1),
+                        base + 1,
+                        id_col,
+                        mapping=self._commit_mapping(m, schema)[0]
+                        or None,
+                        expected_ndv=n_keys,
+                    )
                 )
                 _v, rebases = self._publish_mor(
                     payload,
@@ -3090,9 +3107,13 @@ class VersionedCollection:
         deadline = time.time() + _PROPS_LOCK_TIMEOUT
         fd = None
         healed = False
+        token = uuid.uuid4().hex
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                # identity token: release (and any future healer)
+                # can tell OUR lock from a successor's
+                os.write(fd, token.encode())
                 break
             except FileExistsError:
                 try:
@@ -3100,12 +3121,41 @@ class VersionedCollection:
                 except OSError:
                     continue  # holder just released: retry create
                 if age >= _PROPS_LOCK_TIMEOUT and not healed:
-                    # provably-stale lock (crashed holder): unlink
-                    # it and retry the O_EXCL create once —
-                    # immediately, not after burning the full wait
+                    # Provably-stale lock (crashed holder).  A bare
+                    # unlink here is a TOCTOU: between our getmtime
+                    # and the unlink, the holder can release and a
+                    # NEW holder acquire — the unlink would then
+                    # destroy a FRESH lock and let a third writer in.
+                    # Steal atomically instead: rename the lock file
+                    # to a private quarantine name (only one racer
+                    # wins the rename), RE-VERIFY the captured file
+                    # really is the stale one, and give it back via
+                    # link-if-absent when the steal caught a fresh
+                    # lock.
                     healed = True
+                    quarantine = f"{lock}.stale.{token}"
                     try:
-                        os.unlink(lock)
+                        os.rename(lock, quarantine)
+                    except OSError:
+                        continue  # another healer/release won: retry
+                    try:
+                        still_stale = (
+                            time.time() - os.path.getmtime(quarantine)
+                            >= _PROPS_LOCK_TIMEOUT
+                        )
+                    except OSError:
+                        still_stale = True
+                    if not still_stale:
+                        # we captured a lock that was re-acquired in
+                        # the window: restore it if no successor has
+                        # taken the name (link is create-if-absent;
+                        # rename would clobber a live lock)
+                        try:
+                            os.link(quarantine, lock)
+                        except OSError:
+                            pass
+                    try:
+                        os.unlink(quarantine)
                     except OSError:
                         pass
                     deadline = time.time() + 1.0
@@ -3125,8 +3175,13 @@ class VersionedCollection:
         finally:
             if fd is not None:
                 os.close(fd)
+                # release ONLY our own lock: if a healer stole it
+                # (clock skew, suspend/resume) a successor may hold
+                # the name now — never unlink theirs
                 try:
-                    os.unlink(lock)
+                    with open(lock) as lf:
+                        if lf.read() == token:
+                            os.unlink(lock)
                 except OSError:
                     pass
 
@@ -4398,10 +4453,36 @@ class VersionedCollection:
                     continue
                 os.unlink(full)
                 removed_files += 1
-            if not any(
-                x.endswith(".parquet") for x in os.listdir(subdir)
-            ):
-                shutil.rmtree(subdir)
+            # Retiring a parquet-less subdir must honor the SAME age
+            # guard as file unlinks: a racing writer's in-flight Spark
+            # job stages task outputs under ``_temporary/`` and lands
+            # no top-level ``*.parquet`` until job commit, so "no
+            # parquet here" is exactly what a commit-in-progress looks
+            # like.  The old unconditional rmtree deleted the write
+            # directory from under the job (suite-load flake: merge
+            # died mid-commit with FileNotFoundError on a task parquet).
+            # Sweep only when the directory AND everything inside it
+            # is older than ``min_file_age_ms``; age 0 (tests, single-
+            # writer batch) still sweeps crashed-commit orphans
+            # immediately.
+            try:
+                if not any(
+                    x.endswith(".parquet") for x in os.listdir(subdir)
+                ):
+                    ages = [os.path.getmtime(subdir)]
+                    for dp, _dns, fns in os.walk(subdir):
+                        ages.append(os.path.getmtime(dp))
+                        ages.extend(
+                            os.path.getmtime(os.path.join(dp, x))
+                            for x in fns
+                        )
+                    if all(
+                        (now - a) * 1000 >= min_file_age_ms
+                        for a in ages
+                    ):
+                        shutil.rmtree(subdir)
+            except OSError:
+                pass  # racing writer just touched/created content
         removed_manifests = 0
         for v in vs:
             if v not in keep:

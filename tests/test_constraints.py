@@ -295,3 +295,75 @@ def test_stale_props_lock_self_heals(spark, tmp_path):
     assert c.constraints == {"label_nonneg": "label >= 0"}
     # healed: the stale file is gone and the lock cycle completed
     assert not os.path.exists(lock)
+
+
+def test_props_lock_release_never_unlinks_a_successors_lock(
+    spark, tmp_path
+):
+    """Identity-token release (round-14 ADVICE low): if our lock name
+    was stolen mid-critical-section (clock skew / suspend-resume
+    heal) and a successor holds it now, release must leave the
+    successor's lock alone — unlinking it would let a third writer
+    into the successor's critical section."""
+    c = _coll(spark, tmp_path, "c20")
+    lock = os.path.join(c.path, "._props.lock")
+
+    def swapping(props):
+        # simulate a healer stealing our lock + a successor acquiring
+        os.unlink(lock)
+        with open(lock, "w") as fh:
+            fh.write("successor-token")
+        props.setdefault("constraints", {})["a"] = "label >= 0"
+
+    c._rewrite_props(swapping)
+    assert os.path.exists(lock), "release unlinked the successor's lock"
+    with open(lock) as fh:
+        assert fh.read() == "successor-token"
+    os.unlink(lock)  # cleanup for later edits
+    assert c.constraints.get("a") == "label >= 0"
+
+
+def test_racing_stale_heals_serialize_and_both_land(spark, tmp_path):
+    """Two writers finding the SAME provably-stale lock must not
+    double-acquire: the steal is an atomic rename (one racer wins),
+    so both edits serialize and BOTH constraints land."""
+    import threading
+    import time as _time
+
+    c = _coll(spark, tmp_path, "c21")
+    lock = os.path.join(c.path, "._props.lock")
+    with open(lock, "w") as fh:
+        fh.write("crashed-holder")
+    old = _time.time() - 60.0
+    os.utime(lock, (old, old))
+
+    errs: list[Exception] = []
+    inside = []
+    overlap = []
+
+    def edit(name):
+        def mutate(props):
+            inside.append(name)
+            if len(inside) - len(overlap) > 1:
+                overlap.append(name)  # two holders at once
+            _time.sleep(0.2)
+            props.setdefault("constraints", {})[name] = "label >= 0"
+            overlap.append(None) if False else None
+            inside.remove(name)
+
+        try:
+            c2 = VersionedCollection(spark, str(tmp_path), "c21")
+            c2._rewrite_props(mutate)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    ts = [
+        threading.Thread(target=edit, args=(n,)) for n in ("a", "b")
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(30)
+    assert not errs
+    assert not overlap, "two writers held the props lock at once"
+    assert set(c.constraints) >= {"a", "b"}

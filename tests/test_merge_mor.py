@@ -234,3 +234,30 @@ def test_stream_mor_ingest_crash_replay_exactly_once(
         assert set(c.manifest(v - 1)["files"]) <= set(
             c.manifest(v)["files"]
         )
+
+
+def test_merge_mor_empty_batch_is_carried_only_noop(spark, tmp_path):
+    """An EMPTY CDC micro-batch must not write a zero-row parquet:
+    the stats-less file it added made every concurrent writer's
+    _conflict_free_base read 'evidence missing → conflict' until a
+    compaction folded it away (round-14 ADVICE low).  The commit is
+    carried-only: same files, no dv, n_written 0 — and a later
+    writer's rebase window across it stays conflict-free."""
+    c = _coll(spark, tmp_path, "mmempty")
+    files0 = c.manifest(0)["files"]
+    schema0 = c.manifest(0)["schema"]
+    empty = _mk(spark, []).filter(F.lit(False))
+    c.merge_mor(empty)
+    m = c.manifest(1)
+    assert m["files"] == files0          # nothing appended
+    assert not m.get("dv")               # nothing matched
+    assert m.get("n_written", 0) == 0
+    assert _state(c) == {(i, 10 * i) for i in range(8)}
+    # every file in the snapshot still has id stats — no stats-less
+    # file poisoning later conflict checks ...
+    assert set(m.get("stats", {})) == set(m["files"])
+    # ... so a writer whose race window spans the empty commit can
+    # still prove disjointness and rebase
+    assert (
+        c._conflict_free_base(0, set(), (500, 600), schema0) == 1
+    )

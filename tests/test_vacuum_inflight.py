@@ -1,0 +1,126 @@
+"""Deterministic regression for the vacuum vs in-flight-writer race
+(round-14 verdict item 5).
+
+A commit's Spark write stages task outputs under
+``data/c{v}-{uuid}/_temporary/`` and lands no top-level ``*.parquet``
+until job commit — so to vacuum, a commit-in-progress is
+indistinguishable from a crashed commit's orphan dir.  The old sweep
+(`rmtree` any parquet-less subdir, NO age check) deleted the write
+directory from under the job; under full-suite load this surfaced as
+a 1-in-N ``FileNotFoundError`` on a task parquet mid-commit in
+``test_vacuum_races_concurrent_delta_writer``.  These tests replay
+the window synthetically (no timing dependence) and pin the fix: the
+``min_file_age_ms`` guard covers the DIRECTORY sweep too.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from legalchatbot_vectordb_exp_spark.sources.versioned import (
+    VersionedCollection,
+)
+
+
+def _vec(i: int) -> list[float]:
+    return [float(i), 1.0, 0.0]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(i, _vec(i), lbl) for i, lbl in rows],
+        "id long, vector array<double>, label long",
+    )
+
+
+def _coll(spark, tmp_path, name):
+    c = VersionedCollection(spark, str(tmp_path), name)
+    c.create(
+        _mk(spark, [(i, 10 * i) for i in range(4)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+    )
+    return c
+
+
+def _fake_inflight(c) -> str:
+    """Replay the exact on-disk state of a commit mid-Spark-job: a
+    fresh data subdir containing only staged task output (no
+    top-level parquet yet)."""
+    sub = os.path.join(c.path, "data", "c00000099-deadbeef")
+    tmp = os.path.join(sub, "_temporary", "0", "task_0")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"staged-task-output")
+    return sub
+
+
+def _age(path: str, seconds: float) -> None:
+    old = time.time() - seconds
+    for dp, dns, fns in os.walk(path, topdown=False):
+        for x in fns:
+            os.utime(os.path.join(dp, x), (old, old))
+        os.utime(dp, (old, old))
+
+
+def test_young_inflight_write_dir_survives_vacuum(spark, tmp_path):
+    c = _coll(spark, tmp_path, "vinflight")
+    c.merge(_mk(spark, [(0, 1)]))
+    sub = _fake_inflight(c)
+    c.vacuum(keep_last=1, min_file_age_ms=60_000)
+    assert os.path.isdir(sub), (
+        "vacuum swept a sub-retention-age in-flight write directory"
+    )
+    # the staged task file inside is intact
+    assert any(
+        fns for _dp, _dns, fns in os.walk(sub)
+    ), "staged task output was deleted"
+
+
+def test_aged_orphan_dir_is_swept_with_age_guard_on(spark, tmp_path):
+    c = _coll(spark, tmp_path, "vorphan")
+    c.merge(_mk(spark, [(0, 1)]))
+    sub = _fake_inflight(c)
+    _age(sub, 120.0)  # twice the retention age: a genuine orphan
+    c.vacuum(keep_last=1, min_file_age_ms=60_000)
+    assert not os.path.exists(sub)
+
+
+def test_age_zero_sweeps_orphan_dirs_immediately(spark, tmp_path):
+    # single-writer batch / test mode keeps its instant-sweep contract
+    c = _coll(spark, tmp_path, "vzero")
+    c.merge(_mk(spark, [(0, 1)]))
+    sub = _fake_inflight(c)
+    c.vacuum(keep_last=1, min_file_age_ms=0)
+    assert not os.path.exists(sub)
+
+
+def test_vacuum_during_real_commit_window(spark, tmp_path, monkeypatch):
+    """Injection twin of the load-dependent race test: run a full
+    vacuum INSIDE the commit window (payload written or being
+    written, manifest not yet published) and require the commit to
+    succeed anyway."""
+    c = _coll(spark, tmp_path, "vwindow")
+    v = VersionedCollection(spark, str(tmp_path), "vwindow")
+    orig = VersionedCollection._write_payload
+    fired: list[int] = []
+
+    def hooked(self, df, version, id_col, stat_cols=None, **kw):
+        payload = orig(self, df, version, id_col, stat_cols, **kw)
+        if not fired:
+            fired.append(1)
+            # files exist on disk, manifest unpublished: the exact
+            # window the rmtree race hit
+            v.vacuum(keep_last=1, min_file_age_ms=60_000)
+        return payload
+
+    monkeypatch.setattr(VersionedCollection, "_write_payload", hooked)
+    c.merge(_mk(spark, [(1, 111), (2, 222)]))
+    assert fired
+    got = {
+        (r.id, r.label)
+        for r in c.read().select("id", "label").collect()
+    }
+    assert (1, 111) in got and (2, 222) in got

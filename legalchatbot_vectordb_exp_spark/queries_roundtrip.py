@@ -1451,8 +1451,11 @@ def q_concurrent_merge_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
         orig = VersionedCollection._write_payload
         fired: list[int] = []
 
-        def hooked(self, df, version, id_col, stat_cols=None, **kw):
-            payload = orig(self, df, version, id_col, stat_cols, **kw)
+        def hooked(self, *a, **kw):
+            # signature-agnostic passthrough: _write_payload has grown
+            # kwargs twice (stat_cols, mapping=) and a stale pinned
+            # signature here voided two whole bench rounds
+            payload = orig(self, *a, **kw)
             if not fired:
                 fired.append(1)
                 winner = VersionedCollection(spark, warehouse, "cmr")

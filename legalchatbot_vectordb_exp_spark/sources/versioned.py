@@ -302,7 +302,7 @@ def _parse_sql_literal(tok: str):
             return None
 
 
-_SQL_STR_LIT = re.compile(r"'(?:[^']|'')*'")
+_SQL_STR_LIT = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
 
 
 def _predicate_id_bounds(pred, id_col: str):
@@ -320,10 +320,14 @@ def _predicate_id_bounds(pred, id_col: str):
     footer-stats pruning of the discovery scan, and
     ``_conflict_free_base``'s added-file disjointness test.
 
-    Quoted string literals are masked with opaque placeholder tokens
-    BEFORE any structural matching, so text inside a literal (e.g.
-    ``note = 'keep id in (2,4) rows'``) can never be mistaken for
-    predicate structure; an unbalanced quote gives up (``None``)."""
+    Quoted text is masked with opaque placeholder tokens BEFORE any
+    structural matching, so text inside it (e.g. ``note = 'keep id in
+    (2,4) rows'``) can never be mistaken for predicate structure; an
+    unbalanced quote gives up (``None``).  Double-quoted spans are
+    masked too — Spark SQL parses ``"..."`` as a string literal by
+    default but as an IDENTIFIER under ANSI double-quoted-identifier
+    mode, so they are treated as structure-opaque and never parsed as
+    comparison values (conservative in both modes)."""
     if not isinstance(pred, str):
         return None
     s = pred.strip()
@@ -337,7 +341,7 @@ def _predicate_id_bounds(pred, id_col: str):
         return "\x00L{}\x00".format(len(lits) - 1)
 
     s = _SQL_STR_LIT.sub(_mask, s)
-    if "'" in s:
+    if "'" in s or '"' in s:
         return None
 
     def _unmask_parse(tok):

@@ -162,3 +162,21 @@ def test_literal_bounds_do_not_falsely_approve_rebase(spark, tmp_path):
         )
     )
     assert c._conflict_free_base(0, set(), bounds, schema0) is None
+
+
+def test_double_quoted_spans_are_structure_opaque():
+    # Spark default mode: "..." is a string literal — its text must
+    # not be parsed as structure
+    assert _predicate_id_bounds(
+        'note = "keep id in (2,4) rows" AND id >= 100', "id"
+    ) == (100, None)
+    # ANSI double-quoted-identifier mode: "id2" could be a COLUMN —
+    # never a comparison value, so no bound is derived from it
+    assert _predicate_id_bounds('id = "id2"', "id") is None
+    assert _predicate_id_bounds(
+        'id = "id2" AND id < 9', "id"
+    ) == (None, 9)
+    assert (
+        _predicate_id_bounds('note = "unbalanced AND id = 3', "id")
+        is None
+    )

@@ -180,3 +180,76 @@ def test_double_quoted_spans_are_structure_opaque():
         _predicate_id_bounds('note = "unbalanced AND id = 3', "id")
         is None
     )
+
+
+# ------------------------------------------------- property: soundness
+
+
+def test_bounds_are_always_a_superset_of_the_true_interval():
+    """Soundness property, hypothesis-driven: build random
+    conjunctions of id comparisons (whose exact implied interval we
+    know by construction) mixed with adversarial string-literal
+    conjuncts (quoting id text, parens, AND/OR/NOT, commas), and
+    require that whenever ``_predicate_id_bounds`` returns bounds,
+    they CONTAIN the true interval — bounds may be looser (consumers
+    just prune less) but never tighter (silent data loss)."""
+    from hypothesis import given, settings, strategies as st
+
+    noise_texts = st.sampled_from(
+        [
+            "keep id in (2,4) rows",
+            "id between 1 and 999",
+            "do not delete",
+            "a OR b, c AND d",
+            "id >= 12345",
+            "it''s fine",
+            "(id = 7)",
+        ]
+    )
+    comparisons = st.tuples(
+        st.sampled_from([">=", ">", "<=", "<", "="]),
+        st.integers(min_value=-50, max_value=50),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        comps=st.lists(comparisons, min_size=1, max_size=4),
+        noises=st.lists(noise_texts, max_size=3),
+        flip=st.booleans(),
+    )
+    def prop(comps, noises, flip):
+        true_lo, true_hi = None, None
+        conjs = []
+        for op, v in comps:
+            conjs.append(f"{v} {_FLIP[op]} id" if flip else f"id {op} {v}")
+            if op in (">=", "="):
+                true_lo = v if true_lo is None else max(true_lo, v)
+            if op == ">":
+                true_lo = v + 1 if true_lo is None else max(true_lo, v + 1)
+            if op in ("<=", "="):
+                true_hi = v if true_hi is None else min(true_hi, v)
+            if op == "<":
+                true_hi = v - 1 if true_hi is None else min(true_hi, v - 1)
+        for i, t in enumerate(noises):
+            conjs.append(f"note{i} = '{t}'")
+        got = _predicate_id_bounds(" AND ".join(conjs), "id")
+        if got is None:
+            return  # unbounded is always sound
+        lo, hi = got
+        # every id in the TRUE interval must satisfy the returned
+        # bounds: returned lo <= true interval, returned hi >= it.
+        # (">" is parsed as a >= bound on the same value — looser by
+        # one, which is the sound direction.)
+        if true_lo is not None and lo is not None:
+            assert lo <= true_lo
+        if true_hi is not None and hi is not None:
+            assert hi >= true_hi
+        if true_lo is None:
+            assert lo is None
+        if true_hi is None:
+            assert hi is None
+
+    prop()
+
+
+_FLIP = {">=": "<=", ">": "<", "<=": ">=", "<": ">", "=": "="}

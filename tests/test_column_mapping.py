@@ -264,3 +264,48 @@ def test_zorder_col_stats_survive_rename(spark, tmp_path):
     out = c.read_range(0, 70, column="alpha")
     assert {r.id for r in out.collect()} == {i for i in range(8)}
     assert c.last_read_stats["files_pruned"] > 0
+
+
+def test_maintenance_ops_resolve_through_the_map(spark, tmp_path):
+    """materialize_dvs / compact / recluster / Z-order after a rename
+    must read logical names, write PHYSICAL names, and keep every
+    later read correct — the rewrite paths all route through
+    _write_payload(mapping=...), pinned here end-to-end."""
+    import pyspark.sql.functions as F
+
+    from legalchatbot_vectordb_exp_spark.sources.versioned import (
+        VersionedCollection,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, [float(i), 1.0, 0.0], lbl) for i, lbl in rows],
+            "id long, vector array<double>, label long",
+        )
+
+    c = VersionedCollection(spark, str(tmp_path), "mapmaint")
+    c.create(
+        mk([(i, 10 * i) for i in range(8)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=4,
+    )
+    c.rename_column("label", "score")
+    c.delete_where("id = 3", mode="mor")
+    c.update_where("id = 5", {"score": F.col("score") + 1}, mode="mor")
+    st = c.materialize_dvs()
+    assert st["dv_dropped"] == 2
+    want = {(i, 10 * i) for i in range(8) if i not in (3, 5)} | {(5, 51)}
+    state = lambda: {  # noqa: E731
+        (r.id, r.score) for r in c.read().select("id", "score").collect()
+    }
+    assert state() == want
+    c.compact()
+    assert state() == want
+    c.recluster(target_files=2)
+    assert state() == want
+    c.recluster(target_files=2, zorder_by=["id", "score"])
+    assert state() == want
+    # pre-rename snapshots still resolve the OLD name
+    assert "label" in c.read(version=0).columns

@@ -3798,14 +3798,35 @@ class VersionedCollection:
         and history-preserving (the rolled-back commits stay readable
         by version/timestamp until vacuum retires them; the restore
         itself appears in ``history()`` as operation ``restore``).
-        The restored files are guaranteed on disk: they are referenced
+        The restored files are normally on disk (they are referenced
         by the retained target manifest, which vacuum never sweeps
-        ahead of.  A concurrent commit racing the publish surfaces as
-        ``ConcurrentWriteError`` — rerun against the new latest."""
+        ahead of), but a VACUUM RACING this call can retire the
+        target's unique files between our manifest read and the
+        publish (Delta documents the same RESTORE-vs-VACUUM hazard) —
+        so the file list is existence-checked immediately before
+        publish and a missing file raises ``FileNotFoundError``
+        instead of committing a manifest that references swept data.
+        The check is driver-side stat calls, O(snapshot files), still
+        zero data I/O.  A concurrent commit racing the publish
+        surfaces as ``ConcurrentWriteError`` — rerun against the new
+        latest."""
         target = self.manifest(version)  # raises on unknown version
         base = self.latest_version()
         if version == base:
             return {"version": base, "restored_from": version}
+        missing = [
+            f
+            for f in list(target["files"])
+            + list((target.get("dv") or {}).keys())
+            if not os.path.isfile(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"collection {self.name}: cannot restore to "
+                f"v{version} — {len(missing)} referenced file(s) "
+                f"already vacuumed (e.g. {missing[0]}); the target "
+                f"is outside the vacuum retention window"
+            )
         self._publish(
             {
                 "version": base + 1,

@@ -124,3 +124,32 @@ def test_vacuum_during_real_commit_window(spark, tmp_path, monkeypatch):
         for r in c.read().select("id", "label").collect()
     }
     assert (1, 111) in got and (2, 222) in got
+
+
+def test_restore_refuses_a_vacuumed_target(spark, tmp_path):
+    """RESTORE × VACUUM retention hazard (Delta documents the same):
+    if the target snapshot's unique files were swept between the
+    manifest read and the publish, restore must FAIL LOUDLY instead
+    of committing a manifest that references deleted data."""
+    import pytest
+
+    c = _coll(spark, tmp_path, "vrestore")
+    files0 = set(c.manifest(0)["files"])
+    # rewrite everything so v0's files become unreferenced by later
+    # manifests ...
+    c.delete_where("id >= 0")  # v1: every file rewritten away
+    c.merge(_mk(spark, [(i, i) for i in range(4)]))  # v2
+    live = set(c.manifest(1)["files"]) | set(c.manifest(2)["files"])
+    swept = sorted(files0 - live)
+    assert swept, "setup: v0 must have files unreferenced by v1/v2"
+    # ... then replay the race deterministically: the sweep lands
+    # between restore's manifest read and its publish
+    for f in swept:
+        os.unlink(os.path.join(c.path, f))
+    with pytest.raises(FileNotFoundError, match="retention"):
+        c.restore(0)
+    # nothing was committed: latest is still v2 and it reads fine
+    assert c.latest_version() == 2
+    assert {r.id for r in c.read().select("id").collect()} == {
+        0, 1, 2, 3,
+    }

@@ -1,0 +1,116 @@
+"""Model-based random-walk invariant net for the versioned sink: a
+seeded sequence of mixed operations (COW/MOR merge, delete, update,
+compact, materialize_dvs, rename, restore) executed against BOTH the
+engine and a plain-dict model, with full-state parity checked after
+every step and time-travel parity checked against the model's own
+history.  One walk exercises operator INTERACTIONS (DV over renamed
+column over restored snapshot over compacted files ...) that no
+pairwise test enumerates.
+
+The reference's only mutation is the whole-collection recreate
+(``Qdrant/VectorDB/Database.py:10-14``); this guards the Delta-parity
+protocol layered on top of it.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from legalchatbot_vectordb_exp_spark.sources.versioned import (
+    VersionedCollection,
+)
+
+OPS = (
+    "merge",
+    "merge_mor",
+    "delete",
+    "delete_mor",
+    "update",
+    "update_mor",
+    "compact",
+    "materialize",
+    "rename",
+    "restore",
+)
+
+
+def _mk(spark, rows, label_col):
+    return spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0], lbl) for i, lbl in rows],
+        f"id long, vector array<double>, {label_col} long",
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_walk_matches_dict_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    c = VersionedCollection(spark, str(tmp_path), f"walk{seed}")
+    model = {i: 10 * i for i in range(6)}
+    label = "label"
+    c.create(
+        _mk(spark, sorted(model.items()), label),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=2,
+    )
+    # history[v] = (state dict, label-column name) at version v
+    history = {0: (dict(model), label)}
+
+    for step in range(25):
+        op = rng.choice(OPS)
+        if op in ("merge", "merge_mor"):
+            ks = rng.sample(range(20), rng.randint(1, 3))
+            rows = [(k, rng.randint(0, 99)) for k in ks]
+            getattr(c, op)(_mk(spark, rows, label))
+            model.update(dict(rows))
+        elif op.startswith("delete"):
+            k = rng.randint(0, 19)
+            c.delete_where(
+                f"id = {k}", mode="mor" if op.endswith("mor") else "cow"
+            )
+            model.pop(k, None)
+        elif op.startswith("update"):
+            k = rng.randint(0, 19)
+            c.update_where(
+                f"id = {k}",
+                {label: F.col(label) + 1},
+                mode="mor" if op.endswith("mor") else "cow",
+            )
+            if k in model:
+                model[k] += 1
+        elif op == "compact":
+            c.compact()
+        elif op == "materialize":
+            c.materialize_dvs()
+        elif op == "rename":
+            new = "score" if label == "label" else "label"
+            c.rename_column(label, new)
+            label = new
+        elif op == "restore":
+            tgt = rng.choice(sorted(history))
+            c.restore(tgt)
+            model, label = dict(history[tgt][0]), history[tgt][1]
+        v = c.latest_version()
+        history[v] = (dict(model), label)
+        got = {
+            (r[0], r[1]) for r in c.read().select("id", label).collect()
+        }
+        assert got == set(model.items()), (
+            f"seed={seed} step={step} op={op} v={v}: "
+            f"extra={got - set(model.items())} "
+            f"missing={set(model.items()) - got}"
+        )
+
+    # time travel: every recorded version still reads back its own
+    # model snapshot under its own column names
+    for v in sorted(history):
+        snap, lbl = history[v]
+        got = {
+            (r[0], r[1])
+            for r in c.read(version=v).select("id", lbl).collect()
+        }
+        assert got == set(snap.items()), f"time travel to v{v} diverged"

@@ -341,3 +341,56 @@ def test_materialize_dvs_drops_anti_join_from_read_plan(
     assert "LeftAnti" not in plan2
     assert "BroadcastHashJoin" not in plan2
     assert _state(c) == before
+
+
+def test_threaded_disjoint_mor_mutations_all_land(spark, tmp_path):
+    """Row-level MOR mutations racing on DISJOINT keys: four threads
+    (two update_where, one delete_where, one merge_mor) against one
+    table — whatever the publish interleaving, every mutation lands
+    exactly once (the MOR rebase path republishes sidecar + append
+    under the winner without rerunning jobs), versions are gapless,
+    and the final state is the serial result."""
+    import threading
+
+    c = _clustered(spark, tmp_path, "morrace", n=12, files=4)
+    barrier = threading.Barrier(4)
+    errs: list[Exception] = []
+
+    def run(fn):
+        def task():
+            w = VersionedCollection(spark, str(tmp_path), "morrace")
+            try:
+                barrier.wait(timeout=60)
+                fn(w)
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        return threading.Thread(target=task)
+
+    ts = [
+        run(lambda w: w.update_where(
+            "id = 1", {"label": F.lit(111)}, mode="mor", max_retries=8
+        )),
+        run(lambda w: w.update_where(
+            "id = 6", {"label": F.lit(666)}, mode="mor", max_retries=8
+        )),
+        run(lambda w: w.delete_where("id = 9", mode="mor", max_retries=8)),
+        run(lambda w: w.merge_mor(_mk(spark, [(20, 2000)]), max_retries=8)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(180)
+    assert not errs, errs
+    vs = c.versions()
+    assert vs == list(range(len(vs)))  # gapless
+    assert len(vs) == 5  # create + 4 commits, no lost publish
+    want = {(i, 10 * i) for i in range(12) if i not in (1, 6, 9)} | {
+        (1, 111),
+        (6, 666),
+        (20, 2000),
+    }
+    assert _state(c) == want
+    # folding all outstanding DVs preserves the state
+    c.materialize_dvs()
+    assert _state(c) == want

@@ -4405,6 +4405,7 @@ class VersionedCollection:
         self,
         keep_last: int = 2,
         min_file_age_ms: int = _DEFAULT_VACUUM_AGE_MS,
+        dry_run: bool = False,
     ) -> dict:
         """Drop manifests older than the ``keep_last`` most recent and
         every data file none of the retained manifests references —
@@ -4416,7 +4417,13 @@ class VersionedCollection:
         writers; ``min_file_age_ms=0`` (tests, single-writer batch
         jobs) sweeps orphans from lost commits immediately.  Time
         travel within the retention window is untouched; the commit
-        checkpoint is rewritten to the retained set."""
+        checkpoint is rewritten to the retained set.
+
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN`` parity) reports
+        what WOULD be removed — counts plus the candidate file and
+        manifest lists — with zero mutation: no unlink, no directory
+        sweep, no checkpoint rewrite, no delta-manifest
+        materialization."""
         vs = self.versions()
         keep = vs[-keep_last:] if keep_last > 0 else vs[-1:]
         keep_set = set(keep)
@@ -4435,7 +4442,11 @@ class VersionedCollection:
             # equivalent atomic replace; deltas whose base is itself
             # retained stay deltas.
             raw = self._raw_manifest(v)
-            if "files" not in raw and raw["base"] not in keep_set:
+            if (
+                not dry_run
+                and "files" not in raw
+                and raw["base"] not in keep_set
+            ):
                 d = self._versions_dir()
                 tmp = os.path.join(d, f".full-tmp-{uuid.uuid4().hex}")
                 with open(tmp, "w") as f:
@@ -4452,11 +4463,12 @@ class VersionedCollection:
         # not-yet-unlinked old manifests just leaves the old versions
         # readable until the next vacuum (versions() also keeps a
         # listdir fallback for logs vacuumed by the buggy order).
-        if keep:
+        if keep and not dry_run:
             self._write_checkpoint([[v, keep_ts[v]] for v in keep])
         now = time.time()
         removed_files = 0
         skipped_young = 0
+        would_remove_files: list[str] = []
         data_root = os.path.join(self.path, _DATA_DIR)
         for sub in sorted(os.listdir(data_root)) if os.path.isdir(
             data_root
@@ -4476,6 +4488,10 @@ class VersionedCollection:
                 if age_ms < min_file_age_ms:
                     skipped_young += 1
                     continue
+                would_remove_files.append(rel)
+                if dry_run:
+                    removed_files += 1
+                    continue
                 os.unlink(full)
                 removed_files += 1
             # Retiring a parquet-less subdir must honor the SAME age
@@ -4491,7 +4507,7 @@ class VersionedCollection:
             # writer batch) still sweeps crashed-commit orphans
             # immediately.
             try:
-                if not any(
+                if not dry_run and not any(
                     x.endswith(".parquet") for x in os.listdir(subdir)
                 ):
                     ages = [os.path.getmtime(subdir)]
@@ -4511,11 +4527,19 @@ class VersionedCollection:
         removed_manifests = 0
         for v in vs:
             if v not in keep:
-                os.unlink(self._manifest_path(v))
+                if not dry_run:
+                    os.unlink(self._manifest_path(v))
                 removed_manifests += 1
-        return {
+        out = {
             "removed_files": removed_files,
             "skipped_young_files": skipped_young,
             "removed_manifests": removed_manifests,
             "retained_versions": keep,
         }
+        if dry_run:
+            out["dry_run"] = True
+            out["candidate_files"] = would_remove_files
+            out["candidate_manifests"] = [
+                v for v in vs if v not in keep
+            ]
+        return out

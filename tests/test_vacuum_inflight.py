@@ -153,3 +153,30 @@ def test_restore_refuses_a_vacuumed_target(spark, tmp_path):
     assert {r.id for r in c.read().select("id").collect()} == {
         0, 1, 2, 3,
     }
+
+
+def test_vacuum_dry_run_reports_without_mutating(spark, tmp_path):
+    """Delta ``VACUUM ... DRY RUN`` parity: same counts as the real
+    sweep, zero mutation — files, manifests, and the checkpoint all
+    untouched; the following real vacuum removes exactly what the dry
+    run predicted."""
+    import glob
+
+    c = _coll(spark, tmp_path, "vdry")
+    c.merge(_mk(spark, [(0, 1)]))
+    c.merge(_mk(spark, [(1, 2)]))
+    sub = _fake_inflight(c)
+    _age(sub, 120.0)
+    snapshot = sorted(glob.glob(os.path.join(c.path, "**"), recursive=True))
+    dry = c.vacuum(keep_last=1, min_file_age_ms=0, dry_run=True)
+    assert dry["dry_run"] is True
+    assert snapshot == sorted(
+        glob.glob(os.path.join(c.path, "**"), recursive=True)
+    ), "dry run touched the filesystem"
+    assert dry["removed_files"] == len(dry["candidate_files"]) > 0
+    assert dry["removed_manifests"] == len(dry["candidate_manifests"]) == 2
+    real = c.vacuum(keep_last=1, min_file_age_ms=0)
+    assert real["removed_files"] == dry["removed_files"]
+    assert real["removed_manifests"] == dry["removed_manifests"]
+    for rel in dry["candidate_files"]:
+        assert not os.path.exists(os.path.join(c.path, rel))

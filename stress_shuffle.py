@@ -585,7 +585,17 @@ def main() -> None:
             flush=True,
         )
 
-    out = {"base": base, "multiples": multiples, "results": results}
+    # MERGE into the existing artifact: sections produced by the
+    # SPARK_GRAFT_STRESS_ONLY probes (multiwriter, ingest_modes,
+    # column_mapping, dv_read_curve) must survive a full-tier re-run
+    prev: dict = {}
+    try:
+        with open(out_path) as fh:
+            prev = json.load(fh).get("results", {})
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    merged = {**prev, **results}
+    out = {"base": base, "multiples": multiples, "results": merged}
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"metric": "stress_shuffle_done", "files": out_path}))

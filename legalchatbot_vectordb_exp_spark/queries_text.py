@@ -699,3 +699,74 @@ def q_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_non_ascii / F.greatest(n_chars, F.lit(1)).cast("double"), 6
         ).alias("non_ascii_ratio"),
     )
+
+
+@register(
+    "bpe_merge_step",
+    sql="""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+        FROM documents
+      )
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substr(w, CAST(i AS INTEGER), 2))) AS pair,
+             cnt
+      FROM words
+      WHERE length(w) >= 2
+    ),
+    ranked AS (
+      SELECT pair, sum(cnt)::BIGINT AS freq
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, freq FROM ranked
+    ORDER BY freq DESC, pair LIMIT 50
+    """,
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE iteration of BPE tokenizer training at corpus scale: count
+    every adjacent symbol pair weighted by word frequency and rank
+    the merge candidates — the inner loop of Sennrich et al. BPE /
+    GPT-style tokenizer builds, distributed.
+
+    Plan shape: tokenize → word-frequency aggregate (the shuffle
+    carries DISTINCT words, not token instances) → per-word adjacent
+    pairs via ``transform(sequence(...))`` (scan-stage lambda, no
+    Python) → one more partial-aggregated groupBy on the pair.  The
+    top-50 sort runs on the aggregated pair table (≤ alphabet²-ish
+    rows), so at 100 TB the only data-sized stages are the two
+    hash aggregates; a full BPE build is this query iterated with the
+    winning pair folded into the symbol table each round.  Ordering
+    ties broken by pair text for determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    "text", F.lit("[A-Za-z]+"), F.lit(0)
+                )
+            ).alias("raw")
+        )
+        .select(F.lower("raw").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(50)
+    )

@@ -24,3 +24,16 @@ def test_every_registry_query_is_documented_in_coverage_md():
         f"queries: {missing} — add a row (query, implementation, "
         f"test) for each"
     )
+
+
+def test_readme_query_count_matches_registry():
+    import re
+
+    readme = os.path.join(os.path.dirname(_DOC), "README.md")
+    text = open(readme).read()
+    m = re.search(r"(\d+) named queries", text)
+    assert m, "README.md lost its query-count line"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README.md says {m.group(1)} queries, registry has "
+        f"{len(QUERIES)} — update the README"
+    )

@@ -2081,6 +2081,19 @@ class VersionedCollection:
                         schema.fieldNames()
                     )
                     if extra:
+                        if attempt > 0:
+                            # first attempt analyzed clean, so the
+                            # TABLE schema changed under us (a rename/
+                            # drop DDL won the race window) — advising
+                            # schema_evolution=True here would FORK
+                            # the renamed column into old+new twins
+                            raise ConcurrentWriteError(
+                                f"collection {self.name}: table "
+                                f"schema changed concurrently — "
+                                f"source columns {sorted(extra)} no "
+                                f"longer match; re-run the merge "
+                                f"against the current schema"
+                            )
                         raise ValueError(
                             f"collection {self.name}: source carries "
                             f"columns not in the table schema "

@@ -309,3 +309,54 @@ def test_maintenance_ops_resolve_through_the_map(spark, tmp_path):
     assert state() == want
     # pre-rename snapshots still resolve the OLD name
     assert "label" in c.read(version=0).columns
+
+
+def test_rename_racing_merge_raises_concurrent_not_evolution_advice(
+    spark, tmp_path, monkeypatch
+):
+    """A rename DDL winning the race window means the loser merge's
+    source now carries a stale column name.  The retry must surface
+    ConcurrentWriteError (Delta's MetadataChangedException shape) —
+    NOT the 'pass schema_evolution=True' ValueError, whose advice
+    would fork the renamed column into old+new twins."""
+    import pytest
+
+    from legalchatbot_vectordb_exp_spark.sources.versioned import (
+        ConcurrentWriteError,
+        VersionedCollection,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, [float(i), 1.0, 0.0], lbl) for i, lbl in rows],
+            "id long, vector array<double>, label long",
+        )
+
+    c = VersionedCollection(spark, str(tmp_path), "renrace")
+    c.create(
+        mk([(i, 10 * i) for i in range(6)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=2,
+    )
+    orig = VersionedCollection._write_payload
+    fired: list[int] = []
+
+    def hooked(self, *a, **kw):
+        payload = orig(self, *a, **kw)
+        if not fired:
+            fired.append(1)
+            VersionedCollection(
+                spark, str(tmp_path), "renrace"
+            ).rename_column("label", "score")
+        return payload
+
+    monkeypatch.setattr(VersionedCollection, "_write_payload", hooked)
+    with pytest.raises(ConcurrentWriteError, match="schema changed"):
+        c.merge(mk([(0, 999)]), max_retries=8)
+    # nothing half-committed: rename landed, data unchanged
+    got = {
+        (r.id, r.score) for r in c.read().select("id", "score").collect()
+    }
+    assert got == {(i, 10 * i) for i in range(6)}

@@ -37,6 +37,9 @@ FAMILIES = [
     # round-5 additions: gram-key joins and cell-blocked pair scoring
     "substring_dedup_spans",
     "semdedup_cells",
+    # round-15: BPE pair counting — two hash aggregates, shuffle must
+    # track DISTINCT words (sublinear in corpus rows), never instances
+    "bpe_merge_step",
 ]
 
 

@@ -34,6 +34,8 @@ OPS = (
     "materialize",
     "rename",
     "restore",
+    "vacuum",
+    "recluster",
 )
 
 
@@ -86,12 +88,25 @@ def test_random_walk_matches_dict_model(spark, tmp_path, seed):
             c.compact()
         elif op == "materialize":
             c.materialize_dvs()
+        elif op == "recluster":
+            c.recluster(target_files=rng.choice([1, 2, 4]))
+        elif op == "vacuum":
+            c.vacuum(keep_last=rng.randint(2, 5), min_file_age_ms=0)
+            survivors = set(c.versions())
+            history = {
+                v: s for v, s in history.items() if v in survivors
+            }
         elif op == "rename":
             new = "score" if label == "label" else "label"
             c.rename_column(label, new)
             label = new
         elif op == "restore":
-            tgt = rng.choice(sorted(history))
+            live = [
+                v for v in sorted(history) if v in set(c.versions())
+            ]
+            if not live:
+                continue
+            tgt = rng.choice(live)
             c.restore(tgt)
             model, label = dict(history[tgt][0]), history[tgt][1]
         v = c.latest_version()

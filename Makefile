@@ -8,13 +8,19 @@
 #   make bench     # one bench pass at sf0.1 (bench_latest.json)
 #   make stress    # shuffle-volume tiers -> STRESS_SHUFFLE.json
 
-.PHONY: gate test census bench stress
+.PHONY: gate test census census-fresh bench stress
 
 test:
 	python -m pytest tests/ -q
 
 census:
 	python parity_snapshot.py
+
+# Round-15 verdict item 2: a package commit 10 min after the census
+# regen silently de-proved the artifact.  Red when any watched source
+# mtime is newer than CORRECTNESS_local_sf001.json.
+census-fresh:
+	python census_gate.py
 
 bench:
 	python bench.py
@@ -23,8 +29,8 @@ bench:
 	  assert not errs, f'bench recorded per-query errors: {errs}'; \
 	  print(f\"bench OK: {d['value']}s over {len(d['queries'])} queries\")"
 
-gate: test census bench
-	@echo "gate PASSED: suite green, census green, bench rc=0 with no errors"
+gate: test census bench census-fresh
+	@echo "gate PASSED: suite green, census green + fresh, bench rc=0 with no errors"
 
 stress:
 	SPARK_GRAFT_STRESS_ONLY=column_mapping,dv_curve python stress_shuffle.py

@@ -6,16 +6,15 @@ sf0.001.  ``queries()`` / ``oracle_sql()`` — the operator registry from
 with a DuckDB oracle where SQL-expressible).
 
 Registration ORDER is deliberate: the driver samples a prefix of
-``queries()`` for its correctness report (50 in r7), so each round the
-prefix is rotated to whatever most needs a fresh driver row.  Round 11
-front-loads: the new ``mor_delete_read`` (merge-on-read deletion
-vectors), ``concurrent_merge_rebase`` and ``restore_rollback`` oracle
-queries, the rewritten ``part_affinity``,
-and ``ann_ivf_persisted`` (its fixture staging is now process-cached —
-behavior-adjacent change, so it faces the gate again), then every
-remaining query ordered by the age of its latest driver-green row
-(the ~40 r7-aged queries the r10 window didn't reach, then the r9
-block); the 50 queries with fresh r10 rows sample last.
+``queries()`` for its correctness report (50 per round), so each round
+the prefix is rotated to whatever most needs a fresh driver row.
+Round 16 front-loads: the NEW NN-descent k-NN graph pair
+(``ann_knn_graph``, ``ann_knn_graph_recall``), then the round-15
+additions that never got a driver slot (``bpe_merge_step``,
+``column_mapping_time_travel``, ``column_mapping_read`` — all 50 r15
+slots went to the recovery set), then the 104 queries whose latest
+driver-green row predates r15 (their existing oldest-first order
+preserved); the 50 queries with fresh r15 rows sample last.
 """
 
 from __future__ import annotations
@@ -31,65 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 _SAMPLE_PRIORITY = [
-    # (0) new or behavior-changed in round 11: merge-on-read deletion
-    # vectors, the two-writer conflict-detection protocol and
-    # restore(version) through the oracle gate, the one-shuffle
-    # part_affinity rewrite, and the persisted-IVF query whose
-    # staging is now process-cached (fresh driver process still
-    # rebuilds, so the oracle path is unchanged)
-    "update_where_read",
-    "scd2_apply",
-    "mor_delete_read",
-    "concurrent_merge_rebase",
-    "restore_rollback",
-    "part_affinity",
-    "ann_ivf_persisted",
-    # (next) latest driver-green row is r7 — oldest evidence first
-    "boilerplate_shingles",
-    "chunk_overlap",
-    "cms_heavy_hitters",
-    "dedup_incremental",
-    "dq_audit",
-    "embed_dim_contract",
-    "events_ewma",
-    "events_sliding",
-    "events_stream_join_live",
-    "events_tumbling",
-    "graph_triangles",
-    "hard_negatives",
-    "incremental_agg_maintain",
-    "interval_join_events",
-    "kmeans_refine",
-    "lang_id",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_resize",
-    "negative_sampling",
-    "orc_roundtrip",
-    "pricing_summary",
-    "repetition_score",
-    "sales_cube",
-    "sales_rollup",
-    "salted_agg_equivalence",
-    "semdedup_cells",
-    "sequence_packing",
-    "snapshot_diff",
-    "stratified_sample",
-    "string_functions",
-    "substring_dedup_spans",
-    "table_profile",
-    "text_normalize",
-    "text_stats",
-    "tfidf_topterms",
-    "topk_batch",
-    "topk_cosine",
-    "training_shuffle",
-    "udaf_grouped_median",
-    "udtf_shingle_freq",
-    "unigram_surprisal",
-    "vector_normalize",
+    "ann_knn_graph",
+    "ann_knn_graph_recall",
+    "bpe_merge_step",
+    "column_mapping_time_travel",
+    "column_mapping_read",
     "zorder_layout",
-    # (next) latest driver-green row is r9
     "ann_ivf_recall_guard",
     "ann_lsh_buckets",
     "ann_lsh_pairs",
@@ -124,7 +70,6 @@ _SAMPLE_PRIORITY = [
     "multimodal_audio",
     "multimodal_meta",
     "order_priority_counts",
-    "part_affinity",
     "payload_filter_eq",
     "pii_redact",
     "quality_score",
@@ -140,7 +85,6 @@ _SAMPLE_PRIORITY = [
     "top_customers",
     "top_parts_per_brand",
     "value_percentiles",
-    # (tail) fresh r10 driver rows — newest evidence, sampled last
     "ann_ivf_topk",
     "ann_ivf_topk_batch",
     "ann_ivfpq_topk",
@@ -190,6 +134,56 @@ _SAMPLE_PRIORITY = [
     "cdf_stream_fold",
     "zorder_recluster_read",
     "mv_cdc_maintain",
+    "update_where_read",
+    "scd2_apply",
+    "mor_delete_read",
+    "concurrent_merge_rebase",
+    "restore_rollback",
+    "part_affinity",
+    "ann_ivf_persisted",
+    "boilerplate_shingles",
+    "chunk_overlap",
+    "cms_heavy_hitters",
+    "dedup_incremental",
+    "dq_audit",
+    "embed_dim_contract",
+    "events_ewma",
+    "events_sliding",
+    "events_stream_join_live",
+    "events_tumbling",
+    "graph_triangles",
+    "hard_negatives",
+    "incremental_agg_maintain",
+    "interval_join_events",
+    "kmeans_refine",
+    "lang_id",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_resize",
+    "negative_sampling",
+    "orc_roundtrip",
+    "pricing_summary",
+    "repetition_score",
+    "sales_cube",
+    "sales_rollup",
+    "salted_agg_equivalence",
+    "semdedup_cells",
+    "sequence_packing",
+    "snapshot_diff",
+    "stratified_sample",
+    "string_functions",
+    "substring_dedup_spans",
+    "table_profile",
+    "text_normalize",
+    "text_stats",
+    "tfidf_topterms",
+    "topk_batch",
+    "topk_cosine",
+    "training_shuffle",
+    "udaf_grouped_median",
+    "udtf_shingle_freq",
+    "unigram_surprisal",
+    "vector_normalize",
 ]
 
 

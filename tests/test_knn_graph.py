@@ -1,0 +1,127 @@
+"""NN-descent k-NN graph build (round-15 verdict item 3): the batch
+analogue of the reference's graph-based index (Qdrant server-side HNSW,
+``Qdrant/main.py:60-61``).  Structural invariants + oracle parity +
+recall floor; the shuffle-growth story is measured by the stress tier
+(``stress_shuffle.py`` knn_graph family, SCALE.md §16)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from legalchatbot_vectordb_exp_spark.queries_ann import (  # noqa: E402
+    KNN_GUARD_TOPK,
+    KNN_ITERS,
+    KNN_K,
+    KNN_RECALL_FLOOR,
+    _KNN_GRAPH_STAGING,
+    knn_graph_build,
+    q_ann_knn_graph,
+    q_ann_knn_graph_recall,
+)
+from tests.oracle_harness import duckdb_conn, compare  # noqa: E402
+from legalchatbot_vectordb_exp_spark.registry import ORACLES  # noqa: E402
+
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
+
+
+def test_graph_structure(spark):
+    g = knn_graph_build(spark, SF_DIR)
+    stats = g.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.count_distinct("dst").alias("ndst"),
+        F.max((F.col("dst") == F.col("src")).cast("int")).alias("selfloop"),
+    )
+    row = stats.agg(
+        F.max("deg").alias("max_deg"),
+        F.min("deg").alias("min_deg"),
+        F.max(F.col("deg") - F.col("ndst")).alias("dup_edges"),
+        F.max("selfloop").alias("selfloops"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    ).collect()[0]
+    n_total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert row.max_deg <= KNN_K
+    assert row.min_deg >= 1
+    assert row.dup_edges == 0, "duplicate (src,dst) edges"
+    assert row.selfloops == 0, "self-loop edge"
+    assert row.n_nodes == n_total, "every node must keep neighbors"
+
+
+def test_build_is_cached_per_process(spark):
+    g1 = knn_graph_build(spark, SF_DIR)
+    assert SF_DIR in _KNN_GRAPH_STAGING
+    g2 = knn_graph_build(spark, SF_DIR)
+    assert g1 is g2, "second build must return the staged graph"
+
+
+def test_oracle_parity_graph(spark):
+    con = duckdb_conn(SF_DIR)
+    try:
+        compare(
+            q_ann_knn_graph(spark, SF_DIR),
+            con,
+            ORACLES["ann_knn_graph"],
+            "ann_knn_graph",
+        )
+    finally:
+        con.close()
+
+
+def test_recall_guard_passes_and_matches_oracle(spark):
+    con = duckdb_conn(SF_DIR)
+    try:
+        df = q_ann_knn_graph_recall(spark, SF_DIR)
+        row = df.collect()[0]
+        assert row.knn_recall_ok, (
+            f"recall {row.total_hits} under floor {KNN_RECALL_FLOOR}"
+        )
+        compare(
+            q_ann_knn_graph_recall(spark, SF_DIR),
+            con,
+            ORACLES["ann_knn_graph_recall"],
+            "ann_knn_graph_recall",
+        )
+    finally:
+        con.close()
+
+
+def test_refinement_beats_init(spark):
+    """NN-descent must IMPROVE on the ring init: the mean kept-edge
+    score strictly increases from g0 to the final graph (on random
+    vectors the init ring is near-random; refinement pulls in true
+    neighbors)."""
+    import legalchatbot_vectordb_exp_spark.queries_ann as A
+
+    final_mean = (
+        knn_graph_build(spark, SF_DIR).agg(F.avg("score")).collect()[0][0]
+    )
+    old_iters, old_cache = A.KNN_ITERS, dict(A._KNN_GRAPH_STAGING)
+    try:
+        A.KNN_ITERS = 0
+        A._KNN_GRAPH_STAGING.clear()
+        init_mean = (
+            knn_graph_build(spark, SF_DIR)
+            .agg(F.avg("score"))
+            .collect()[0][0]
+        )
+    finally:
+        A.KNN_ITERS = old_iters
+        A._KNN_GRAPH_STAGING.clear()
+        A._KNN_GRAPH_STAGING.update(old_cache)
+    assert final_mean > init_mean, (
+        f"refinement did not improve: init {init_mean} final {final_mean}"
+    )
+
+
+def test_constants_sane():
+    assert KNN_GUARD_TOPK <= KNN_K
+    assert KNN_ITERS >= 1
+    assert KNN_RECALL_FLOOR >= 1

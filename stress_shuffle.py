@@ -40,6 +40,10 @@ FAMILIES = [
     # round-15: BPE pair counting — two hash aggregates, shuffle must
     # track DISTINCT words (sublinear in corpus rows), never instances
     "bpe_merge_step",
+    # round-16: NN-descent k-NN graph build — per-iteration candidates
+    # are neighbors-of-neighbors, O(n * (2k)^2); shuffle bytes must
+    # grow ~linearly in corpus rows, never all-pairs
+    "ann_knn_graph",
 ]
 
 
@@ -537,6 +541,53 @@ def main() -> None:
             )
             out["results"]["dv_read_curve"] = r
             print(json.dumps({"dv_read_curve": r}), flush=True)
+        if "knn_graph" in only:
+            kg: dict = {"_provenance": {"base": base, "multiples": multiples}}
+            for n in multiples:
+                sf_dir = (
+                    base
+                    if n == 1
+                    else build(
+                        base,
+                        os.path.join(tmp_root, f"stress_shuffle_{n}x"),
+                        n,
+                    )
+                )
+                kg[f"{n}x"] = measure(
+                    spark, QUERIES["ann_knn_graph"], sf_dir
+                )
+                print(
+                    json.dumps({"ann_knn_graph": {f"{n}x": kg[f'{n}x']}}),
+                    flush=True,
+                )
+            out["results"]["ann_knn_graph"] = kg
+        if "write100" in only:
+            # round-15 verdict item 5: COW merge / multiwriter / DV
+            # read families measured to 30x before — push to 100x and
+            # record whether rewrite bytes stay ∝ touched files
+            n = 100
+            sf_dir = build(
+                base, os.path.join(tmp_root, f"stress_shuffle_{n}x"), n
+            )
+            w100: dict = {"_provenance": {"base": base, "multiple": n}}
+            wh = os.path.join(tmp_root, "stress_cow_wh")
+            for layout in ("hash", "range"):
+                r = measure_cow_merge(spark, sf_dir, layout, 32 * n, wh)
+                w100[f"cow_merge_{layout}"] = r
+                print(
+                    json.dumps({f"cow_merge_{layout}_100x": r}), flush=True
+                )
+            r = measure_multiwriter(
+                spark, sf_dir, os.path.join(tmp_root, "stress_mw100_wh")
+            )
+            w100["multiwriter"] = r
+            print(json.dumps({"multiwriter_100x": r}), flush=True)
+            r = measure_dv_read_curve(
+                spark, sf_dir, os.path.join(tmp_root, "stress_dv100_wh")
+            )
+            w100["dv_read_curve"] = r
+            print(json.dumps({"dv_read_curve_100x": r}), flush=True)
+            out["results"]["write_path_100x"] = w100
         with open(out_path, "w") as fh:
             json.dump(out, fh, indent=1)
         print(json.dumps({"metric": "stress_shuffle_done", "files": out_path}))
@@ -590,11 +641,20 @@ def main() -> None:
 
     # MERGE into the existing artifact: sections produced by the
     # SPARK_GRAFT_STRESS_ONLY probes (multiwriter, ingest_modes,
-    # column_mapping, dv_read_curve) must survive a full-tier re-run
+    # column_mapping, dv_read_curve, knn_graph, write100) must survive
+    # a full-tier re-run — but ONLY when the prior artifact was
+    # measured at the same base/multiples, otherwise probe sections
+    # from a different scale config would silently sit under this
+    # run's header (round-15 ADVICE).
     prev: dict = {}
     try:
         with open(out_path) as fh:
-            prev = json.load(fh).get("results", {})
+            prev_doc = json.load(fh)
+        if (
+            prev_doc.get("base") == base
+            and prev_doc.get("multiples") == multiples
+        ):
+            prev = prev_doc.get("results", {})
     except (FileNotFoundError, json.JSONDecodeError):
         pass
     merged = {**prev, **results}

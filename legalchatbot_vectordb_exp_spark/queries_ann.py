@@ -1188,18 +1188,33 @@ def _knn_graph_sql(final_select: str) -> str:
         f"g0 AS MATERIALIZED {_knn_sql_scored_topk('init_pairs', k)}",
     ]
     for t in range(1, iters + 1):
+        # B(mid) = forward neighbors (k) + top-k REVERSE neighbors —
+        # the reverse cap is load-bearing: high-dim hubness makes raw
+        # in-degree heavy-tailed and sum(deg^2) super-linear (measured
+        # exponent 1.38 uncapped), while capped |B| <= 2k bounds
+        # candidates at n*(2k)^2 exactly
         ctes.append(
-            f"""und{t} AS MATERIALIZED (
-      SELECT src, dst FROM g{t - 1}
-      UNION
-      SELECT dst AS src, src AS dst FROM g{t - 1}
+            f"""rev{t} AS MATERIALIZED (
+      SELECT mid, nbr FROM (
+        SELECT dst AS mid, src AS nbr,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY score DESC, src ASC) AS rn
+        FROM g{t - 1})
+      WHERE rn <= {k}
+    )"""
+        )
+        ctes.append(
+            f"""b{t} AS MATERIALIZED (
+      SELECT src AS mid, dst AS nbr FROM g{t - 1}
+      UNION ALL
+      SELECT mid, nbr FROM rev{t}
     )"""
         )
         ctes.append(
             f"""cand{t} AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
-        SELECT x.src AS src, y.dst AS dst
-        FROM und{t} x JOIN und{t} y ON x.dst = y.src
+        SELECT x.nbr AS src, y.nbr AS dst
+        FROM b{t} x JOIN b{t} y ON x.mid = y.mid
         UNION ALL
         SELECT src, dst FROM g{t - 1}) u
       WHERE src != dst
@@ -1314,17 +1329,32 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reliable storage (the pagerank_parts pattern).
     graph = _knn_scored_topk(init_pairs, emb).localCheckpoint()
     for _ in range(KNN_ITERS):
-        # no distinct on und: duplicate candidates fall out at the
-        # pairs-level distinct below, one shuffle instead of two
-        und = graph.select("src", "dst").union(
-            graph.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+        # B(mid) = forward neighbors (k) + top-k REVERSE neighbors.
+        # The reverse cap is load-bearing at scale: high-dim hubness
+        # makes raw in-degree heavy-tailed, so sum(deg^2) — the
+        # candidate volume — grows super-linearly (measured exponent
+        # 1.38 on the 10x stress corpus uncapped); with |B| <= 2k the
+        # neighbor-of-neighbor self-join is bounded at n*(2k)^2 rows.
+        w_rev = Window.partitionBy("mid").orderBy(
+            F.desc("score"), F.col("nbr").asc()
         )
+        rev = (
+            graph.select(
+                F.col("dst").alias("mid"),
+                F.col("src").alias("nbr"),
+                "score",
+            )
+            .withColumn("rn", F.row_number().over(w_rev))
+            .filter(F.col("rn") <= KNN_K)
+            .select("mid", "nbr")
+        )
+        b = graph.select(
+            F.col("src").alias("mid"), F.col("dst").alias("nbr")
+        ).union(rev)
         nn = (
-            und.alias("x")
-            .join(und.alias("y"), F.col("x.dst") == F.col("y.src"))
-            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+            b.alias("x")
+            .join(b.alias("y"), "mid")
+            .select(F.col("x.nbr").alias("src"), F.col("y.nbr").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
         )
         pairs = graph.select("src", "dst").union(nn).distinct()
@@ -1417,4 +1447,211 @@ def q_ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_nodes).cast("bigint").alias("n_nodes"),
         F.count(F.lit(1)).alias("total_hits"),
         (F.count(F.lit(1)) >= KNN_RECALL_FLOOR).alias("knn_recall_ok"),
+    )
+
+
+# ------------------------------------------------- graph beam search
+
+# Batch best-first search OVER the NN-descent graph — the navigate
+# half of the reference's graph index (Qdrant HNSW search,
+# Qdrant/main.py:60-61 via server defaults): seed each query with the
+# IVF centroids (metadata-scale), then H hops of "expand the current
+# beam's graph neighbors, rescore, keep top-B", exactly HNSW's greedy
+# layer-0 walk batched across queries.  Every hop is one equi-join of
+# the (queries x B) beam against the edge list plus a per-query window
+# — beam volume is queries x B x k per hop, INDEPENDENT of corpus
+# size; the corpus is touched only through broadcast embedding
+# lookups (bucketed joins at 100 TB).
+
+KNN_SEARCH_BEAM = 8  # beam width B
+KNN_SEARCH_HOPS = 3  # fixed hops => SQL-expressible
+KNN_SEARCH_TOPK = 5  # final results per query
+
+
+def _knn_search_sql(final_select: str) -> str:
+    """Graph CTEs (shared with ann_knn_graph) + beam-search CTEs."""
+    b, hops, topk = KNN_SEARCH_BEAM, KNN_SEARCH_HOPS, KNN_SEARCH_TOPK
+    g = f"g{KNN_ITERS}"
+    search = [
+        f"""squeries AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id <= {N_BATCH_QUERIES}
+    )""",
+        f"""beam0 AS MATERIALIZED (
+      SELECT query_id, node, score FROM (
+        SELECT s.query_id, c.cid AS node,
+               {sql_dot('c.cv', 's.qv')} AS score,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {sql_dot('c.cv', 's.qv')} DESC,
+                                           c.cid ASC) AS rn
+        FROM squeries s CROSS JOIN centroids c)
+      WHERE rn <= {b}
+    )""",
+    ]
+    for t in range(1, hops + 1):
+        search.append(
+            f"""beam{t} AS MATERIALIZED (
+      SELECT query_id, node, score FROM (
+        SELECT sc.query_id, sc.node, sc.score,
+               row_number() OVER (PARTITION BY sc.query_id
+                                  ORDER BY sc.score DESC,
+                                           sc.node ASC) AS rn
+        FROM (
+          SELECT c.query_id, c.node,
+                 {sql_dot('e.embedding', 's.qv')} AS score
+          FROM (
+            SELECT DISTINCT query_id, node FROM (
+              SELECT query_id, node FROM beam{t - 1}
+              UNION ALL
+              SELECT p.query_id, ed.dst AS node
+              FROM beam{t - 1} p JOIN {g} ed ON ed.src = p.node) u
+          ) c
+          JOIN embeddings e ON e.vec_id = c.node
+          JOIN squeries s ON s.query_id = c.query_id) sc)
+      WHERE rn <= {b}
+    )"""
+        )
+    return (
+        _knn_graph_sql("SELECT 1").rsplit("SELECT 1", 1)[0]
+        + ",\n    "
+        + ",\n    ".join(search)
+        + "\n    "
+        + final_select.format(beam=f"beam{hops}", topk=topk)
+    )
+
+
+@register(
+    "ann_graph_search",
+    sql=_knn_search_sql(
+        """
+    SELECT query_id, node AS vec_id, round(score, 6) AS score FROM (
+      SELECT query_id, node, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, node ASC) AS rn
+      FROM {beam})
+    WHERE rn <= {topk}"""
+    ),
+)
+def q_ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{KNN_SEARCH_TOPK} per query via beam search over the
+    NN-descent graph — full hash-match against a DuckDB oracle that
+    replays the identical build + walk."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    graph = knn_graph_build(spark, sf_dir).select("src", "dst")
+    qdf = emb.filter(F.col("vec_id") <= N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    mod = ivf_mod_for(emb.count())
+    cents = emb.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("nv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("node").asc()
+    )
+    beam = (
+        qdf.join(F.broadcast(cents))
+        .withColumn("score", dot("nv", "qv"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_SEARCH_BEAM)
+        .select("query_id", "node", "score")
+    )
+    for _ in range(KNN_SEARCH_HOPS):
+        expanded = beam.select("query_id", "node").union(
+            beam.alias("p")
+            .join(
+                graph.alias("ed"), F.col("ed.src") == F.col("p.node")
+            )
+            .select(
+                F.col("p.query_id").alias("query_id"),
+                F.col("ed.dst").alias("node"),
+            )
+        ).distinct()
+        beam = (
+            expanded.join(
+                F.broadcast(
+                    emb.select(
+                        F.col("vec_id").alias("node"),
+                        F.col("embedding").alias("nv"),
+                    )
+                ),
+                "node",
+            )
+            .join(F.broadcast(qdf), "query_id")
+            .withColumn("score", dot("nv", "qv"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KNN_SEARCH_BEAM)
+            .select("query_id", "node", "score")
+        )
+    return (
+        beam.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_SEARCH_TOPK)
+        .select(
+            "query_id",
+            F.col("node").alias("vec_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+GRAPH_SEARCH_RECALL_FLOOR = 15  # of the 45 (9 queries x top-5) slots
+
+
+@register(
+    "ann_graph_search_recall",
+    sql=_knn_search_sql(
+        f"""
+    , gs5 AS (
+      SELECT query_id, node AS vec_id FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, node ASC) AS rn
+        FROM {{beam}})
+      WHERE rn <= {{topk}}
+    ),
+    sexact5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {sql_dot('e.embedding', 's.qv')} DESC,
+                                           e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN squeries s)
+      WHERE rn <= {{topk}}
+    )
+    SELECT (SELECT count(*) FROM squeries)::BIGINT AS n_queries,
+           count(*)::BIGINT AS total_hits,
+           count(*) >= {GRAPH_SEARCH_RECALL_FLOOR} AS graph_recall_ok
+    FROM gs5 JOIN sexact5 USING (query_id, vec_id)"""
+    ),
+)
+def q_ann_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality contract for the graph walk (the
+    ``ann_ivf_recall_guard`` shape): beam-search top-5 of the 9-query
+    batch must recover at least {GRAPH_SEARCH_RECALL_FLOOR} of the 45
+    exact top-5 slots.  Integer-derived single row — hash-matches."""
+    from legalchatbot_vectordb_exp_spark.operators.topk import (
+        topk_search_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    gs5 = q_ann_graph_search(spark, sf_dir).select("query_id", "vec_id")
+    qdf = emb.filter(F.col("vec_id") <= N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact5 = topk_search_batch(emb, qdf, k=KNN_SEARCH_TOPK).select(
+        "query_id", "vec_id"
+    )
+    n_q = qdf.count()
+    return gs5.join(exact5, ["query_id", "vec_id"]).agg(
+        F.lit(n_q).cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).alias("total_hits"),
+        (
+            F.count(F.lit(1)) >= GRAPH_SEARCH_RECALL_FLOOR
+        ).alias("graph_recall_ok"),
     )

@@ -125,3 +125,30 @@ def test_constants_sane():
     assert KNN_GUARD_TOPK <= KNN_K
     assert KNN_ITERS >= 1
     assert KNN_RECALL_FLOOR >= 1
+
+
+def test_graph_search_shape_and_recall(spark):
+    from legalchatbot_vectordb_exp_spark.queries_ann import (
+        GRAPH_SEARCH_RECALL_FLOOR,
+        KNN_SEARCH_TOPK,
+        q_ann_graph_search,
+        q_ann_graph_search_recall,
+    )
+
+    res = q_ann_graph_search(spark, SF_DIR)
+    per_q = (
+        res.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("vec_id").alias("nd"),
+        )
+        .collect()
+    )
+    assert per_q and all(
+        r.n == KNN_SEARCH_TOPK and r.nd == KNN_SEARCH_TOPK for r in per_q
+    )
+    row = q_ann_graph_search_recall(spark, SF_DIR).collect()[0]
+    assert row.graph_recall_ok, (
+        f"graph-search recall {row.total_hits} under floor "
+        f"{GRAPH_SEARCH_RECALL_FLOOR}"
+    )

@@ -34,6 +34,7 @@ _SAMPLE_PRIORITY = [
     "ann_knn_graph_recall",
     "ann_graph_search",
     "ann_graph_search_recall",
+    "ann_ivf_incremental",
     "bpe_merge_step",
     "column_mapping_time_travel",
     "column_mapping_read",

@@ -1655,3 +1655,137 @@ def q_ann_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) >= GRAPH_SEARCH_RECALL_FLOOR
         ).alias("graph_recall_ok"),
     )
+
+
+# --------------------------------------------- incremental IVF index
+
+# sf_dir -> warehouse with the two-commit incremental layout already
+# built in THIS process (same contract as _IVF_PERSISTED_STAGING)
+_IVF_INCR_STAGING: dict[str, str] = {}
+
+INCR_HOLDOUT_MOD = 23  # vec_id % 23 == 5 arrives as the second commit
+
+
+@register(
+    "ann_ivf_incremental",
+    sql=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             arg_max(c.cid, {sql_dot('e.embedding', 'c.cv')}
+                            + 1e-12 * (-c.cid)) AS cluster_id
+      FROM embeddings e CROSS JOIN centroids c
+      GROUP BY e.vec_id, e.embedding
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    probe AS (
+      SELECT c.cid
+      FROM centroids c, q
+      ORDER BY {sql_dot('q.qv', 'c.cv')} DESC, c.cid ASC
+      LIMIT {NPROBE}
+    )
+    SELECT a.vec_id, a.cluster_id,
+           round({sql_dot('a.embedding', 'q.qv')}, 6) AS score
+    FROM assign a, probe p, q
+    WHERE a.cluster_id = p.cid
+    ORDER BY {sql_dot('a.embedding', 'q.qv')} DESC, a.vec_id ASC
+    LIMIT 5
+    """,
+)
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance (E3 ⨝ E11, the other half of
+    ``ann_ivf_persisted``): the persisted IVF layout is built in TWO
+    commits — create over the corpus MINUS a held-out batch
+    (``vec_id % {INCR_HOLDOUT_MOD} == 5``), then ``merge`` the batch
+    keyed by the SAME quantizer/composite key — and the probe over
+    the post-merge snapshot must equal the full-corpus IVF result
+    (the oracle recomputes it relationally from the raw parquet).
+    This is the production shape Qdrant gets from its upsert path
+    (``Qdrant/VectorDB/Database.py:16-20``): new vectors join the
+    index without a rebuild, the merge's manifest-stats discovery
+    touches only the files whose cell ranges intersect the batch,
+    and time travel keeps the pre-ingest index queryable."""
+    import shutil
+
+    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
+    from legalchatbot_vectordb_exp_spark.sources.versioned import (
+        VersionedCollection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mod = ivf_mod_for(emb.count())
+    meta = emb.filter(
+        (F.col("vec_id") % mod == 0) | (F.col("vec_id") == 1)
+    ).collect()
+    cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
+    cmat = [
+        list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0
+    ]
+    qvec = [float(x) for r in meta if int(r[0]) == 1 for x in r[1]]
+
+    def seq_dot(a, b):  # sequential fold — same IEEE order as the oracle
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    probe = sorted(
+        cid
+        for _, cid in sorted(
+            ((-seq_dot(qvec, cv), cid) for cid, cv in zip(cids, cmat))
+        )[:NPROBE]
+    )
+
+    warehouse = _scratch(sf_dir, "ivf_incremental")
+    coll = VersionedCollection(spark, warehouse, "emb_ivf_incr")
+    if _IVF_INCR_STAGING.get(sf_dir) != warehouse:
+        if os.path.isdir(coll.path):
+            shutil.rmtree(coll.path)
+        keyed = emb.mapInPandas(
+            make_ivf_assign(cids, cmat), schema=IVF_ASSIGN_SCHEMA
+        ).select(
+            (F.col("cluster_id") * CELL_SHIFT + F.col("vec_id")).alias(
+                "id"
+            ),
+            F.col("embedding").alias("vector"),
+            "vec_id",
+            "cluster_id",
+        )
+        keyed = keyed.persist()
+        try:
+            is_holdout = (
+                F.col("vec_id") % INCR_HOLDOUT_MOD == 5
+            )
+            coll.create(
+                keyed.filter(~is_holdout),
+                dim=len(qvec),
+                metric="dot",
+                normalize=False,
+                cluster_files=16,
+            )
+            # the incremental ingest: same quantizer, same composite
+            # key — the index grows by ONE commit, no rebuild
+            coll.merge(keyed.filter(is_holdout))
+        finally:
+            keyed.unpersist()
+        _IVF_INCR_STAGING[sf_dir] = warehouse
+
+    parts = [
+        coll.read_range(c * CELL_SHIFT, c * CELL_SHIFT + (CELL_SHIFT - 1))
+        for c in probe
+    ]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        cand.withColumn("score", dot("vector", qlit))
+        .orderBy(F.desc("score"), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", "cluster_id", F.round("score", 6).alias("score"))
+    )

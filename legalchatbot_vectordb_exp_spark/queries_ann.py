@@ -1560,8 +1560,12 @@ def q_ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "node", "score")
     )
     for _ in range(KNN_SEARCH_HOPS):
+        # broadcast the BEAM (queries x B rows, always tiny) against
+        # the corpus-sized edge list — the checkpointed graph carries
+        # no stats, so without the hint Catalyst sort-merges and the
+        # edge list would shuffle once per hop
         expanded = beam.select("query_id", "node").union(
-            beam.alias("p")
+            F.broadcast(beam.alias("p"))
             .join(
                 graph.alias("ed"), F.col("ed.src") == F.col("p.node")
             )

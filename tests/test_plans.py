@@ -487,3 +487,21 @@ def test_multimodal_pipelines_are_single_pass(spark, sf_smoke):
         assert "join" not in low, q.__name__
         assert "hashpartitioning" not in low, q.__name__
         assert "rangepartitioning" not in low, q.__name__
+
+
+def test_graph_search_plan_broadcasts_never_shuffles_corpus(
+    spark, sf_smoke
+):
+    """The beam-search hot path (round 16): every per-hop join is a
+    BROADCAST of beam/embedding/query frames — the corpus-sized side
+    must never sort-merge (a SortMergeJoin here would shuffle the
+    corpus once per hop at 100 TB)."""
+    from legalchatbot_vectordb_exp_spark.queries_ann import (
+        q_ann_graph_search,
+    )
+
+    df = q_ann_graph_search(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -211,3 +211,22 @@ def test_id_tuple_bounds_still_work_via_normalization(spark, tmp_path):
     )
     assert c._conflict_free_base(v0, set(), (400, 600), schema0) is None
     assert c._conflict_free_base(v0, set(), None, schema0) is None
+
+
+def test_dml_rewrite_keeps_col_stats(spark, tmp_path):
+    """DML on a z-ordered table records per-column stats for the files
+    it WRITES (_manifest_stat_cols): after a label-predicate delete,
+    every file of the new snapshot still carries label col_stats, so
+    the NEXT label predicate prunes just as well."""
+    c = _zordered(spark, tmp_path, "lblkeep", n=64, files=8)
+    c.delete_where("label >= 940 AND label < 960")
+    m = c.manifest(c.latest_version())
+    missing = [
+        f
+        for f in m["files"]
+        if "label" not in (m.get("col_stats", {}).get(f) or {})
+    ]
+    assert not missing, f"files lost label col_stats: {missing}"
+    # and the follow-up label delete still prunes
+    c.delete_where("label >= 990")
+    assert c.last_delete_stats["files_pruned_by_stats"] > 0

@@ -27,7 +27,10 @@ bench:
 	@python -c "import json; d=json.load(open('bench_latest.json')); \
 	  errs=d.get('errors'); \
 	  assert not errs, f'bench recorded per-query errors: {errs}'; \
-	  print(f\"bench OK: {d['value']}s over {len(d['queries'])} queries\")"
+	  regs=d.get('regressions') or []; \
+	  print(f\"bench OK: {d['value']}s over {len(d['queries'])} queries; \
+	  {len(regs)} regression(s) vs {d.get('baseline_artifact')}\"); \
+	  [print('  REGRESSION:', r) for r in regs]"
 
 gate: test census bench census-fresh
 	@echo "gate PASSED: suite green, census green + fresh, bench rc=0 with no errors"

@@ -213,14 +213,30 @@ def _load_prior(repo_dir: str, current_names: list[str]) -> dict | None:
             art.get("rc") != 0
             or parsed.get("order") != "name-asc"
             or not isinstance(values, list)
-            or len(values) != len(current_names)
         ):
             return None
-        queries = dict(zip(sorted(current_names), values))
+        # a prior run with the codec library present also timed the
+        # *_libtier variants — try both name universes against the
+        # values array (the top10 checksum rejects a wrong guess)
+        libtier = [
+            f"{q}_libtier"
+            for q in ("multimodal_decode", "multimodal_resize")
+        ]
         top10 = parsed.get("top10") or {}
-        if not top10 or any(
-            queries.get(k) != v for k, v in top10.items()
+        queries = None
+        for names in (
+            list(current_names),
+            list(current_names) + libtier,
         ):
+            if len(values) != len(names):
+                continue
+            cand = dict(zip(sorted(names), values))
+            if top10 and all(
+                cand.get(k) == v for k, v in top10.items()
+            ):
+                queries = cand
+                break
+        if queries is None:
             return None
         variance = {n: 1.0 for n in queries}
         variance.update(parsed.get("var10") or {})
@@ -358,8 +374,20 @@ def main(queries=None, sf_dir=None, stop=True, emit=True) -> dict:
     # max/min across repeats: a judge separates host drift (variance
     # high, best stable) from a plan regression (variance ~1, best up)
     # without a re-run
+    # max/min across STEADY repeats only: for staged-fixture queries
+    # the first sample paid the one-time build, and folding it into
+    # the spread would poison the regression gate's noise band (a 25x
+    # fixture/steady ratio would make a real 5x plan regression on
+    # that query unflagable forever)
+    def _steady(n: str, r: list[float]) -> list[float]:
+        if n in _STAGED_FIXTURE_QUERIES and len(r) > 1:
+            return r[1:]
+        return r
+
     variance = {
-        n: round(max(r) / max(min(r), 1e-9), 2)
+        n: round(
+            max(_steady(n, r)) / max(min(_steady(n, r)), 1e-9), 2
+        )
         for n, r in spreads.items()
         if n in timings
     }

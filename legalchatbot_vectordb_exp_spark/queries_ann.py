@@ -89,6 +89,18 @@ def ivf_best_cells(E, cids, cmat):
     return np.asarray(cids, dtype=np.int64)[best]
 
 
+def seq_dot(a, b):
+    """Driver-side dot product folding SEQUENTIALLY — the same IEEE
+    order as functions.vector.dot and the DuckDB oracle's
+    list_reduce, so driver-chosen probes/tie-breaks agree bit-for-bit
+    with both engines.  Single definition (was inlined at five call
+    sites)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
 def make_ivf_assign(cids, cmat, probe=None):
     """mapInPandas kernel factory over :func:`ivf_best_cells`: emits
     (vec_id, embedding, cluster_id), pruned in-kernel to the probed
@@ -306,11 +318,6 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     qvec = [float(x) for r in meta if int(r[0]) == 1 for x in r[1]]
 
-    def seq_dot(a, b):  # sequential fold — same IEEE order as the oracle
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
 
     probe = set(
         cid
@@ -436,11 +443,6 @@ def ivf_batch_topk(
         .collect()
     )
 
-    def seq_dot(a, b):  # sequential fold — same IEEE order as the oracle
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
 
     probe_rows = []
     for qr in qrows:
@@ -700,11 +702,6 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r[0]), list(map(float, r[1]))) for r in meta if int(r[0]) < 5
     ]
 
-    def seq_dot(a, b):  # sequential fold — same IEEE order as the oracle
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
 
     probe = {
         qid: set(
@@ -957,6 +954,110 @@ def q_ann_lsh_recall_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- persisted IVF
 
+def _ivf_meta(spark: SparkSession, sf_dir: str):
+    """One driver job: embeddings frame, centroid ids/matrix, the
+    query vector (vec_id=1), and the driver-chosen probe cells —
+    shared by ann_ivf_persisted and ann_ivf_incremental."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mod = ivf_mod_for(emb.count())
+    meta = emb.filter(
+        (F.col("vec_id") % mod == 0) | (F.col("vec_id") == 1)
+    ).collect()
+    cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
+    cmat = [
+        list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0
+    ]
+    qvec = [float(x) for r in meta if int(r[0]) == 1 for x in r[1]]
+    probe = sorted(
+        cid
+        for _, cid in sorted(
+            ((-seq_dot(qvec, cv), cid) for cid, cv in zip(cids, cmat))
+        )[:NPROBE]
+    )
+    return emb, cids, cmat, qvec, probe
+
+
+def _ivf_layout_collection(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    scratch_key: str,
+    staging: dict[str, str],
+    holdout_pred=None,
+):
+    """Build (once per process) the cell-major persisted IVF layout
+    and return ``(coll, qvec, probe)``.  With ``holdout_pred`` the
+    layout lands in TWO commits — create without the held-out rows,
+    then merge them (the incremental-ingest shape); without it, one
+    create."""
+    import shutil
+
+    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
+    from legalchatbot_vectordb_exp_spark.sources.versioned import (
+        VersionedCollection,
+    )
+
+    emb, cids, cmat, qvec, probe = _ivf_meta(spark, sf_dir)
+    warehouse = _scratch(sf_dir, scratch_key)
+    coll = VersionedCollection(spark, warehouse, table)
+    if staging.get(sf_dir) != warehouse:
+        if os.path.isdir(coll.path):
+            shutil.rmtree(coll.path)  # fresh layout per process
+        keyed = emb.mapInPandas(
+            make_ivf_assign(cids, cmat), schema=IVF_ASSIGN_SCHEMA
+        ).select(
+            (F.col("cluster_id") * CELL_SHIFT + F.col("vec_id")).alias(
+                "id"
+            ),
+            F.col("embedding").alias("vector"),
+            "vec_id",
+            "cluster_id",
+        )
+        # create's distributed path runs three actions (validation
+        # agg, range-boundary sample, write) — persist so the
+        # pandas-UDF assignment kernel computes once, not three times
+        keyed = keyed.persist()
+        try:
+            base = (
+                keyed
+                if holdout_pred is None
+                else keyed.filter(~holdout_pred)
+            )
+            coll.create(
+                base, dim=len(qvec), metric="dot", normalize=False,
+                cluster_files=16,
+            )
+            if holdout_pred is not None:
+                # the incremental ingest: same quantizer, same
+                # composite key — ONE merge commit, no rebuild
+                coll.merge(keyed.filter(holdout_pred))
+        finally:
+            keyed.unpersist()
+        staging[sf_dir] = warehouse
+    return coll, qvec, probe
+
+
+def _ivf_probe_top5(coll, qvec, probe) -> DataFrame:
+    """One stats-pruned range read per probed cell, exact rescore,
+    top-5 — the shared search tail."""
+    parts = [
+        coll.read_range(c * CELL_SHIFT, c * CELL_SHIFT + (CELL_SHIFT - 1))
+        for c in probe
+    ]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        cand.withColumn("score", dot("vector", qlit))
+        .orderBy(F.desc("score"), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", "cluster_id", F.round("score", 6).alias("score"))
+    )
+
+
 CELL_SHIFT = 2**32  # composite key: cluster_id * 2^32 + vec_id
 
 # sf_dir -> warehouse whose persisted-IVF layout is already built in
@@ -1021,92 +1122,15 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     that should have been read, or a stale snapshot all fail the
     hash.  ``test_versioned_collection.py`` additionally pins that
     the probed scan OPENS fewer files than the snapshot holds."""
-    import shutil
-
-    import numpy as np  # noqa: F401  (make_ivf_assign kernel dep)
-
-    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
-    from legalchatbot_vectordb_exp_spark.sources.versioned import (
-        VersionedCollection,
+    # write path once per process (the layout is deterministic for a
+    # given sf_dir — a production index at rest is not rebuilt per
+    # search; a fresh process, e.g. the correctness driver, rebuilds),
+    # then one stats-pruned range read per probed cell
+    coll, qvec, probe = _ivf_layout_collection(
+        spark, sf_dir, "emb_ivf", "ivf_persisted",
+        _IVF_PERSISTED_STAGING,
     )
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    mod = ivf_mod_for(emb.count())  # parquet-footer count job
-    meta = emb.filter(
-        (F.col("vec_id") % mod == 0) | (F.col("vec_id") == 1)
-    ).collect()
-    cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
-    cmat = [
-        list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0
-    ]
-    qvec = [float(x) for r in meta if int(r[0]) == 1 for x in r[1]]
-
-    def seq_dot(a, b):  # sequential fold — same IEEE order as the oracle
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
-
-    probe = sorted(
-        cid
-        for _, cid in sorted(
-            ((-seq_dot(qvec, cv), cid) for cid, cv in zip(cids, cmat))
-        )[:NPROBE]
-    )
-
-    # ---- write path: assign every vector, persist cell-major.
-    # The layout is DETERMINISTIC for a given sf_dir (shared
-    # quantizer, fixed composite key, fixed file count), so — like
-    # cdf_stream_fold's _CDF_STAGING — it is built ONCE PER PROCESS
-    # and repeat runs go straight to the probe: a production index at
-    # rest is not rebuilt per search, and correctness needs the
-    # deterministic layout, not a fresh build.  Process-local on
-    # purpose: a fresh process (the correctness driver) rebuilds.
-    warehouse = _scratch(sf_dir, "ivf_persisted")
-    coll = VersionedCollection(spark, warehouse, "emb_ivf")
-    if _IVF_PERSISTED_STAGING.get(sf_dir) != warehouse:
-        if os.path.isdir(coll.path):
-            shutil.rmtree(coll.path)  # fresh layout per process
-        keyed = emb.mapInPandas(
-            make_ivf_assign(cids, cmat), schema=IVF_ASSIGN_SCHEMA
-        ).select(
-            (F.col("cluster_id") * CELL_SHIFT + F.col("vec_id")).alias(
-                "id"
-            ),
-            F.col("embedding").alias("vector"),
-            "vec_id",
-            "cluster_id",
-        )
-        # create's distributed path runs three actions (validation
-        # agg, range-boundary sample, write) — persist so the
-        # pandas-UDF assignment kernel computes once, not three times
-        keyed = keyed.persist()
-        try:
-            coll.create(
-                keyed, dim=len(qvec), metric="dot", normalize=False,
-                cluster_files=16,
-            )
-        finally:
-            keyed.unpersist()
-        _IVF_PERSISTED_STAGING[sf_dir] = warehouse
-
-    # ---- search path: one stats-pruned range read per probed cell
-    parts = [
-        coll.read_range(c * CELL_SHIFT, c * CELL_SHIFT + (CELL_SHIFT - 1))
-        for c in probe
-    ]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-    qlit = F.array(*[F.lit(x) for x in qvec])
-    return (
-        cand.withColumn("score", dot("vector", qlit))
-        .orderBy(F.desc("score"), F.col("vec_id").asc())
-        .limit(5)
-        .select("vec_id", "cluster_id", F.round("score", 6).alias("score"))
-    )
+    return _ivf_probe_top5(coll, qvec, probe)
 
 
 # ------------------------------------------------- NN-descent k-NN graph
@@ -1154,7 +1178,11 @@ def _knn_sql_scored_topk(pairs_cte: str, k: int) -> str:
       WHERE rn <= {k})"""
 
 
-def _knn_graph_sql(final_select: str) -> str:
+def _knn_graph_ctes() -> list[str]:
+    """The shared WITH-clause bodies of the graph build — composed
+    structurally by both _knn_graph_sql and _knn_search_sql (string
+    surgery on rendered SQL corrupted silently if a CTE ever contained
+    the split token)."""
     k, iters = KNN_K, KNN_ITERS
     ctes = [
         f"""centroids AS (
@@ -1223,8 +1251,16 @@ def _knn_graph_sql(final_select: str) -> str:
         ctes.append(
             f"g{t} AS MATERIALIZED {_knn_sql_scored_topk(f'cand{t}', k)}"
         )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + final_select.format(
-        g=f"g{iters}"
+    return ctes
+
+
+def _knn_graph_sql(final_select: str) -> str:
+    ctes = _knn_graph_ctes()
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + final_select.format(g=f"g{KNN_ITERS}")
     )
 
 
@@ -1512,9 +1548,8 @@ def _knn_search_sql(final_select: str) -> str:
     )"""
         )
     return (
-        _knn_graph_sql("SELECT 1").rsplit("SELECT 1", 1)[0]
-        + ",\n    "
-        + ",\n    ".join(search)
+        "WITH "
+        + ",\n    ".join(_knn_graph_ctes() + search)
         + "\n    "
         + final_select.format(beam=f"beam{hops}", topk=topk)
     )
@@ -1712,84 +1747,9 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index without a rebuild, the merge's manifest-stats discovery
     touches only the files whose cell ranges intersect the batch,
     and time travel keeps the pre-ingest index queryable."""
-    import shutil
-
-    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
-    from legalchatbot_vectordb_exp_spark.sources.versioned import (
-        VersionedCollection,
+    coll, qvec, probe = _ivf_layout_collection(
+        spark, sf_dir, "emb_ivf_incr", "ivf_incremental",
+        _IVF_INCR_STAGING,
+        holdout_pred=(F.col("vec_id") % INCR_HOLDOUT_MOD == 5),
     )
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    mod = ivf_mod_for(emb.count())
-    meta = emb.filter(
-        (F.col("vec_id") % mod == 0) | (F.col("vec_id") == 1)
-    ).collect()
-    cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
-    cmat = [
-        list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0
-    ]
-    qvec = [float(x) for r in meta if int(r[0]) == 1 for x in r[1]]
-
-    def seq_dot(a, b):  # sequential fold — same IEEE order as the oracle
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
-
-    probe = sorted(
-        cid
-        for _, cid in sorted(
-            ((-seq_dot(qvec, cv), cid) for cid, cv in zip(cids, cmat))
-        )[:NPROBE]
-    )
-
-    warehouse = _scratch(sf_dir, "ivf_incremental")
-    coll = VersionedCollection(spark, warehouse, "emb_ivf_incr")
-    if _IVF_INCR_STAGING.get(sf_dir) != warehouse:
-        if os.path.isdir(coll.path):
-            shutil.rmtree(coll.path)
-        keyed = emb.mapInPandas(
-            make_ivf_assign(cids, cmat), schema=IVF_ASSIGN_SCHEMA
-        ).select(
-            (F.col("cluster_id") * CELL_SHIFT + F.col("vec_id")).alias(
-                "id"
-            ),
-            F.col("embedding").alias("vector"),
-            "vec_id",
-            "cluster_id",
-        )
-        keyed = keyed.persist()
-        try:
-            is_holdout = (
-                F.col("vec_id") % INCR_HOLDOUT_MOD == 5
-            )
-            coll.create(
-                keyed.filter(~is_holdout),
-                dim=len(qvec),
-                metric="dot",
-                normalize=False,
-                cluster_files=16,
-            )
-            # the incremental ingest: same quantizer, same composite
-            # key — the index grows by ONE commit, no rebuild
-            coll.merge(keyed.filter(is_holdout))
-        finally:
-            keyed.unpersist()
-        _IVF_INCR_STAGING[sf_dir] = warehouse
-
-    parts = [
-        coll.read_range(c * CELL_SHIFT, c * CELL_SHIFT + (CELL_SHIFT - 1))
-        for c in probe
-    ]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-    qlit = F.array(*[F.lit(x) for x in qvec])
-    return (
-        cand.withColumn("score", dot("vector", qlit))
-        .orderBy(F.desc("score"), F.col("vec_id").asc())
-        .limit(5)
-        .select("vec_id", "cluster_id", F.round("score", 6).alias("score"))
-    )
+    return _ivf_probe_top5(coll, qvec, probe)

@@ -4041,15 +4041,19 @@ class VersionedCollection:
         # between the stat loop and the publish can still retire the
         # target's unique files, leaving the just-committed manifest
         # referencing swept data (round-15 ADVICE).  Re-verify AFTER
-        # the commit is visible — once published, the restored files
-        # are vacuum-protected (the latest manifest is always
-        # retained), so a clean second check proves the table good
-        # for every later reader.  On a hit, ROLL FORWARD to the
+        # the commit is visible.  This is best-effort hardening, not a
+        # proof: a vacuum that planned its referenced set BEFORE this
+        # publish can in principle sweep after this check passes — but
+        # vacuum itself re-folds any post-planning versions into its
+        # referenced set right before unlinking, so BOTH checks must
+        # lose their microsecond windows simultaneously for a bad
+        # snapshot to survive.  On a hit, ROLL FORWARD to the
         # pre-restore snapshot (base is always intact: it was the
         # latest during any racing vacuum) and raise, exactly like a
         # pre-check failure — the log stays append-only.
         missing = _missing_of(target)
         if missing:
+            rolled = False
             try:
                 base_m = self.manifest(base)
                 self._publish(
@@ -4065,13 +4069,26 @@ class VersionedCollection:
                         **_snapshot_fields(base_m),
                     }
                 )
+                rolled = True
             except ConcurrentWriteError:
-                pass  # someone already committed past the bad restore
+                pass  # a concurrent commit took the version slot
+            except Exception:
+                pass  # best-effort repair must not mask the diagnosis
+            detail = (
+                "rolled forward to the pre-restore snapshot"
+                if rolled
+                else (
+                    "roll-forward did NOT land (a concurrent commit "
+                    f"won the slot) — re-run restore({base}) to "
+                    "repair if the latest snapshot still references "
+                    "swept files"
+                )
+            )
             raise FileNotFoundError(
                 f"collection {self.name}: restore to v{version} lost "
                 f"a race with vacuum — {len(missing)} referenced "
                 f"file(s) swept mid-restore (e.g. {missing[0]}); "
-                f"rolled forward to the pre-restore snapshot"
+                f"{detail}"
             )
         return {"version": base + 1, "restored_from": version}
 
@@ -4672,6 +4689,29 @@ class VersionedCollection:
         # listdir fallback for logs vacuumed by the buggy order).
         if keep and not dry_run:
             self._write_checkpoint([[v, keep_ts[v]] for v in keep])
+        # Re-plan guard (round-16 review): a commit that landed AFTER
+        # the referenced set was built — e.g. a racing restore() whose
+        # new manifest re-references files OUTSIDE this keep window —
+        # must protect its files from the sweep below.  Fold in every
+        # version published since planning; such versions are newer
+        # than max(vs), so the manifest-unlink loop (driven by the
+        # planned ``vs``) never touches them.  The residual window (a
+        # publish between this re-check and an unlink) is covered from
+        # the other side by restore()'s post-publish re-verify +
+        # roll-forward.
+        if not dry_run and vs:
+            try:
+                for v in range(vs[-1] + 1, self.latest_version() + 1):
+                    m2 = self.manifest(v)
+                    referenced.update(m2["files"])
+                    referenced.update((m2.get("dv") or {}).keys())
+            except (
+                FileNotFoundError,
+                json.JSONDecodeError,
+                RuntimeError,
+                KeyError,
+            ):
+                pass  # racing log activity: stay conservative below
         now = time.time()
         removed_files = 0
         skipped_young = 0

@@ -260,3 +260,41 @@ def test_restore_vacuum_race_rolls_forward(spark, tmp_path, monkeypatch):
     assert m["operation"] == "restore"
     assert m["restored_version"] == base
     assert c.read().count() == 4
+
+
+def test_vacuum_refolds_versions_published_after_planning(
+    spark, tmp_path, monkeypatch
+):
+    """Round-16 review: a restore that publishes AFTER vacuum built
+    its referenced set (but before the sweep) re-references files
+    outside the keep window — vacuum must fold post-planning versions
+    into the referenced set before unlinking.  The race is replayed
+    deterministically by firing the restore inside vacuum's
+    checkpoint write (which happens after planning, before the
+    sweep)."""
+    c = _coll(spark, tmp_path, "vreplan")
+    v0_files = list(c.manifest(0)["files"])
+    c.recluster(target_files=1)  # v1: fresh file set
+
+    real_ckpt = type(c)._write_checkpoint
+    fired = {"n": 0}
+
+    def racing_ckpt(self, entries):
+        real_ckpt(self, entries)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # the racing writer: restore(0) publishes v2 referencing
+            # v0's files — AFTER vacuum planned, BEFORE it sweeps
+            VersionedCollection(
+                spark, str(tmp_path), "vreplan"
+            ).restore(0)
+
+    monkeypatch.setattr(type(c), "_write_checkpoint", racing_ckpt)
+    _age(os.path.join(c.path, "data"), 120.0)
+    c.vacuum(keep_last=1, min_file_age_ms=0)
+    monkeypatch.setattr(type(c), "_write_checkpoint", real_ckpt)
+    # the restored snapshot's files survived the sweep and read back
+    for f in v0_files:
+        assert os.path.isfile(os.path.join(c.path, f)), f
+    assert c.latest_version() == 2
+    assert c.read().count() == 4

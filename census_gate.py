@@ -28,15 +28,62 @@ WATCH = ("legalchatbot_vectordb_exp_spark", "__spark_entry__.py")
 SLACK_SEC = 1.0
 
 
-def stale_files(repo: str = ".") -> list[str]:
-    """Watched source files strictly newer than the census artifact.
+def source_digest_map(repo: str = ".") -> dict[str, str]:
+    """Per-file sha256 of every watched source file (relpath →
+    hexdigest).  Recorded inside the census artifact at regen time so
+    freshness is CONTENT-based — git does not preserve mtimes, so a
+    fresh clone's checkout order must not decide the verdict."""
+    import hashlib
 
-    Returns ``["<census missing>"]`` when the artifact itself is absent
-    (a tree with code but no census is by definition unproven).
+    out: dict[str, str] = {}
+    for watch in WATCH:
+        path = os.path.join(repo, watch)
+        paths = []
+        if os.path.isfile(path):
+            paths = [path]
+        else:
+            for root, dirs, files in os.walk(path):
+                dirs[:] = [d for d in dirs if d != "__pycache__"]
+                paths.extend(
+                    os.path.join(root, f)
+                    for f in files
+                    if f.endswith(".py")
+                )
+        for fp in paths:
+            with open(fp, "rb") as fh:
+                out[os.path.relpath(fp, repo)] = hashlib.sha256(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+def stale_files(repo: str = ".") -> list[str]:
+    """Watched source files that changed since the census was
+    regenerated.
+
+    Content-based when the artifact carries a ``_source_digest`` map
+    (per-file sha256 recorded at regen — immune to checkout order);
+    falls back to the mtime comparison for older artifacts.  Returns
+    ``["<census missing>"]`` when the artifact itself is absent (a
+    tree with code but no census is by definition unproven).
     """
     census = os.path.join(repo, CENSUS)
     if not os.path.exists(census):
         return ["<census missing>"]
+    try:
+        import json
+
+        with open(census) as fh:
+            recorded = json.load(fh).get("_source_digest")
+    except Exception:
+        recorded = None
+    if isinstance(recorded, dict) and recorded:
+        current = source_digest_map(repo)
+        changed = sorted(
+            set(k for k, v in current.items() if recorded.get(k) != v)
+            | (set(recorded) - set(current))
+        )
+        return changed
     cutoff = os.path.getmtime(census) + SLACK_SEC
     out: list[str] = []
     for watch in WATCH:

@@ -81,6 +81,13 @@ def main() -> None:
         flag = "OK " if rec["hash_match"] else "-- "
         print(f"{flag}{name}: {rec['spark_rows']} rows", flush=True)
 
+    # content-based freshness evidence for census_gate.py: the exact
+    # sources this census proved (git does not preserve mtimes)
+    import census_gate
+
+    results["_source_digest"] = census_gate.source_digest_map(
+        os.path.dirname(os.path.abspath(__file__)) or "."
+    )
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=2)
     ok = sum(1 for r in results.values() if r["hash_match"])

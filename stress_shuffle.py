@@ -500,20 +500,24 @@ def main() -> None:
         tmp_root = os.environ.get("SPARK_GRAFT_STRESS_TMP", "/tmp")
         with open(out_path) as fh:
             out = json.load(fh)
+        # every probe section records its own provenance — the artifact
+        # header describes the last FULL-tier run, which may have used
+        # a different base/multiples (round-16 review)
+        prov = {"_provenance": {"base": base, "multiples": multiples}}
         if "multiwriter" in only:
             r = measure_multiwriter(
                 spark, base, os.path.join(tmp_root, "stress_mw_wh")
             )
-            out["results"]["multiwriter"] = r
+            out["results"]["multiwriter"] = {**prov, **r}
             print(json.dumps({"multiwriter": r}), flush=True)
         if "ingest_modes" in only:
             r = measure_ingest_modes(
                 spark, base, os.path.join(tmp_root, "stress_im_wh")
             )
-            out["results"]["ingest_modes"] = r
+            out["results"]["ingest_modes"] = {**prov, **r}
             print(json.dumps({"ingest_modes": r}), flush=True)
         if "column_mapping" in only:
-            cm: dict = {}
+            cm: dict = dict(prov)
             for n in multiples:
                 sf_dir = (
                     base
@@ -539,10 +543,10 @@ def main() -> None:
             r = measure_dv_read_curve(
                 spark, base, os.path.join(tmp_root, "stress_dv_wh")
             )
-            out["results"]["dv_read_curve"] = r
+            out["results"]["dv_read_curve"] = {**prov, **r}
             print(json.dumps({"dv_read_curve": r}), flush=True)
         if "knn_graph" in only:
-            kg: dict = {"_provenance": {"base": base, "multiples": multiples}}
+            kg: dict = dict(prov)
             for n in multiples:
                 sf_dir = (
                     base

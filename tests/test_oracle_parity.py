@@ -82,6 +82,9 @@ def test_census_covers_entire_registry():
     )
     with open(path) as f:
         census = json.load(f)
+    # "_"-prefixed keys are artifact metadata (e.g. _source_digest for
+    # the content-based freshness gate), not query rows
+    census = {k: v for k, v in census.items() if not k.startswith("_")}
     assert set(census) == set(QUERIES), (
         f"census/registry drift: census-only="
         f"{sorted(set(census) - set(QUERIES))} registry-only="

@@ -90,8 +90,9 @@ def main() -> None:
     )
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=2)
-    ok = sum(1 for r in results.values() if r["hash_match"])
-    oracles = sum(1 for n in results if n in ORACLES)
+    rows = {k: v for k, v in results.items() if not k.startswith("_")}
+    ok = sum(1 for r in rows.values() if r["hash_match"])
+    oracles = sum(1 for n in rows if n in ORACLES)
     print(f"\n{ok}/{oracles} oracle queries hash-match → {out_path}")
     con.close()
     spark.stop()

@@ -770,3 +770,156 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(50)
     )
+
+
+# --------------------------------------------------- iterated BPE train
+
+BPE_TRAIN_STEPS = 6  # merge rounds (fixed => SQL-expressible)
+
+# Canonical greedy BPE needs "merge every left-to-right non-overlapping
+# adjacent occurrence of the winning pair".  Words are encoded as
+# wrapped symbol strings — each symbol is "|sym|", so "the" becomes
+# "|t||h||e|" — because then plain string replace of "|x||y|" with
+# "|xy|" IS the canonical merge in BOTH engines: the replacement
+# preserves the boundary bars, so consuming a match never eats the
+# next token's opening bar (a single-bar join diverges on runs like
+# "aaaa": the shared delimiter is consumed and the scan skips a
+# mergeable pair).  Symbols are [a-z]+ only, so "|" is structurally
+# unambiguous.
+
+
+def _bpe_sql() -> str:
+    """WITH-chain replaying the same K merge rounds in DuckDB: words →
+    wrapped symbol strings, then per round a pair-frequency aggregate,
+    a 1-row argmax winner, and a replace() fold into the word table."""
+    ctes = [
+        """w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s,
+             cnt
+      FROM (
+        SELECT lower(raw) AS w, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+'))
+                AS raw FROM documents)
+        GROUP BY lower(raw)) words
+      WHERE length(w) >= 2
+    )"""
+    ]
+    for t in range(BPE_TRAIN_STEPS):
+        ctes.append(
+            f"""p{t} AS MATERIALIZED (
+      SELECT pair, sum(cnt)::BIGINT AS freq FROM (
+        SELECT unnest(list_transform(
+                 range(1, len(syms)),
+                 i -> '|' || syms[i] || '||' || syms[i + 1] || '|'
+               )) AS pair,
+               cnt
+        FROM (SELECT list_filter(string_split_regex(s, '\\|+'),
+                                 x -> x <> '') AS syms,
+                     cnt
+              FROM w{t}) tok)
+      GROUP BY pair
+    )"""
+        )
+        ctes.append(
+            f"""win{t} AS MATERIALIZED (
+      SELECT pair, freq FROM p{t}
+      ORDER BY freq DESC, pair ASC LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""w{t + 1} AS MATERIALIZED (
+      SELECT replace(s, (SELECT pair FROM win{t}),
+                     replace((SELECT pair FROM win{t}), '||', ''))
+               AS s,
+             cnt
+      FROM w{t}
+    )"""
+        )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT {t + 1}::BIGINT AS step, pair AS merge_pair, freq "
+        f"FROM win{t}"
+        for t in range(BPE_TRAIN_STEPS)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT step, merge_pair, freq FROM (\n      {unions})"
+        + "\n    ORDER BY step"
+    )
+
+
+@register("bpe_train_merges", sql=_bpe_sql())
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer-training loop, distributed: K rounds of
+    count-adjacent-pairs → pick the argmax pair → fold the merge into
+    every word (Sennrich et al.; the iterated form of
+    ``bpe_merge_step``).  Returns the learned merge table
+    (step, merge_pair, freq) — the artifact a tokenizer ships.
+
+    Scale shape per round: ONE hash aggregate over the distinct-word
+    table (the shuffle carries distinct words and aggregated pair
+    rows, never token instances), a 1-row argmax to the driver (the
+    winner is metadata, exactly like k-means' k-row sync), and a
+    scan-stage string fold (replace) — no extra shuffle.  The word
+    table is cached once: each round rewrites a string column in
+    place.  The wrapped "|sym||sym|" encoding makes plain replace the
+    CANONICAL greedy merge in both engines (module comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    "text", F.lit("[A-Za-z]+"), F.lit(0)
+                )
+            ).alias("raw")
+        )
+        .select(F.lower("raw").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.regexp_replace("w", "(.)", r"|$1|").alias("s"), "cnt"
+        )
+        .localCheckpoint()  # one aggregate; K rounds re-read it
+    )
+    merges = []
+    cur = words
+    for step in range(BPE_TRAIN_STEPS):
+        pairs = (
+            cur.select(
+                F.filter(
+                    F.split("s", r"\|+"), lambda x: x != ""
+                ).alias("syms"),
+                "cnt",
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> concat('|', syms[i - 1], '||',"
+                        " syms[i], '|'))"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+        )
+        win = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not win:
+            break
+        pair, freq = win[0]["pair"], int(win[0]["freq"])
+        merges.append((step + 1, pair, freq))
+        cur = cur.select(
+            F.replace(
+                F.col("s"), F.lit(pair), F.lit(pair.replace("||", ""))
+            ).alias("s"),
+            "cnt",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step bigint, merge_pair string, freq bigint"
+    ).orderBy("step")

@@ -36,6 +36,7 @@ _SAMPLE_PRIORITY = [
     "ann_graph_search_recall",
     "ann_ivf_incremental",
     "bpe_train_merges",
+    "bpe_encode_tokens",
     "bpe_merge_step",
     "column_mapping_time_travel",
     "column_mapping_read",

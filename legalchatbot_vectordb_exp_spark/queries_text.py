@@ -848,22 +848,10 @@ def _bpe_sql() -> str:
     )
 
 
-@register("bpe_train_merges", sql=_bpe_sql())
-def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL BPE tokenizer-training loop, distributed: K rounds of
-    count-adjacent-pairs → pick the argmax pair → fold the merge into
-    every word (Sennrich et al.; the iterated form of
-    ``bpe_merge_step``).  Returns the learned merge table
-    (step, merge_pair, freq) — the artifact a tokenizer ships.
-
-    Scale shape per round: ONE hash aggregate over the distinct-word
-    table (the shuffle carries distinct words and aggregated pair
-    rows, never token instances), a 1-row argmax to the driver (the
-    winner is metadata, exactly like k-means' k-row sync), and a
-    scan-stage string fold (replace) — no extra shuffle.  The word
-    table is cached once: each round rewrites a string column in
-    place.  The wrapped "|sym||sym|" encoding makes plain replace the
-    CANONICAL greedy merge in both engines (module comment)."""
+def _bpe_run(spark: SparkSession, sf_dir: str):
+    """Run the K training rounds once: returns (merges, final_words)
+    — shared by the train query (returns the merge table) and the
+    encode query (returns the token distribution of final_words)."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -920,6 +908,81 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "cnt",
         ).localCheckpoint()
+    return merges, cur
+
+
+def _bpe_trained_words(spark: SparkSession, sf_dir: str):
+    return _bpe_run(spark, sf_dir)[1]
+
+
+@register("bpe_train_merges", sql=_bpe_sql())
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer-training loop, distributed: K rounds of
+    count-adjacent-pairs → pick the argmax pair → fold the merge into
+    every word (Sennrich et al.; the iterated form of
+    ``bpe_merge_step``).  Returns the learned merge table
+    (step, merge_pair, freq) — the artifact a tokenizer ships.
+
+    Scale shape per round: ONE hash aggregate over the distinct-word
+    table (the shuffle carries distinct words and aggregated pair
+    rows, never token instances), a 1-row argmax to the driver (the
+    winner is metadata, exactly like k-means' k-row sync), and a
+    scan-stage string fold (replace) — no extra shuffle.  The word
+    table is cached once: each round rewrites a string column in
+    place.  The wrapped "|sym||sym|" encoding makes plain replace the
+    CANONICAL greedy merge in both engines (module comment)."""
+    merges, _ = _bpe_run(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step bigint, merge_pair string, freq bigint"
     ).orderBy("step")
+
+
+def _bpe_encode_sql() -> str:
+    """Train (the same K rounds as ``bpe_train_merges``) then APPLY:
+    fold the learned merges into every word in rank order and count
+    the resulting tokens — the tokenizer's output distribution."""
+    train = _bpe_sql()
+    ctes = train[len("WITH ") : train.index("\n    SELECT step")]
+    return (
+        "WITH "
+        + ctes
+        + f""",
+    tokens AS MATERIALIZED (
+      SELECT unnest(list_filter(string_split_regex(s, '\\|+'),
+                                x -> x <> '')) AS token,
+             cnt
+      FROM w{BPE_TRAIN_STEPS}
+    )
+    SELECT token, sum(cnt)::BIGINT AS freq,
+           length(token)::BIGINT AS token_len
+    FROM tokens
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 40"""
+    )
+
+
+@register("bpe_encode_tokens", sql=_bpe_encode_sql())
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merges — encode the corpus vocabulary
+    with the round-16 trained tokenizer and return the top-40 token
+    distribution (token, freq, token_len).  Train + apply in one
+    deterministic pipeline: the final word table of the training loop
+    IS the encoded corpus (each merge already folded in rank order),
+    so encoding costs nothing beyond the training rounds; a production
+    encoder ships the merge table and replays the same K replaces in
+    the scan stage over new text."""
+    merged = _bpe_trained_words(spark, sf_dir)
+    tokens = merged.select(
+        F.explode(
+            F.filter(F.split("s", r"\|+"), lambda x: x != "")
+        ).alias("token"),
+        "cnt",
+    )
+    return (
+        tokens.groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("freq"))
+        .withColumn("token_len", F.length("token").cast("bigint"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(40)
+    )

@@ -62,3 +62,23 @@ def test_train_loop_invariants(spark):
     assert len(set(pairs)) == len(pairs), "a pair merged twice"
     for p in pairs:
         assert p.startswith("|") and p.endswith("|") and "||" in p
+
+
+def test_encode_tokens_are_learned_vocabulary(spark):
+    from legalchatbot_vectordb_exp_spark.queries_text import (
+        q_bpe_encode_tokens,
+        q_bpe_train_merges,
+    )
+
+    merges = {
+        r.merge_pair.replace("|", "")
+        for r in q_bpe_train_merges(spark, SF_DIR).collect()
+    }
+    rows = q_bpe_encode_tokens(spark, SF_DIR).collect()
+    assert rows and all(r.freq > 0 for r in rows)
+    multi = [r.token for r in rows if r.token_len > 1]
+    # every multi-char token the encoder emits must be a learned merge
+    assert multi, "no merged token surfaced in the top distribution"
+    assert set(multi) <= merges, (
+        f"tokens not in the merge table: {set(multi) - merges}"
+    )

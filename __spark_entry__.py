@@ -30,6 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 _SAMPLE_PRIORITY = [
+    "ann_filtered_search",
+    "ann_filtered_ivf",
     "ann_knn_graph",
     "ann_knn_graph_recall",
     "ann_graph_search",

@@ -1753,3 +1753,198 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         holdout_pred=(F.col("vec_id") % INCR_HOLDOUT_MOD == 5),
     )
     return _ivf_probe_top5(coll, qvec, probe)
+
+
+# ------------- filtered vector search (Qdrant Filter parity) -------------
+#
+# The reference imports Qdrant's filtered-search API — ``Filter,
+# FieldCondition, MatchValue`` at ``Qdrant/main.py:4`` and
+# ``Qdrant/main2.py:5`` — the payload-constrained search that is
+# Qdrant's signature capability.  Spark-first re-expression: the
+# payload predicate is PRE-filtering (fused into the parquet scan as a
+# PushedFilter BEFORE any vector work — never post-filtering a top-k,
+# which silently returns < k or misses matches), and the engine picks
+# between Qdrant's two physical strategies by filter cardinality:
+#
+# * **full scan** when few rows match (Qdrant ``full_scan_threshold``):
+#   exact scoring over the filtered scan — TakeOrderedAndProject,
+#   zero shuffles; at 100 TB the predicate prunes row groups via
+#   parquet stats before a single vector is read;
+# * **escalated IVF** when many match: probe ``ceil(nprobe · n / m)``
+#   cells instead of ``nprobe`` so the EXPECTED candidate count under
+#   a selectivity-``m/n`` filter equals the unfiltered search's — the
+#   standard IVF filtered-search correction (FAISS/Qdrant practice).
+#   Integer-exact math both engines replay bit-for-bit.
+
+FILTER_LABEL = 3  # MatchValue(value=3) analogue on the label payload
+
+
+def filtered_search_plan(
+    n_total: int,
+    n_match: int,
+    nlist: int,
+    nprobe: int = NPROBE,
+    threshold: int | None = None,
+):
+    """Qdrant-style filtered-search planner: ``("full_scan", None)``
+    below the cardinality threshold, else ``("ivf", escalated_nprobe)``.
+
+    The threshold scales with the corpus (``max(64, n // 16)``) the
+    way Qdrant's per-segment ``full_scan_threshold`` scales with
+    segment count; the escalation is exact integer ``ceil`` so the
+    DuckDB oracle reproduces the probe set bit-for-bit."""
+    thr = threshold if threshold is not None else max(64, n_total // 16)
+    if n_match <= thr:
+        return ("full_scan", None)
+    m = max(1, n_match)
+    return ("ivf", min(nlist, (nprobe * n_total + m - 1) // m))
+
+
+@register(
+    "ann_filtered_search",
+    sql=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT e.vec_id, e.label,
+           round({sql_dot('e.embedding', 'q.qv')}, 6) AS score
+    FROM embeddings e, q
+    WHERE e.label = {FILTER_LABEL} AND e.vec_id % 7 = 0
+    ORDER BY {sql_dot('e.embedding', 'q.qv')} DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+)
+def q_ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search, FULL-SCAN branch: a selective compound
+    payload predicate (``label = {3} AND vec_id % 7 = 0``, ~1.4 % of
+    the corpus — below the planner threshold at every test SF, pinned
+    by ``tests/test_filtered_search.py``) routes to exact scoring over
+    the filtered scan.  Plan: parquet scan with the label equality in
+    PushedFilters → dot-product expression → TakeOrderedAndProject.
+    Zero shuffles, zero Python in the scoring path; at 100 TB the
+    label predicate prunes row groups before any vector IO.  The
+    cardinality the planner consumes is one aggregate job — the Spark
+    analogue of reading Qdrant's payload-index cardinality
+    (``Qdrant/main.py:4`` imports the Filter API this re-expresses)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    flt = (F.col("label") == FILTER_LABEL) & (F.col("vec_id") % 7 == 0)
+    # one metadata-scale job: corpus size, match cardinality, and the
+    # query vector (any_value of the vec_id=1 row's embedding)
+    stats = emb.agg(
+        F.count("*").alias("n"),
+        F.sum(flt.cast("long")).alias("m"),
+        F.any_value(
+            F.when(F.col("vec_id") == 1, F.col("embedding")), True
+        ).alias("qv"),
+    ).collect()[0]
+    branch, _ = filtered_search_plan(
+        int(stats["n"]), int(stats["m"]), nlist=ivf_mod_for(int(stats["n"]))
+    )
+    assert branch == "full_scan", branch  # selectivity pins the branch
+    qlit = F.array(*[F.lit(float(x)) for x in stats["qv"]])
+    return (
+        emb.filter(flt)
+        .withColumn("score", dot("embedding", qlit))
+        .orderBy(F.desc("score"), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", "label", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "ann_filtered_ivf",
+    sql=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
+    ),
+    counts AS (
+      SELECT count(*) AS n,
+             greatest(1, sum(CASE WHEN label = {FILTER_LABEL}
+                                  THEN 1 ELSE 0 END)) AS m
+      FROM embeddings
+    ),
+    esc AS (
+      SELECT least((SELECT count(*) FROM centroids),
+                   ({NPROBE} * c.n + c.m - 1) // c.m) AS k
+      FROM counts c
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    ranked AS (
+      SELECT c.cid,
+             row_number() OVER (
+               ORDER BY {sql_dot('q.qv', 'c.cv')} DESC, c.cid ASC
+             ) AS rn
+      FROM centroids c, q
+    ),
+    probe AS (SELECT r.cid FROM ranked r, esc WHERE r.rn <= esc.k),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             arg_max(c.cid, {sql_dot('e.embedding', 'c.cv')}
+                            + 1e-12 * (-c.cid)) AS cluster_id
+      FROM embeddings e CROSS JOIN centroids c
+      WHERE e.label = {FILTER_LABEL}
+      GROUP BY e.vec_id, e.embedding
+    )
+    SELECT a.vec_id, round({sql_dot('a.embedding', 'q.qv')}, 6) AS score
+    FROM assign a, probe p, q
+    WHERE a.cluster_id = p.cid
+    ORDER BY {sql_dot('a.embedding', 'q.qv')} DESC, a.vec_id ASC
+    LIMIT 5
+    """,
+)
+def q_ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search, ESCALATED-IVF branch (the
+    above-threshold shape the planner picks for broad filters): the
+    ``label = {3}`` predicate (~10 % selectivity) is fused into the
+    scan BEFORE the assignment kernel — only matching vectors cross
+    the Arrow boundary — and nprobe escalates to
+    ``min(nlist, ceil(NPROBE · n / m))`` so the expected candidate
+    count under the filter matches the unfiltered search's.  The
+    DuckDB oracle replays the same integer escalation, the same
+    probe-set tie-breaks, and the same filtered assignment, so the
+    approximation itself is hash-checked, not just floored.  At
+    100 TB: label is a scan-stage PushedFilter, cluster pruning stays
+    in-kernel, and the candidate set is bounded by
+    ``m · esc / nlist ≈ NPROBE · n / nlist`` — filter-independent.
+    (Qdrant Filter/FieldCondition/MatchValue parity,
+    ``Qdrant/main.py:4``, ``Qdrant/main2.py:5``.)"""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    # job 1: corpus + payload cardinality (the payload-index read)
+    stats = emb.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("label") == FILTER_LABEL).cast("long")).alias("m"),
+    ).collect()[0]
+    n, m = int(stats["n"]), max(1, int(stats["m"]))
+    mod = ivf_mod_for(n)
+    # job 2: centroids + query vector (both metadata-scale)
+    meta = emb.filter(
+        (F.col("vec_id") % mod == 0) | (F.col("vec_id") == 1)
+    ).select("vec_id", "embedding").collect()
+    cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
+    cmat = [list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0]
+    qvec = [float(x) for r in meta if int(r[0]) == 1 for x in r[1]]
+    esc = min(len(cids), (NPROBE * n + m - 1) // m)
+    probe = set(
+        cid
+        for _, cid in sorted(
+            ((-seq_dot(qvec, cv), cid) for cid, cv in zip(cids, cmat))
+        )[:esc]
+    )
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    probed = (
+        emb.filter(F.col("label") == FILTER_LABEL)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            make_ivf_assign(cids, cmat, probe=probe),
+            schema=IVF_ASSIGN_SCHEMA,
+        )
+    )
+    return (
+        probed.withColumn("score", dot("embedding", qlit))
+        .orderBy(F.desc("score"), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )

@@ -416,10 +416,30 @@ class VectorCollection:
         }
 
     def search_ivf(
-        self, query_vec: list[float], k: int = 5, nprobe: int = 2
+        self,
+        query_vec: list[float],
+        k: int = 5,
+        nprobe: int = 2,
+        where=None,
+        full_scan_threshold: int | None = None,
     ) -> DataFrame:
         """Probe the nprobe nearest centroids only: the cluster_id
-        filter prunes parquet partitions before any IO happens."""
+        filter prunes parquet partitions before any IO happens.
+
+        ``where`` (SQL string or Column) is a payload predicate —
+        Qdrant's ``Filter(must=[FieldCondition(key, MatchValue(v))])``
+        (the reference imports this API, ``Qdrant/main.py:4``).  It is
+        PRE-filtering: the predicate is fused into the partition-pruned
+        scan before any vector is scored, never applied after a top-k
+        (post-filtering silently returns < k).  Strategy follows
+        Qdrant's planner (:func:`..queries_ann.filtered_search_plan`):
+        below ``full_scan_threshold`` matches → exact scoring over the
+        filtered scan (no cell pruning — correctness does not depend on
+        the index for tiny result sets); above → IVF with nprobe
+        escalated by ``ceil(nprobe · n / matches)`` so expected
+        candidate volume survives the filter's selectivity.  The two
+        cardinality counts are metadata-scale jobs (parquet stats /
+        pushed predicate — the payload-index cardinality read)."""
         import math
 
         from legalchatbot_vectordb_exp_spark.operators.topk import topk_search
@@ -427,6 +447,34 @@ class VectorCollection:
         props = self.properties
         qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
         q = [x / qn for x in query_vec]
+        base = self.read()
+        if where is not None:
+            from legalchatbot_vectordb_exp_spark.queries_ann import (
+                filtered_search_plan,
+            )
+
+            flt = F.expr(where) if isinstance(where, str) else where
+            matched = base.filter(flt)
+            counts = base.agg(
+                F.count("*").alias("n"),
+                F.sum(flt.cast("long")).alias("m"),
+            ).collect()[0]
+            branch, esc = filtered_search_plan(
+                int(counts["n"]),
+                int(counts["m"] or 0),
+                nlist=len(props["centroids"]),
+                nprobe=nprobe,
+                threshold=full_scan_threshold,
+            )
+            if branch == "full_scan":
+                return topk_search(
+                    matched,
+                    q,
+                    k=k,
+                    vec_col=props["vector_col"],
+                    id_col=props["id_col"],
+                )
+            base, nprobe = matched, esc
         scored = sorted(
             (
                 (sum(a * b for a, b in zip(q, cvec)), cid)
@@ -435,7 +483,7 @@ class VectorCollection:
             reverse=True,
         )
         probe_ids = [cid for _, cid in scored[:nprobe]]
-        pruned = self.read().filter(F.col("cluster_id").isin(probe_ids))
+        pruned = base.filter(F.col("cluster_id").isin(probe_ids))
         return topk_search(
             pruned,
             q,

@@ -44,6 +44,12 @@ FAMILIES = [
     # are neighbors-of-neighbors, O(n * (2k)^2); shuffle bytes must
     # grow ~linearly in corpus rows, never all-pairs
     "ann_knn_graph",
+    # round-16: filtered vector search, escalated-IVF branch — the
+    # label predicate is a scan-stage PushedFilter and cell pruning is
+    # in-kernel, so shuffle bytes stay ~zero at every multiple (the
+    # candidate bound NPROBE*n/nlist is filter-independent by the
+    # escalation construction)
+    "ann_filtered_ivf",
 ]
 
 

@@ -1,0 +1,186 @@
+"""Filtered vector search (Qdrant Filter/FieldCondition/MatchValue
+parity — the reference imports the filtered-search API at
+``Qdrant/main.py:4`` and ``Qdrant/main2.py:5``): the cardinality
+planner, both physical branches of ``VectorCollection.search_ivf``
+with a payload predicate, and the registered queries' plan shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.operators.topk import topk_search
+from legalchatbot_vectordb_exp_spark.queries_ann import (
+    FILTER_LABEL,
+    NPROBE,
+    filtered_search_plan,
+    ivf_mod_for,
+)
+from legalchatbot_vectordb_exp_spark.sources.collection import VectorCollection
+
+# ----------------------------------------------------------- planner
+
+
+def test_planner_full_scan_below_threshold():
+    assert filtered_search_plan(500, 8, nlist=8) == ("full_scan", None)
+    # default threshold scales: max(64, n // 16)
+    assert filtered_search_plan(20_000, 290, nlist=32) == (
+        "full_scan",
+        None,
+    )  # 290 <= 1250
+
+
+def test_planner_escalates_nprobe_by_selectivity():
+    # 10% selectivity with enough matches -> ivf, nprobe scaled ~10x
+    branch, esc = filtered_search_plan(
+        2_000, 200, nlist=32, threshold=100
+    )
+    assert branch == "ivf"
+    assert esc == 20  # ceil(2 * 2000 / 200)
+    # escalation is capped at nlist (probe everything, never more)
+    branch, esc = filtered_search_plan(500, 50, nlist=8, threshold=10)
+    assert (branch, esc) == ("ivf", 8)  # ceil(2*500/50)=20 -> cap 8
+
+
+def test_planner_zero_matches_guard():
+    # m=0 under a tiny threshold must not divide by zero
+    branch, esc = filtered_search_plan(1_000, 0, nlist=16, threshold=-1)
+    assert branch == "ivf" and esc == 16  # capped at nlist
+
+
+def test_registered_full_scan_branch_pinned_at_test_sfs(spark):
+    """The compound filter in ann_filtered_search (~1.4% selectivity)
+    must route to the full-scan branch at every driver scale factor —
+    the query asserts this at runtime; here we pin it with the real
+    cardinalities so an SF change that flips the branch fails loudly."""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        row = emb.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (
+                    (F.col("label") == FILTER_LABEL)
+                    & (F.col("vec_id") % 7 == 0)
+                ).cast("long")
+            ).alias("m"),
+        ).collect()[0]
+        branch, _ = filtered_search_plan(
+            int(row["n"]), int(row["m"]), nlist=ivf_mod_for(int(row["n"]))
+        )
+        assert branch == "full_scan", (sf_dir, row)
+
+
+# ------------------------------------------- search_ivf(where=...)
+
+
+def _labeled_collection(spark, sf_smoke, tmp_path):
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    c = VectorCollection(spark, str(tmp_path), "ivf_filtered")
+    c.create_ivf(emb, dim=64, n_clusters=8)
+    return c
+
+
+def test_search_ivf_where_full_scan_equals_exact(
+    spark, sf_smoke, tmp_path
+):
+    """Below threshold (label=1: ~50 of 500 < default 64) the filtered
+    search is EXACT: identical to brute-force top-k over the filtered
+    corpus, every hit satisfying the predicate, k rows returned."""
+    c = _labeled_collection(spark, sf_smoke, tmp_path)
+    qvec = [
+        float(x)
+        for x in c.read().filter(F.col("label") == 1).head()["vector"]
+    ]
+    got = c.search_ivf(qvec, k=5, where="label = 1").collect()
+    assert len(got) == 5
+    assert all(r["label"] == 1 for r in got)
+    exact = topk_search(
+        c.read().filter("label = 1"),
+        qvec,
+        k=5,
+        vec_col="vector",
+        id_col="id",
+    ).collect()
+    assert [r["id"] for r in got] == [r["id"] for r in exact]
+
+
+def test_search_ivf_where_ivf_branch_prefilters_and_recalls(
+    spark, sf_smoke, tmp_path
+):
+    """Forcing the IVF branch (threshold below the ~50 matches): the
+    probe set escalates by 1/selectivity, results still satisfy the
+    predicate (pre-filter, never post-filter), and the query row's own
+    cell being probed puts it in the result."""
+    c = _labeled_collection(spark, sf_smoke, tmp_path)
+    qrow = c.read().filter(F.col("label") == 1).head()
+    qvec = [float(x) for x in qrow["vector"]]
+    got = c.search_ivf(
+        qvec, k=5, where="label = 1", full_scan_threshold=10
+    ).collect()
+    assert 0 < len(got) <= 5
+    assert all(r["label"] == 1 for r in got)
+    assert got[0]["id"] == qrow["id"]  # self survives the filter+probe
+    # escalated recall vs exact filtered top-5: probing ~10x cells for
+    # a ~10% filter must recover most of the exact set
+    exact = topk_search(
+        c.read().filter("label = 1"),
+        qvec,
+        k=5,
+        vec_col="vector",
+        id_col="id",
+    ).collect()
+    hits = len(
+        {r["id"] for r in got} & {r["id"] for r in exact}
+    )
+    assert hits >= 3, hits
+
+
+def test_search_ivf_where_never_exceeds_nlist(spark, sf_smoke, tmp_path):
+    """A near-empty filter escalates to ALL cells — degraded to exact
+    filtered search, still correct (and never errors on esc > nlist)."""
+    c = _labeled_collection(spark, sf_smoke, tmp_path)
+    qvec = [float(x) for x in c.read().head()["vector"]]
+    got = c.search_ivf(
+        qvec, k=5, where="label = 1 AND id LIKE '1%'",
+        full_scan_threshold=0,
+    ).collect()
+    assert all(r["label"] == 1 and r["id"].startswith("1") for r in got)
+
+
+# ----------------------------------------------------- plan shape
+
+
+def test_filtered_search_plan_is_scan_then_takeordered(spark):
+    """Full-scan branch plan: payload equality reaches PushedFilters,
+    top-k is TakeOrderedAndProject, and there is no shuffle exchange
+    anywhere (scoring is scan-stage expression work)."""
+    from legalchatbot_vectordb_exp_spark.queries import QUERIES
+
+    df = QUERIES["ann_filtered_search"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "label" in optimized  # predicate present pre-scan
+
+
+def test_filtered_ivf_pushes_label_to_scan(spark):
+    """Escalated-IVF branch: the label predicate is pre-filtering —
+    it must appear in the parquet scan's PushedFilters, BEFORE the
+    assignment kernel (post-filtering an approximate top-k is the
+    classic filtered-ANN correctness bug)."""
+    from legalchatbot_vectordb_exp_spark.queries import QUERIES
+
+    df = QUERIES["ann_filtered_ivf"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    scan_line = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert any(
+        "label" in ln and "EqualTo" in ln for ln in scan_line
+    ), scan_line

@@ -510,6 +510,24 @@ def main() -> None:
         # header describes the last FULL-tier run, which may have used
         # a different base/multiples (round-16 review)
         prov = {"_provenance": {"base": base, "multiples": multiples}}
+        # family:<query> re-measures one FAMILIES query across the
+        # tiers and merges its section — a new family need not pay for
+        # a full-tier re-run of every unchanged section
+        for q in (x.split(":", 1)[1] for x in only if x.startswith("family:")):
+            sec: dict = dict(prov)
+            for n in multiples:
+                sf_dir = (
+                    base
+                    if n == 1
+                    else build(
+                        base,
+                        os.path.join(tmp_root, f"stress_shuffle_{n}x"),
+                        n,
+                    )
+                )
+                sec[f"{n}x"] = measure(spark, QUERIES[q], sf_dir)
+            out["results"][q] = sec
+            print(json.dumps({q: sec}), flush=True)
         if "multiwriter" in only:
             r = measure_multiwriter(
                 spark, base, os.path.join(tmp_root, "stress_mw_wh")

@@ -1948,3 +1948,231 @@ def q_ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", F.round("score", 6).alias("score"))
     )
+
+
+# ---------------- Qdrant search-API family completion (round 16) ----------------
+#
+# Beyond plain ``search`` the Qdrant client the reference wraps
+# (``Qdrant/VectorDB/Database.py:22-27``) exposes a small family of
+# read APIs a switching user would reach for next: ``search_groups``
+# (top groups by best hit with per-group hit caps — the RAG shape:
+# chunk hits grouped by parent document), ``scroll`` (filtered keyset
+# pagination), and ``recommend`` (positive/negative example ids).
+# Each is re-expressed as a declarative DataFrame plan with an exact
+# DuckDB oracle — no approximation, so parity is hash-checked.
+
+GROUP_TOP_GROUPS = 3  # search_groups: groups returned
+GROUP_PER_GROUP = 2  # search_groups: hits kept per group
+
+
+@register(
+    "ann_group_search",
+    sql=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {sql_dot('e.embedding', 'q.qv')} AS s
+      FROM embeddings e, q
+    ),
+    hits AS (
+      SELECT vec_id, label, s,
+             row_number() OVER (
+               PARTITION BY label ORDER BY s DESC, vec_id ASC
+             ) AS hit_rank
+      FROM scored
+    ),
+    capped AS (SELECT * FROM hits WHERE hit_rank <= {GROUP_PER_GROUP}),
+    groups AS (
+      SELECT label, max(s) AS best,
+             row_number() OVER (
+               ORDER BY max(s) DESC, label ASC
+             ) AS group_rank
+      FROM capped GROUP BY label
+    )
+    SELECT c.label, g.group_rank, c.hit_rank, c.vec_id,
+           round(c.s, 6) AS score
+    FROM capped c, groups g
+    WHERE c.label = g.label AND g.group_rank <= {GROUP_TOP_GROUPS}
+    ORDER BY g.group_rank ASC, c.hit_rank ASC
+    """,
+)
+def q_ann_group_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``search_groups`` parity: top-{3} payload groups ranked
+    by their best hit, {2} hits per group — the result-diversity API
+    (chunk hits grouped by parent document, products by brand).
+    Spark-first: scan-stage scoring, ONE shuffle (the window's
+    partition-by-label exchange, map-side nothing to combine but the
+    per-group cap truncates to ≤ groups·cap rows immediately), then
+    group ranking over the tiny capped frame.  At 100 TB the heavy
+    frame crosses the wire once, keyed by the group column; a skewed
+    group costs one partition, not a replan."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).head()["embedding"]
+    ]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    scored = emb.withColumn("s", dot("embedding", qlit))
+    w_hit = Window.partitionBy("label").orderBy(
+        F.desc("s"), F.col("vec_id").asc()
+    )
+    capped = scored.withColumn(
+        "hit_rank", F.row_number().over(w_hit)
+    ).filter(F.col("hit_rank") <= GROUP_PER_GROUP)
+    groups = (
+        capped.groupBy("label")
+        .agg(F.max("s").alias("best"))
+        .withColumn(
+            "group_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("best"), F.col("label").asc())
+            ),
+        )
+        .filter(F.col("group_rank") <= GROUP_TOP_GROUPS)
+    )
+    return (
+        capped.join(F.broadcast(groups), "label")
+        .orderBy("group_rank", "hit_rank")
+        .select(
+            "label",
+            "group_rank",
+            "hit_rank",
+            "vec_id",
+            F.round("s", 6).alias("score"),
+        )
+    )
+
+
+SCROLL_PAGE = 10  # scroll: page size
+SCROLL_PAGES = 3  # scroll: pages the query materializes
+
+
+@register(
+    "collection_scroll",
+    sql=f"""
+    WITH filtered AS (
+      SELECT vec_id, label
+      FROM embeddings
+      WHERE label = {FILTER_LABEL}
+    ),
+    numbered AS (
+      SELECT vec_id, label,
+             row_number() OVER (ORDER BY vec_id ASC) AS rn
+      FROM filtered
+    )
+    SELECT CAST((rn - 1) // {SCROLL_PAGE} AS BIGINT) AS page,
+           vec_id, label
+    FROM numbered
+    WHERE rn <= {SCROLL_PAGE * SCROLL_PAGES}
+    ORDER BY vec_id ASC
+    """,
+)
+def q_collection_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``scroll`` parity: filtered KEYSET pagination — each page
+    is ``WHERE id > cursor ORDER BY id LIMIT page`` with the cursor =
+    last id of the previous page, NEVER ``OFFSET`` (offset-N re-scans
+    and re-sorts N rows per page; keyset stays O(page) via the
+    id-ordered index / parquet min-max pruning at any depth).  The
+    query materializes the first {3} pages exactly as a driver loop of
+    cursor reads — the loop is over PAGES (bounded, user-facing), not
+    rows — then stamps each row's page number.  The oracle replays the
+    same pagination relationally (row_number over the id order), so
+    cursor arithmetic is hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    filtered = emb.filter(F.col("label") == FILTER_LABEL)
+    pages = []
+    cursor = None
+    for page_no in range(SCROLL_PAGES):
+        page = filtered
+        if cursor is not None:
+            page = page.filter(F.col("vec_id") > cursor)
+        rows = (
+            page.orderBy(F.col("vec_id").asc())
+            .limit(SCROLL_PAGE)
+            .select(
+                F.lit(page_no).cast("long").alias("page"),
+                "vec_id",
+                "label",
+            )
+        )
+        pages.append(rows)
+        tail = rows.select(F.max("vec_id")).head()[0]
+        if tail is None:
+            break  # past the last page
+        cursor = int(tail)
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.col("vec_id").asc())
+
+
+# recommend: positive/negative example ids (Qdrant best_score
+# strategy: score(v) = max(sim to positives) - max(sim to negatives),
+# examples excluded from results)
+RECO_POS = (1, 9)  # positive example vec_ids
+RECO_NEG = (4,)  # negative example vec_ids
+
+
+@register(
+    "ann_recommend",
+    sql=f"""
+    WITH pos AS (
+      SELECT embedding AS pv FROM embeddings
+      WHERE vec_id IN {RECO_POS}
+    ),
+    neg AS (
+      SELECT embedding AS nv FROM embeddings
+      WHERE vec_id IN ({RECO_NEG[0]})
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             (SELECT max({sql_dot('e.embedding', 'p.pv')}) FROM pos p)
+             - (SELECT max({sql_dot('e.embedding', 'g.nv')}) FROM neg g)
+               AS s
+      FROM embeddings e
+      WHERE e.vec_id NOT IN {RECO_POS + RECO_NEG}
+    )
+    SELECT vec_id, round(s, 6) AS score
+    FROM scored
+    ORDER BY s DESC, vec_id ASC
+    LIMIT 5
+    """,
+)
+def q_ann_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``recommend`` parity (best_score strategy): rank by
+    ``max(sim to positive examples) − max(sim to negative examples)``,
+    example ids excluded from the result.  The example vectors are
+    metadata-scale (one driver collect); each becomes a scan-stage
+    dot-product literal, the max/− fold is a greatest()/− expression —
+    so the whole plan is scan → expressions → TakeOrderedAndProject:
+    zero shuffles, identical shape to single-query search no matter
+    how many examples.  At 100 TB nothing changes: k example literals
+    ride the task closure, the corpus is read once."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    examples = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            F.col("vec_id").isin(list(RECO_POS + RECO_NEG))
+        ).collect()
+    }
+    pos_scores = [
+        dot("embedding", F.array(*[F.lit(x) for x in examples[i]]))
+        for i in RECO_POS
+    ]
+    neg_scores = [
+        dot("embedding", F.array(*[F.lit(x) for x in examples[i]]))
+        for i in RECO_NEG
+    ]
+    s = F.greatest(*pos_scores) if len(pos_scores) > 1 else pos_scores[0]
+    t = F.greatest(*neg_scores) if len(neg_scores) > 1 else neg_scores[0]
+    return (
+        emb.filter(~F.col("vec_id").isin(list(RECO_POS + RECO_NEG)))
+        .withColumn("s", s - t)
+        .orderBy(F.desc("s"), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", F.round("s", 6).alias("score"))
+    )

@@ -491,3 +491,125 @@ class VectorCollection:
             vec_col=props["vector_col"],
             id_col=props["id_col"],
         )
+
+    # ------------------------- Qdrant read-API family (round 16)
+
+    def search_groups(
+        self,
+        query_vec: list[float],
+        group_by: str,
+        groups: int = 3,
+        per_group: int = 2,
+    ) -> DataFrame:
+        """Qdrant ``search_groups``: the top ``groups`` payload groups
+        ranked by their best hit, at most ``per_group`` hits each (the
+        result-diversity API — chunk hits grouped by parent doc).  One
+        shuffle: the per-group window exchange keyed on ``group_by``;
+        the group ranking then runs over the ≤ groups·per_group capped
+        frame.  Exact semantics — plan mirrors the oracle-checked
+        ``ann_group_search`` query."""
+        import math
+
+        from legalchatbot_vectordb_exp_spark.functions.vector import dot
+
+        props = self.properties
+        qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+        qlit = F.array(*[F.lit(x / qn) for x in query_vec])
+        id_col = props["id_col"]
+        scored = self.read().withColumn(
+            "score", dot(props["vector_col"], qlit)
+        )
+        w_hit = Window.partitionBy(group_by).orderBy(
+            F.desc("score"), F.col(id_col).asc()
+        )
+        capped = scored.withColumn(
+            "hit_rank", F.row_number().over(w_hit)
+        ).filter(F.col("hit_rank") <= per_group)
+        top_groups = (
+            capped.groupBy(group_by)
+            .agg(F.max("score").alias("best"))
+            .withColumn(
+                "group_rank",
+                F.row_number().over(
+                    Window.orderBy(F.desc("best"), F.col(group_by).asc())
+                ),
+            )
+            .filter(F.col("group_rank") <= groups)
+            .drop("best")
+        )
+        return capped.join(F.broadcast(top_groups), group_by).orderBy(
+            "group_rank", "hit_rank"
+        )
+
+    def scroll(
+        self,
+        page_size: int = 10,
+        where=None,
+        cursor=None,
+    ):
+        """Qdrant ``scroll``: one page of filtered keyset pagination —
+        ``(rows, next_cursor)`` where ``next_cursor`` feeds the next
+        call and ``None`` means exhausted.  Keyset (``id > cursor``),
+        never OFFSET: each page is O(page) via the id order + parquet
+        min-max pruning no matter how deep the scroll, where OFFSET-N
+        re-scans N rows per page."""
+        props = self.properties
+        id_col = props["id_col"]
+        page = self.read()
+        if where is not None:
+            page = page.filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
+        if cursor is not None:
+            page = page.filter(F.col(id_col) > cursor)
+        rows = page.orderBy(F.col(id_col).asc()).limit(page_size).collect()
+        next_cursor = rows[-1][id_col] if len(rows) == page_size else None
+        return rows, next_cursor
+
+    def recommend(
+        self,
+        positive: list,
+        negative: list | None = None,
+        k: int = 5,
+    ) -> DataFrame:
+        """Qdrant ``recommend`` (best_score strategy): rank by
+        ``max(sim to positives) − max(sim to negatives)``, example ids
+        excluded.  Example vectors are one metadata-scale driver
+        lookup; each becomes a scan-stage dot literal, so the plan is
+        scan → expressions → TakeOrderedAndProject — zero shuffles,
+        the single-query-search shape regardless of example count.
+        Mirrors the oracle-checked ``ann_recommend`` query."""
+        from legalchatbot_vectordb_exp_spark.functions.vector import dot
+
+        props = self.properties
+        id_col, vec_col = props["id_col"], props["vector_col"]
+        negative = negative or []
+        ids = list(positive) + list(negative)
+        vecs = {
+            r[id_col]: [float(x) for x in r[vec_col]]
+            for r in self.read()
+            .filter(F.col(id_col).isin(ids))
+            .select(id_col, vec_col)
+            .collect()
+        }
+        missing = [i for i in ids if i not in vecs]
+        if missing:
+            raise ValueError(f"recommend: example ids not found: {missing}")
+
+        def best(example_ids):
+            scores = [
+                dot(vec_col, F.array(*[F.lit(x) for x in vecs[i]]))
+                for i in example_ids
+            ]
+            return F.greatest(*scores) if len(scores) > 1 else scores[0]
+
+        s = best(positive)
+        if negative:
+            s = s - best(negative)
+        return (
+            self.read()
+            .filter(~F.col(id_col).isin(ids))
+            .withColumn("score", s)
+            .orderBy(F.desc("score"), F.col(id_col).asc())
+            .limit(k)
+        )

@@ -1,0 +1,122 @@
+"""Qdrant read-API family on VectorCollection — search_groups,
+scroll (keyset pagination), recommend (best_score strategy).  The
+registered queries pin exact semantics against DuckDB; these tests pin
+the collection-level API: shapes, cursor protocol, exclusions, and
+agreement with the equivalent direct plans."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.sources.collection import VectorCollection
+
+
+def _coll(spark, sf_smoke, tmp_path):
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    c = VectorCollection(spark, str(tmp_path), "api_demo")
+    c.create(emb, dim=64, metric="dot", normalize=False)
+    return c, emb
+
+
+def test_search_groups_shape_and_diversity(spark, sf_smoke, tmp_path):
+    c, emb = _coll(spark, sf_smoke, tmp_path)
+    qvec = [float(x) for x in emb.filter("id = 1").head()["vector"]]
+    got = c.search_groups(qvec, "label", groups=3, per_group=2).collect()
+    # exactly 3 groups, ≤2 hits each, group_rank/hit_rank contiguous
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["label"], []).append(r)
+    assert len(by_group) == 3
+    assert all(1 <= len(v) <= 2 for v in by_group.values())
+    assert sorted({r["group_rank"] for r in got}) == [1, 2, 3]
+    # groups ordered by their best hit's score
+    best = {
+        g: max(r["score"] for r in rows) for g, rows in by_group.items()
+    }
+    ranks = {rows[0]["group_rank"]: g for g, rows in by_group.items()}
+    assert best[ranks[1]] >= best[ranks[2]] >= best[ranks[3]]
+    # within a group, hits are descending
+    for rows in by_group.values():
+        scores = [r["score"] for r in sorted(rows, key=lambda r: r["hit_rank"])]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_scroll_pages_are_disjoint_exhaustive_and_ordered(
+    spark, sf_smoke, tmp_path
+):
+    c, emb = _coll(spark, sf_smoke, tmp_path)
+    want = [
+        r["id"]
+        for r in emb.filter("label = 1")
+        .orderBy("id")
+        .select("id")
+        .collect()
+    ]
+    got, cursor, pages = [], None, 0
+    while True:
+        rows, cursor = c.scroll(page_size=10, where="label = 1", cursor=cursor)
+        got.extend(r["id"] for r in rows)
+        pages += 1
+        assert all(r["label"] == 1 for r in rows)
+        if cursor is None:
+            break
+        assert len(rows) == 10  # only the tail page may be short
+    assert got == want  # disjoint, ordered, nothing skipped or repeated
+    assert pages == (len(want) + 9) // 10 + (1 if len(want) % 10 == 0 else 0)
+
+
+def test_scroll_empty_filter_terminates_immediately(
+    spark, sf_smoke, tmp_path
+):
+    c, _ = _coll(spark, sf_smoke, tmp_path)
+    rows, cursor = c.scroll(page_size=10, where="label = -1")
+    assert rows == [] and cursor is None
+
+
+def test_recommend_excludes_examples_and_steers(spark, sf_smoke, tmp_path):
+    c, emb = _coll(spark, sf_smoke, tmp_path)
+    got = c.recommend(positive=[1, 9], negative=[4], k=5).collect()
+    assert len(got) == 5
+    ids = [r["id"] for r in got]
+    assert not ({1, 9, 4} & set(ids))  # examples never returned
+    # best_score semantics: score = max(sim pos) - max(sim neg),
+    # recomputed row-by-row for the returned ids
+    import math
+
+    vecs = {
+        r["id"]: [float(x) for x in r["vector"]]
+        for r in emb.filter(F.col("id").isin(ids + [1, 9, 4])).collect()
+    }
+
+    def dotp(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    for r in got:
+        v = vecs[r["id"]]
+        want = max(dotp(v, vecs[1]), dotp(v, vecs[9])) - dotp(v, vecs[4])
+        assert math.isclose(r["score"], want, rel_tol=1e-9)
+
+
+def test_recommend_missing_example_raises(spark, sf_smoke, tmp_path):
+    c, _ = _coll(spark, sf_smoke, tmp_path)
+    try:
+        c.recommend(positive=[10**9], k=3)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "not found" in str(e)
+
+
+def test_recommend_positive_only_is_zero_shuffle(spark, sf_smoke, tmp_path):
+    c, _ = _coll(spark, sf_smoke, tmp_path)
+    df = c.recommend(positive=[1], k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

@@ -32,6 +32,7 @@ from legalchatbot_vectordb_exp_spark.queries import ORACLES, QUERIES  # noqa: E4
 _SAMPLE_PRIORITY = [
     "ann_filtered_search",
     "ann_filtered_ivf",
+    "ann_filtered_persisted",
     "ann_group_search",
     "ann_recommend",
     "collection_scroll",

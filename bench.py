@@ -57,6 +57,7 @@ _TAIL_BUDGET = 1940
 # rounds mostly from fixture-heavy warehouse queries.)
 _STAGED_FIXTURE_QUERIES = frozenset(
     {
+        "ann_filtered_persisted",
         "ann_ivf_incremental",
         "ann_ivf_persisted",
         "ann_graph_search",

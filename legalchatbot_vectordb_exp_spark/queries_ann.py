@@ -101,11 +101,13 @@ def seq_dot(a, b):
     return acc
 
 
-def make_ivf_assign(cids, cmat, probe=None):
+def make_ivf_assign(cids, cmat, probe=None, extra_cols=()):
     """mapInPandas kernel factory over :func:`ivf_best_cells`: emits
-    (vec_id, embedding, cluster_id), pruned in-kernel to the probed
-    cells when ``probe`` is given (the pruned rows never cross the
-    Arrow boundary back to the JVM)."""
+    (vec_id, embedding, cluster_id[, *extra_cols]), pruned in-kernel
+    to the probed cells when ``probe`` is given (the pruned rows never
+    cross the Arrow boundary back to the JVM).  ``extra_cols`` pass
+    payload columns through untouched (the caller appends them to the
+    output schema)."""
 
     def assign(batches):
         import numpy as np
@@ -120,6 +122,7 @@ def make_ivf_assign(cids, cmat, probe=None):
                     "vec_id": pdf["vec_id"],
                     "embedding": pdf["embedding"],
                     "cluster_id": ivf_best_cells(E, cids, cmat),
+                    **{c: pdf[c] for c in extra_cols},
                 }
             )
             yield out if probe is None else out[
@@ -1851,9 +1854,11 @@ def q_ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_filtered_ivf",
-    sql=f"""
+# Shared by ann_filtered_ivf (scan-time assignment) and
+# ann_filtered_persisted (label-in-key persisted layout): the two
+# plans MUST agree bit-for-bit — same quantizer, same integer
+# escalation, same tie-breaks — so they share one oracle.
+_FILTERED_IVF_SQL = f"""
     WITH centroids AS (
       SELECT vec_id AS cid, embedding AS cv
       FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
@@ -1891,8 +1896,10 @@ def q_ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.cluster_id = p.cid
     ORDER BY {sql_dot('a.embedding', 'q.qv')} DESC, a.vec_id ASC
     LIMIT 5
-    """,
-)
+    """
+
+
+@register("ann_filtered_ivf", sql=_FILTERED_IVF_SQL)
 def q_ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search, ESCALATED-IVF branch (the
     above-threshold shape the planner picks for broad filters): the
@@ -2175,4 +2182,122 @@ def q_ann_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s"), F.col("vec_id").asc())
         .limit(5)
         .select("vec_id", F.round("s", 6).alias("score"))
+    )
+
+
+# -------- filtered search over the persisted layout (label-in-key) --------
+
+LABEL_SHIFT = 2**24  # composite key: cluster*2^32 + label*2^24 + vec_id
+# (test-scale shifts: vec_id < 2^24 and label*2^24 < 2^32 hold at every
+# driver SF and stress multiple; at production scale widen to 2^40/2^20
+# — the layout math is shift-agnostic)
+
+# sf_dir -> warehouse whose label-clustered IVF layout is already built
+# in THIS process (repeat bench runs probe the index at rest)
+_IVF_FILT_STAGING: dict[str, str] = {}
+
+
+def _ivf_filtered_layout(spark: SparkSession, sf_dir: str):
+    """Build (once per process) the FILTER-OPTIMIZED persisted IVF
+    layout — composite key ``cluster_id·2^32 + label·2^24 + vec_id``
+    so rows are clustered by payload WITHIN each cell — and return
+    ``(coll, qvec, probe)`` with the probe set already escalated for
+    the ``label = FILTER_LABEL`` filter's selectivity."""
+    import shutil
+
+    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
+    from legalchatbot_vectordb_exp_spark.sources.versioned import (
+        VersionedCollection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    # job 1: corpus + payload cardinality (escalation inputs)
+    stats = emb.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("label") == FILTER_LABEL).cast("long")).alias("m"),
+    ).collect()[0]
+    n, m = int(stats["n"]), max(1, int(stats["m"]))
+    mod = ivf_mod_for(n)
+    # job 2: centroids + query vector (metadata-scale)
+    meta = emb.filter(
+        (F.col("vec_id") % mod == 0) | (F.col("vec_id") == 1)
+    ).select("vec_id", "embedding").collect()
+    cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
+    cmat = [list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0]
+    qvec = [float(x) for r in meta if int(r[0]) == 1 for x in r[1]]
+    esc = min(len(cids), (NPROBE * n + m - 1) // m)
+    probe = sorted(
+        cid
+        for _, cid in sorted(
+            ((-seq_dot(qvec, cv), cid) for cid, cv in zip(cids, cmat))
+        )[:esc]
+    )
+    warehouse = _scratch(sf_dir, "ivf_filtered")
+    coll = VersionedCollection(spark, warehouse, "emb_ivf_filt")
+    if _IVF_FILT_STAGING.get(sf_dir) != warehouse:
+        if os.path.isdir(coll.path):
+            shutil.rmtree(coll.path)  # fresh layout per process
+        keyed = emb.mapInPandas(
+            make_ivf_assign(cids, cmat, extra_cols=("label",)),
+            schema=IVF_ASSIGN_SCHEMA + ", label int",
+        ).select(
+            (
+                F.col("cluster_id") * CELL_SHIFT
+                + F.col("label").cast("long") * LABEL_SHIFT
+                + F.col("vec_id")
+            ).alias("id"),
+            F.col("embedding").alias("vector"),
+            "vec_id",
+            "cluster_id",
+            "label",
+        )
+        keyed = keyed.persist()  # create runs 3 actions; assign once
+        try:
+            coll.create(
+                keyed, dim=len(qvec), metric="dot", normalize=False,
+                cluster_files=16,
+            )
+        finally:
+            keyed.unpersist()
+        _IVF_FILT_STAGING[sf_dir] = warehouse
+    return coll, qvec, probe
+
+
+@register("ann_filtered_persisted", sql=_FILTERED_IVF_SQL)
+def q_ann_filtered_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search over the PERSISTED index (the at-scale shape of
+    ``ann_filtered_ivf``, which re-assigns at scan time): the layout's
+    composite key embeds the payload — ``cluster·2^32 + label·2^24 +
+    vec_id`` — so rows are label-clustered within every IVF cell and
+    ONE id-range read per probed cell (``[cell|label|0, cell|label|max]``)
+    lands exactly on the filter: manifest min/max stats prune every
+    file of the cell that holds other labels, with NO new pruning
+    machinery (the range read IS the existing stats-skipping path).
+    This is the composite-clustering-key answer to filtered ANN at
+    100 TB — Qdrant gets the same effect from its payload index;
+    a columnar engine gets it from layout.  Escalation, quantizer and
+    tie-breaks are shared with ``ann_filtered_ivf``, so both plans
+    hash-match the SAME DuckDB oracle.  File-pruning evidence:
+    ``tests/test_filtered_search.py`` pins scanned-file counts via
+    ``last_read_stats``."""
+    coll, qvec, probe = _ivf_filtered_layout(spark, sf_dir)
+    lo_off = FILTER_LABEL * LABEL_SHIFT
+    parts = [
+        coll.read_range(
+            c * CELL_SHIFT + lo_off,
+            c * CELL_SHIFT + lo_off + (LABEL_SHIFT - 1),
+        )
+        for c in probe
+    ]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        cand.withColumn("score", dot("vector", qlit))
+        .orderBy(F.desc("score"), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", F.round("score", 6).alias("score"))
     )

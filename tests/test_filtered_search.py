@@ -184,3 +184,49 @@ def test_filtered_ivf_pushes_label_to_scan(spark):
     assert any(
         "label" in ln and "EqualTo" in ln for ln in scan_line
     ), scan_line
+
+
+# --------------------------- persisted layout (label-in-key)
+
+
+def test_filtered_persisted_prunes_files_by_label(spark):
+    """The label-in-key layout makes a filtered probe a stats-pruned
+    range read: each probed (cell, label) read must open strictly
+    fewer files than the cell holds in total (the other labels' files
+    prune from the manifest alone), and the result must equal the
+    scan-time ann_filtered_ivf plan row-for-row."""
+    from legalchatbot_vectordb_exp_spark.queries import QUERIES
+    from legalchatbot_vectordb_exp_spark.queries_ann import (
+        CELL_SHIFT,
+        LABEL_SHIFT,
+        _ivf_filtered_layout,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    coll, qvec, probe = _ivf_filtered_layout(spark, sf_dir)
+    lo_off = FILTER_LABEL * LABEL_SHIFT
+    pruned_reads, cell_reads = [], []
+    for c in probe:
+        coll.read_range(
+            c * CELL_SHIFT + lo_off,
+            c * CELL_SHIFT + lo_off + (LABEL_SHIFT - 1),
+        ).count()
+        pruned_reads.append(dict(coll.last_read_stats))
+        coll.read_range(
+            c * CELL_SHIFT, c * CELL_SHIFT + (CELL_SHIFT - 1)
+        ).count()
+        cell_reads.append(dict(coll.last_read_stats))
+    # every filtered probe prunes MORE files than the whole-cell read
+    for f, whole in zip(pruned_reads, cell_reads):
+        assert f["files_pruned"] > whole["files_pruned"], (f, whole)
+    # and at least one probe skips most of its cell's files
+    gains = [
+        f["files_pruned"] - w["files_pruned"]
+        for f, w in zip(pruned_reads, cell_reads)
+    ]
+    assert max(gains) >= 1, gains
+
+    # semantics: identical to the scan-time filtered-IVF plan
+    a = QUERIES["ann_filtered_persisted"](spark, sf_dir).collect()
+    b = QUERIES["ann_filtered_ivf"](spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -35,6 +35,7 @@ _SAMPLE_PRIORITY = [
     "ann_filtered_persisted",
     "ann_group_search",
     "ann_recommend",
+    "ann_named_vectors",
     "collection_scroll",
     "ann_knn_graph",
     "ann_knn_graph_recall",

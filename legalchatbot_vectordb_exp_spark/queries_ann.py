@@ -2301,3 +2301,56 @@ def q_ann_filtered_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", F.round("score", 6).alias("score"))
     )
+
+
+# ----------------------- named vectors (multi-vector points) -----------------------
+
+TITLE_DIM = 32  # the second named vector: first 32 dims of the embedding
+
+
+@register(
+    "ann_named_vectors",
+    sql=f"""
+    WITH pts AS (
+      SELECT vec_id,
+             embedding AS body,
+             embedding[1:{TITLE_DIM}] AS title
+      FROM embeddings
+    ),
+    q AS (SELECT title AS qv FROM pts WHERE vec_id = 1)
+    SELECT p.vec_id, round({sql_dot('p.title', 'q.qv')}, 6) AS score
+    FROM pts p, q
+    ORDER BY {sql_dot('p.title', 'q.qv')} DESC, p.vec_id ASC
+    LIMIT 5
+    """,
+)
+def q_ann_named_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED VECTORS (Qdrant multi-vector points): one point carries
+    several independently-searchable vectors, each with its OWN dim
+    and metric — ``search(using="title")`` ranks in the title space,
+    not the body space.  Here the second vector is derived (the first
+    {32} dims — the testdata ships one embedding; a real pipeline
+    brings its own title/body embeddings) and the search runs entirely
+    in the 32-dim named space: scan-stage slice + dot expressions →
+    TakeOrderedAndProject, zero shuffles.  Columnar named vectors are
+    FREE at 100 TB reads: each name is its own parquet column, so a
+    title-space search never reads body bytes (column pruning), where
+    a row-store pays for every vector it stores per point.  API twin:
+    ``VectorCollection.create_multi/search_named``
+    (``tests/test_named_vectors.py``)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    pts = emb.select(
+        "vec_id", F.slice("embedding", 1, TITLE_DIM).alias("title")
+    )
+    qvec = [
+        float(x) for x in pts.filter(F.col("vec_id") == 1).head()["title"]
+    ]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        pts.withColumn("score", dot("title", qlit))
+        .orderBy(F.desc("score"), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )

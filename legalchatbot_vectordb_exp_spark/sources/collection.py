@@ -492,6 +492,116 @@ class VectorCollection:
             id_col=props["id_col"],
         )
 
+    # --------------------- named vectors (multi-vector points)
+
+    def create_multi(
+        self,
+        df: DataFrame,
+        vectors: dict[str, dict],
+        id_col: str = "id",
+    ) -> "VectorCollection":
+        """Qdrant NAMED VECTORS: one point carries several
+        independently-searchable vectors, each column with its own
+        ``{"dim": d, "metric": m}`` config (a title and a body
+        embedding may have different dims).  Validation is ONE
+        aggregate job covering every vector column (a conditional sum
+        per name) plus the id-uniqueness check; cosine-metric names
+        are L2-normalized at write so search is always a dot.  Each
+        name is its own parquet column — a search in one named space
+        never reads the other names' bytes (column pruning)."""
+        aggs = [
+            F.sum(
+                (
+                    F.col(name).isNull()
+                    | (F.size(name) != int(cfg["dim"]))
+                ).cast("int")
+            ).alias(f"bad_{name}")
+            for name, cfg in vectors.items()
+        ]
+        aggs.append(
+            (F.count(F.lit(1)) - F.countDistinct(F.col(id_col))).alias(
+                "dupes"
+            )
+        )
+        row = df.agg(*aggs).first()
+        for name in vectors:
+            if row[f"bad_{name}"]:
+                raise ValueError(
+                    f"collection {self.name}: {row[f'bad_{name}']} rows "
+                    f"violate dim={vectors[name]['dim']} for vector "
+                    f"'{name}'"
+                )
+        if row["dupes"]:
+            raise ValueError(
+                f"collection {self.name}: {row['dupes']} duplicate ids"
+            )
+        out = df
+        for name, cfg in vectors.items():
+            if cfg.get("metric", "cosine") == "cosine":
+                out = out.withColumn(name, l2_normalize(name))
+        out.write.mode("errorifexists").parquet(self.path)
+        with open(os.path.join(self.path, _PROPS_FILE), "w") as f:
+            json.dump(
+                {
+                    "id_col": id_col,
+                    "layout": "multi",
+                    "vectors": {
+                        n: {
+                            "dim": int(c["dim"]),
+                            "metric": c.get("metric", "cosine"),
+                        }
+                        for n, c in vectors.items()
+                    },
+                },
+                f,
+            )
+        return self
+
+    def search_named(
+        self,
+        using: str,
+        query_vec: list[float],
+        k: int = 5,
+        where=None,
+    ) -> DataFrame:
+        """Top-k in ONE named vector space (``search(using="title")``).
+        The scan projects only the id, payload, and the chosen name's
+        column; a payload predicate composes as pre-filtering."""
+        import math
+
+        from legalchatbot_vectordb_exp_spark.operators.topk import topk_search
+
+        props = self.properties
+        cfg = props.get("vectors", {}).get(using)
+        if cfg is None:
+            raise KeyError(
+                f"collection {self.name} has no named vector '{using}' "
+                f"(names: {sorted(props.get('vectors', {}))})"
+            )
+        if len(query_vec) != cfg["dim"]:
+            raise ValueError(
+                f"query dim {len(query_vec)} != '{using}' dim {cfg['dim']}"
+            )
+        q = list(map(float, query_vec))
+        if cfg["metric"] == "cosine":
+            qn = math.sqrt(sum(x * x for x in q)) or 1.0
+            q = [x / qn for x in q]
+        base = self.read()
+        if where is not None:
+            base = base.filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
+        # project away the OTHER named vectors before scoring — the
+        # scan then column-prunes their bytes entirely
+        drop = [n for n in props.get("vectors", {}) if n != using]
+        return topk_search(
+            base.drop(*drop),
+            q,
+            k=k,
+            vec_col=using,
+            id_col=props["id_col"],
+        )
+
     # ------------------------- Qdrant read-API family (round 16)
 
     def search_groups(

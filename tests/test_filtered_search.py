@@ -230,3 +230,35 @@ def test_filtered_persisted_prunes_files_by_label(spark):
     a = QUERIES["ann_filtered_persisted"](spark, sf_dir).collect()
     b = QUERIES["ann_filtered_ivf"](spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# --------------------------------------------- planner properties
+
+
+def test_planner_properties_exhaustive_small_domain():
+    """Integer invariants of the escalation, swept over a dense grid
+    (cheaper and MORE exhaustive than sampling here): the escalated
+    probe always restores expected candidate volume (esc·m ≥ nprobe·n),
+    never over-probes by a full extra cell (esc·m < nprobe·n + m,
+    unless capped), never exceeds nlist, and the branch flips exactly
+    at the threshold."""
+    from legalchatbot_vectordb_exp_spark.queries_ann import (
+        filtered_search_plan,
+    )
+
+    for n in (10, 100, 1_000, 10_000, 65_536):
+        for nlist in (1, 8, 64):
+            for m in range(0, min(n, 300) + 1, 7):
+                for thr in (-1, 0, m - 1, m, m + 1, n):
+                    branch, esc = filtered_search_plan(
+                        n, m, nlist=nlist, threshold=thr
+                    )
+                    if m <= thr:
+                        assert (branch, esc) == ("full_scan", None)
+                        continue
+                    assert branch == "ivf"
+                    assert 1 <= esc <= nlist
+                    mm = max(1, m)
+                    if esc < nlist:  # uncapped: exact integer ceil
+                        assert esc * mm >= 2 * n  # NPROBE = 2
+                        assert esc * mm < 2 * n + mm

@@ -2354,3 +2354,156 @@ def q_ann_named_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", F.round("score", 6).alias("score"))
     )
+
+
+# -------------------- per-query filtered batch search --------------------
+
+FILTER_BATCH_QUERIES = 4  # queries vec_id 1..4, each with its own filter
+
+
+@register(
+    "ann_filtered_batch",
+    sql=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
+    ),
+    tot AS (SELECT count(*) AS n FROM embeddings),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             (vec_id * 3) % 10 AS qlabel
+      FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {FILTER_BATCH_QUERIES}
+    ),
+    lcounts AS (
+      SELECT label, count(*) AS m FROM embeddings GROUP BY label
+    ),
+    esc AS (
+      SELECT q.query_id,
+             least((SELECT count(*) FROM centroids),
+                   ({NPROBE} * t.n + l.m - 1) // l.m) AS k
+      FROM queries q, tot t, lcounts l
+      WHERE l.label = q.qlabel
+    ),
+    probe AS (
+      SELECT r.query_id, r.cid
+      FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_dot('q.qv', 'c.cv')} DESC, c.cid ASC
+               ) AS rn
+        FROM queries q CROSS JOIN centroids c
+      ) r JOIN esc e ON e.query_id = r.query_id
+      WHERE r.rn <= e.k
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, e.label,
+             arg_max(c.cid, {sql_dot('e.embedding', 'c.cv')}
+                            + 1e-12 * (-c.cid)) AS cluster_id
+      FROM embeddings e CROSS JOIN centroids c
+      WHERE e.label IN (SELECT DISTINCT qlabel FROM queries)
+      GROUP BY e.vec_id, e.embedding, e.label
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id,
+             {sql_dot('a.embedding', 'q.qv')} AS score
+      FROM assign a, probe p, queries q
+      WHERE a.cluster_id = p.cid
+        AND p.query_id = q.query_id
+        AND a.label = q.qlabel
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_ann_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-QUERY filtered batch search — the multi-tenant serving
+    shape (every request carries its own payload filter, Qdrant
+    ``search_batch`` with per-request ``query_filter``): query ``i``
+    filters ``label = (i·3) % 10`` and probes its OWN escalated cell
+    set ``min(nlist, ceil(NPROBE·n/m_label))`` from the per-label
+    histogram (ONE ≤-n_labels-row driver aggregate — the payload-index
+    cardinality read, amortized across the whole batch).
+
+    Plan: scan filtered to the batch's label union (PushedFilter In) →
+    narrow assignment kernel pruned in-kernel to the union of all
+    probe sets → broadcast-hash join against the (query_id, cell,
+    label, qv) probe frame on ``cell AND label`` → per-query window
+    rank.  The corpus never shuffles; the single exchange carries only
+    per-query label-and-cell-matched candidates — ≈ NPROBE·n/nlist per
+    query by the escalation construction, filter-independent.  The
+    oracle replays per-query escalation, probe tie-breaks, filtered
+    assignment, and ranking — the whole approximation is
+    hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    # job 1: per-label histogram (n_labels rows; total = sum)
+    m_by_label = {
+        int(r["label"]): int(r["count"])
+        for r in emb.groupBy("label").count().collect()
+    }
+    n = sum(m_by_label.values())
+    mod = ivf_mod_for(n)
+    # job 2: centroids + the batch's query vectors (metadata-scale)
+    meta = emb.filter(
+        (F.col("vec_id") % mod == 0)
+        | (F.col("vec_id").between(1, FILTER_BATCH_QUERIES))
+    ).select("vec_id", "embedding").collect()
+    cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
+    cmat = [list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0]
+    ranked_cells = {}  # qid -> centroid ids by (dot desc, cid asc)
+    probe_rows = []
+    union_probe = set()
+    for r in meta:
+        qid = int(r[0])
+        if not (1 <= qid <= FILTER_BATCH_QUERIES):
+            continue
+        qv = [float(x) for x in r[1]]
+        qlabel = (qid * 3) % 10
+        m = max(1, m_by_label.get(qlabel, 0))
+        esc = min(len(cids), (NPROBE * n + m - 1) // m)
+        cells = [
+            cid
+            for _, cid in sorted(
+                ((-seq_dot(qv, cv), cid) for cid, cv in zip(cids, cmat))
+            )[:esc]
+        ]
+        ranked_cells[qid] = cells
+        union_probe.update(cells)
+        probe_rows.extend((qid, c, qlabel, qv) for c in cells)
+    probe_df = spark.createDataFrame(
+        probe_rows,
+        "query_id long, cid long, qlabel int, qv array<double>",
+    )
+    labels = sorted({(q * 3) % 10 for q in range(1, FILTER_BATCH_QUERIES + 1)})
+    cand = (
+        emb.filter(F.col("label").isin(labels))
+        .mapInPandas(
+            make_ivf_assign(
+                cids, cmat, probe=union_probe, extra_cols=("label",)
+            ),
+            schema=IVF_ASSIGN_SCHEMA + ", label int",
+        )
+    )
+    joined = cand.join(
+        F.broadcast(probe_df),
+        (cand["cluster_id"] == probe_df["cid"])
+        & (cand["label"] == probe_df["qlabel"]),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("score", dot("embedding", "qv"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"))
+    )

@@ -1043,15 +1043,16 @@ def _ivf_layout_collection(
 
 
 def _ivf_probe_top5(coll, qvec, probe) -> DataFrame:
-    """One stats-pruned range read per probed cell, exact rescore,
-    top-5 — the shared search tail."""
-    parts = [
-        coll.read_range(c * CELL_SHIFT, c * CELL_SHIFT + (CELL_SHIFT - 1))
-        for c in probe
-    ]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
+    """One stats-pruned MULTI-range read covering every probed cell
+    (single manifest prune + single scan — N per-cell reads would
+    build N plans and re-open shared files), exact rescore, top-5 —
+    the shared search tail."""
+    cand = coll.read_ranges(
+        [
+            (c * CELL_SHIFT, c * CELL_SHIFT + (CELL_SHIFT - 1))
+            for c in probe
+        ]
+    )
     qlit = F.array(*[F.lit(x) for x in qvec])
     return (
         cand.withColumn("score", dot("vector", qlit))
@@ -2284,16 +2285,12 @@ def q_ann_filtered_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``last_read_stats``."""
     coll, qvec, probe = _ivf_filtered_layout(spark, sf_dir)
     lo_off = FILTER_LABEL * LABEL_SHIFT
-    parts = [
-        coll.read_range(
-            c * CELL_SHIFT + lo_off,
-            c * CELL_SHIFT + lo_off + (LABEL_SHIFT - 1),
-        )
-        for c in probe
-    ]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
+    cand = coll.read_ranges(
+        [
+            (c * CELL_SHIFT + lo_off, c * CELL_SHIFT + lo_off + (LABEL_SHIFT - 1))
+            for c in probe
+        ]
+    )
     qlit = F.array(*[F.lit(x) for x in qvec])
     return (
         cand.withColumn("score", dot("vector", qlit))

@@ -1957,6 +1957,68 @@ class VersionedCollection:
             (F.col(col) >= F.lit(lower)) & (F.col(col) <= F.lit(upper))
         )
 
+    def read_ranges(
+        self,
+        ranges,
+        version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        column: str | None = None,
+    ) -> DataFrame:
+        """Multi-range read with ONE manifest prune and ONE scan: a
+        file survives when it can intersect ANY of the ``[(lo, hi),
+        ...]`` ranges, and the surviving files are read once behind a
+        disjunction of the range predicates.  The N-range twin of
+        :meth:`read_range` — an IVF probe over a (cell, label)-keyed
+        layout is nprobe ranges, and N separate reads would build N
+        plans and open shared files N times; here the union is one
+        job.  Exact results even with overlapping ranges or absent
+        stats (the filter still applies).  Pruning accounting in
+        ``self.last_read_stats``."""
+        ranges = [(lo, hi) for lo, hi in ranges]
+        if not ranges or any(
+            lo is None or hi is None for lo, hi in ranges
+        ):
+            raise ValueError(
+                "read_ranges needs >= 1 range with non-null bounds"
+            )
+        m = self.manifest(
+            self._resolve_version(version, as_of_timestamp_ms)
+        )
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        id_col = self.properties["id_col"]
+        col = column or id_col
+        if col == id_col:
+            bounds = m.get("stats", {})
+        else:
+            bounds = {
+                f: cs[col]
+                for f, cs in m.get("col_stats", {}).items()
+                if col in cs
+            }
+        keep = [
+            f
+            for f in m["files"]
+            if f not in bounds
+            or any(
+                not (bounds[f][1] < lo or bounds[f][0] > hi)
+                for lo, hi in ranges
+            )
+        ]
+        self.last_read_stats = {
+            "files_total": len(m["files"]),
+            "files_pruned": len(m["files"]) - len(keep),
+            "column": col,
+            "n_ranges": len(ranges),
+        }
+        if not keep:
+            return self.spark.createDataFrame([], schema)
+        df = self._apply_dv(self._read_files(keep, m, schema), m, schema)
+        pred = None
+        for lo, hi in ranges:
+            term = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+            pred = term if pred is None else (pred | term)
+        return df.filter(pred)
+
     # -------------------------------------------------------------- MERGE
 
     def _rel_of_uri(self, uri: str) -> str:

@@ -631,6 +631,57 @@ def test_read_range_skips_files_by_manifest_stats(spark, tmp_path):
         c.read_range(None, 5)
 
 
+def test_read_ranges_single_scan_union_semantics(spark, tmp_path):
+    """read_ranges = the union of the per-range read_range results, in
+    ONE manifest prune and ONE scan: a file survives when it intersects
+    ANY range; overlapping ranges do not duplicate rows (the plan is a
+    disjunction filter, not a union)."""
+    c = VersionedCollection(spark, str(tmp_path), "rrs")
+    c.create(
+        _mk(spark, [(i, i) for i in range(64)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=8,
+    )
+    ranges = [(2, 5), (40, 43), (4, 7)]  # (4,7) overlaps (2,5)
+    df = c.read_ranges(ranges)
+    got = sorted(r.id for r in df.collect())
+    assert got == [2, 3, 4, 5, 6, 7, 40, 41, 42, 43]  # no duplicates
+    assert c.last_read_stats["n_ranges"] == 3
+    assert c.last_read_stats["files_pruned"] > 0
+    # the single scan opens exactly the files the per-range reads would
+    per_range = set()
+    for lo, hi in ranges:
+        per_range |= set(c.read_range(lo, hi).inputFiles())
+    assert set(df.inputFiles()) == per_range
+    # disjoint far-apart ranges: both ends survive pruning
+    assert sorted(
+        r.id for r in c.read_ranges([(0, 0), (63, 63)]).collect()
+    ) == [0, 63]
+    with pytest.raises(ValueError, match="non-null"):
+        c.read_ranges([(1, None)])
+    with pytest.raises(ValueError, match=">= 1 range"):
+        c.read_ranges([])
+
+
+def test_read_ranges_applies_deletion_vectors(spark, tmp_path):
+    """A MOR-deleted row must not resurrect through the multi-range
+    read path (read_ranges reads behind _apply_dv like read/read_range)."""
+    c = VersionedCollection(spark, str(tmp_path), "rrdv")
+    c.create(
+        _mk(spark, [(i, i) for i in range(16)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+        cluster_files=4,
+    )
+    c.delete_where("id = 5", mode="mor")
+    assert c.manifest(1).get("dv")
+    got = sorted(r.id for r in c.read_ranges([(4, 6), (10, 11)]).collect())
+    assert got == [4, 6, 10, 11]
+
+
 # ---------------------------- model-based property test (hypothesis)
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402

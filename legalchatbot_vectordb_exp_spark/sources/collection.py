@@ -143,16 +143,21 @@ class VectorCollection:
         merged = existing.join(
             incoming.select(id_col), on=id_col, how="left_anti"
         ).unionByName(incoming)
-        # Never overwrite the path still being read: stage (data AND
-        # props, so staging is a complete collection), rename the live
-        # dir aside, promote staging, then drop the old dir.  A crash
-        # between the two renames leaves both full copies on disk —
-        # recoverable — instead of the old rmtree-before-rename shape
-        # that could destroy the collection outright.
+        return self._staged_rewrite(merged, props)
+
+    def _staged_rewrite(
+        self, df: DataFrame, props: dict
+    ) -> "VectorCollection":
+        """Never overwrite the path still being read: stage (data AND
+        props, so staging is a complete collection), rename the live
+        dir aside, promote staging, then drop the old dir.  A crash
+        between the two renames leaves both full copies on disk —
+        recoverable — instead of the old rmtree-before-rename shape
+        that could destroy the collection outright."""
         import shutil
 
         staging = self.path + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
+        df.write.mode("overwrite").parquet(staging)
         with open(os.path.join(staging, _PROPS_FILE), "w") as f:
             json.dump(props, f)
         old = self.path + ".old"
@@ -162,6 +167,75 @@ class VectorCollection:
         os.rename(staging, self.path)
         shutil.rmtree(old)
         return self
+
+    # ------------------------------------------ point API (Qdrant parity)
+
+    def retrieve(self, ids: list) -> list:
+        """Fetch points by id (Qdrant ``retrieve``): an isin-pushed
+        scan — on an id-clustered table the predicate prunes row
+        groups before any IO — returned in ascending id order."""
+        props = self.properties
+        id_col = props["id_col"]
+        return (
+            self.read()
+            .filter(F.col(id_col).isin(list(ids)))
+            .orderBy(F.col(id_col).asc())
+            .collect()
+        )
+
+    def count(self, where=None) -> int:
+        """Exact point count, optionally filtered (Qdrant ``count``
+        with ``count_filter``): one aggregate job whose predicate is a
+        scan-stage PushedFilter — at 100 TB this is parquet row-group
+        stats plus a narrow scan of the filter column only."""
+        base = self.read()
+        if where is not None:
+            base = base.filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
+        return base.count()
+
+    def delete_where(self, predicate) -> "VectorCollection":
+        """DELETE points matching a payload predicate (Qdrant
+        ``delete`` with a filter selector).  SQL DELETE semantics: a
+        row where the predicate is NULL is KEPT.  Expressed as one
+        filtered rewrite; on the versioned sink the same op is
+        file-level copy-on-write or a deletion vector
+        (:meth:`..versioned.VersionedCollection.delete_where`)."""
+        pred = (
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+        survivors = self.read().filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        return self._staged_rewrite(survivors, self.properties)
+
+    def set_payload(
+        self, assignments: dict, where
+    ) -> "VectorCollection":
+        """UPDATE payload columns where a predicate holds (Qdrant
+        ``set_payload`` with a filter selector): each assignment is a
+        ``when(pred, expr).otherwise(current)`` projection — pure
+        scan-stage expression work, one rewrite, vectors untouched.
+        ``assignments`` maps column name → SQL expression string."""
+        props = self.properties
+        protected = {props["id_col"], props["vector_col"]}
+        bad = protected & set(assignments)
+        if bad:
+            raise ValueError(
+                f"set_payload cannot modify {sorted(bad)}; use upsert "
+                f"for vector/id changes"
+            )
+        pred = F.expr(where) if isinstance(where, str) else where
+        out = self.read()
+        for col, expr in assignments.items():
+            out = out.withColumn(
+                col,
+                F.when(
+                    F.coalesce(pred, F.lit(False)), F.expr(expr)
+                ).otherwise(F.col(col)),
+            )
+        return self._staged_rewrite(out, props)
 
     # ---------------------------------------------------------------- read
 

@@ -120,3 +120,68 @@ def test_recommend_positive_only_is_zero_shuffle(spark, sf_smoke, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------- point API: retrieve/count/delete/update
+
+
+def test_retrieve_count_delete_set_payload_roundtrip(
+    spark, sf_smoke, tmp_path
+):
+    c, emb = _coll(spark, sf_smoke, tmp_path)
+    n0 = c.count()
+    assert n0 == emb.count()
+    # count with filter == exact relational count
+    want = emb.filter("label = 1").count()
+    assert c.count(where="label = 1") == want
+    # retrieve: ascending id order, exactly the asked points
+    got = c.retrieve([7, 3, 11])
+    assert [r["id"] for r in got] == [3, 7, 11]
+    assert all(len(r["vector"]) == 64 for r in got)
+    # set_payload: only matching rows change, vectors untouched
+    before = {r["id"]: r["label"] for r in c.read().collect()}
+    c.set_payload({"label": "label + 100"}, where="id < 5")
+    after = {r["id"]: r["label"] for r in c.read().collect()}
+    assert all(
+        after[i] == before[i] + (100 if i < 5 else 0) for i in before
+    )
+    assert c.count() == n0
+    # delete_where: matching rows gone, the rest intact
+    c.delete_where("label >= 100")
+    assert c.count() == n0 - 5
+    assert c.retrieve([0, 1, 2, 3, 4]) == []
+
+
+def test_set_payload_protects_vector_and_id(spark, sf_smoke, tmp_path):
+    c, _ = _coll(spark, sf_smoke, tmp_path)
+    try:
+        c.set_payload({"vector": "vector"}, where="id = 1")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "vector" in str(e)
+
+
+def test_delete_where_null_predicate_rows_are_kept(
+    spark, sf_smoke, tmp_path
+):
+    """SQL DELETE semantics: predicate NULL -> row kept (classic
+    three-valued-logic bug when expressed as filter(~pred))."""
+    import pyspark.sql.functions as F
+    from legalchatbot_vectordb_exp_spark.io_tables import load_table
+    from legalchatbot_vectordb_exp_spark.sources.collection import (
+        VectorCollection,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.when(F.col("vec_id") % 3 == 0, F.col("label")).alias("label"),
+    )
+    c = VectorCollection(spark, str(tmp_path), "nulldel")
+    c.create(emb, dim=64, metric="dot", normalize=False)
+    n0, nulls = c.count(), c.count(where="label IS NULL")
+    assert nulls > 0
+    matched = c.count(where="label >= 0")
+    c.delete_where("label >= 0")  # NULL-label rows must survive
+    assert c.count() == n0 - matched
+    assert c.count(where="label IS NULL") == nulls

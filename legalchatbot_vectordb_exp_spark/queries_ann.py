@@ -2456,7 +2456,6 @@ def q_ann_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "embedding").collect()
     cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
     cmat = [list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0]
-    ranked_cells = {}  # qid -> centroid ids by (dot desc, cid asc)
     probe_rows = []
     union_probe = set()
     for r in meta:
@@ -2473,7 +2472,6 @@ def q_ann_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((-seq_dot(qv, cv), cid) for cid, cv in zip(cids, cmat))
             )[:esc]
         ]
-        ranked_cells[qid] = cells
         union_probe.update(cells)
         probe_rows.extend((qid, c, qlabel, qv) for c in cells)
     probe_df = spark.createDataFrame(

@@ -67,6 +67,15 @@ def ivf_mod_for(n_rows: int) -> int:
     return max(IVF_MOD, n_rows // IVF_TARGET_NLIST)
 
 
+def ivf_nlist_for(n_rows: int) -> int:
+    """Centroid COUNT for an n-row corpus (vec_ids 0..n-1 at stride
+    :func:`ivf_mod_for`) — the nlist the filtered-search escalation
+    caps at.  NOT the modulus: passing the stride where a count is
+    expected caps the escalation at the wrong bound."""
+    mod = ivf_mod_for(n_rows)
+    return max(1, (n_rows + mod - 1) // mod)
+
+
 def ivf_best_cells(E, cids, cmat):
     """THE coarse quantizer — nearest deterministic centroid per row.
 
@@ -982,6 +991,58 @@ def _ivf_meta(spark: SparkSession, sf_dir: str):
     return emb, cids, cmat, qvec, probe
 
 
+def _stage_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    scratch_key: str,
+    staging: dict[str, str],
+    keyed_fn,
+    dim: int,
+    holdout_pred=None,
+):
+    """Build-once-per-process protocol shared by every persisted IVF
+    layout (cell-major AND label-in-key): rmtree the stale layout,
+    persist the keyed frame so the pandas-UDF assignment kernel runs
+    once instead of per-action (create's distributed path runs three
+    actions — validation agg, range-boundary sample, write), create
+    (optionally minus a holdout, then merge it — the incremental-
+    ingest shape), and record the staging so repeat bench runs probe
+    the index at rest.  ``keyed_fn()`` returns the composite-keyed
+    frame; it is only invoked on a build."""
+    import shutil
+
+    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
+    from legalchatbot_vectordb_exp_spark.sources.versioned import (
+        VersionedCollection,
+    )
+
+    warehouse = _scratch(sf_dir, scratch_key)
+    coll = VersionedCollection(spark, warehouse, table)
+    if staging.get(sf_dir) != warehouse:
+        if os.path.isdir(coll.path):
+            shutil.rmtree(coll.path)  # fresh layout per process
+        keyed = keyed_fn().persist()
+        try:
+            base = (
+                keyed
+                if holdout_pred is None
+                else keyed.filter(~holdout_pred)
+            )
+            coll.create(
+                base, dim=dim, metric="dot", normalize=False,
+                cluster_files=16,
+            )
+            if holdout_pred is not None:
+                # the incremental ingest: same quantizer, same
+                # composite key — ONE merge commit, no rebuild
+                coll.merge(keyed.filter(holdout_pred))
+        finally:
+            keyed.unpersist()
+        staging[sf_dir] = warehouse
+    return coll
+
+
 def _ivf_layout_collection(
     spark: SparkSession,
     sf_dir: str,
@@ -995,20 +1056,10 @@ def _ivf_layout_collection(
     layout lands in TWO commits — create without the held-out rows,
     then merge them (the incremental-ingest shape); without it, one
     create."""
-    import shutil
-
-    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
-    from legalchatbot_vectordb_exp_spark.sources.versioned import (
-        VersionedCollection,
-    )
-
     emb, cids, cmat, qvec, probe = _ivf_meta(spark, sf_dir)
-    warehouse = _scratch(sf_dir, scratch_key)
-    coll = VersionedCollection(spark, warehouse, table)
-    if staging.get(sf_dir) != warehouse:
-        if os.path.isdir(coll.path):
-            shutil.rmtree(coll.path)  # fresh layout per process
-        keyed = emb.mapInPandas(
+
+    def keyed_fn():
+        return emb.mapInPandas(
             make_ivf_assign(cids, cmat), schema=IVF_ASSIGN_SCHEMA
         ).select(
             (F.col("cluster_id") * CELL_SHIFT + F.col("vec_id")).alias(
@@ -1018,27 +1069,11 @@ def _ivf_layout_collection(
             "vec_id",
             "cluster_id",
         )
-        # create's distributed path runs three actions (validation
-        # agg, range-boundary sample, write) — persist so the
-        # pandas-UDF assignment kernel computes once, not three times
-        keyed = keyed.persist()
-        try:
-            base = (
-                keyed
-                if holdout_pred is None
-                else keyed.filter(~holdout_pred)
-            )
-            coll.create(
-                base, dim=len(qvec), metric="dot", normalize=False,
-                cluster_files=16,
-            )
-            if holdout_pred is not None:
-                # the incremental ingest: same quantizer, same
-                # composite key — ONE merge commit, no rebuild
-                coll.merge(keyed.filter(holdout_pred))
-        finally:
-            keyed.unpersist()
-        staging[sf_dir] = warehouse
+
+    coll = _stage_layout(
+        spark, sf_dir, table, scratch_key, staging, keyed_fn,
+        dim=len(qvec), holdout_pred=holdout_pred,
+    )
     return coll, qvec, probe
 
 
@@ -1804,6 +1839,24 @@ def filtered_search_plan(
     return ("ivf", min(nlist, (nprobe * n_total + m - 1) // m))
 
 
+def escalated_probe(qvec, cids, cmat, n, m, nprobe=NPROBE):
+    """The filtered-search probe set: ``min(nlist, ceil(nprobe·n/m))``
+    cells nearest the query by ``(dot DESC, cid ASC)``.  SINGLE
+    definition of the exact integer escalation and tie-break every
+    filtered oracle replays bit-for-bit — q_ann_filtered_ivf, the
+    label-in-key persisted layout, and the per-query batch all call
+    here, so the math can never desynchronize from the shared
+    ``_FILTERED_IVF_SQL``.  Returns cells in probe-rank order."""
+    m = max(1, m)
+    esc = min(len(cids), (nprobe * n + m - 1) // m)
+    return [
+        cid
+        for _, cid in sorted(
+            ((-seq_dot(qvec, cv), cid) for cid, cv in zip(cids, cmat))
+        )[:esc]
+    ]
+
+
 @register(
     "ann_filtered_search",
     sql=f"""
@@ -1842,7 +1895,7 @@ def q_ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     ).collect()[0]
     branch, _ = filtered_search_plan(
-        int(stats["n"]), int(stats["m"]), nlist=ivf_mod_for(int(stats["n"]))
+        int(stats["n"]), int(stats["m"]), nlist=ivf_nlist_for(int(stats["n"]))
     )
     assert branch == "full_scan", branch  # selectivity pins the branch
     qlit = F.array(*[F.lit(float(x)) for x in stats["qv"]])
@@ -1934,13 +1987,7 @@ def q_ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
     cmat = [list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0]
     qvec = [float(x) for r in meta if int(r[0]) == 1 for x in r[1]]
-    esc = min(len(cids), (NPROBE * n + m - 1) // m)
-    probe = set(
-        cid
-        for _, cid in sorted(
-            ((-seq_dot(qvec, cv), cid) for cid, cv in zip(cids, cmat))
-        )[:esc]
-    )
+    probe = set(escalated_probe(qvec, cids, cmat, n, m))
     qlit = F.array(*[F.lit(x) for x in qvec])
     probed = (
         emb.filter(F.col("label") == FILTER_LABEL)
@@ -2090,30 +2137,29 @@ def q_collection_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
     cursor arithmetic is hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     filtered = emb.filter(F.col("label") == FILTER_LABEL)
-    pages = []
+    out_rows = []
     cursor = None
     for page_no in range(SCROLL_PAGES):
         page = filtered
         if cursor is not None:
             page = page.filter(F.col("vec_id") > cursor)
+        # ONE job per page: the collected page rows (≤ SCROLL_PAGE,
+        # user-facing-bounded) supply both the cursor and the output —
+        # a separate max() job would scan-and-sort each page twice
         rows = (
             page.orderBy(F.col("vec_id").asc())
             .limit(SCROLL_PAGE)
-            .select(
-                F.lit(page_no).cast("long").alias("page"),
-                "vec_id",
-                "label",
-            )
+            .collect()
         )
-        pages.append(rows)
-        tail = rows.select(F.max("vec_id")).head()[0]
-        if tail is None:
+        out_rows.extend(
+            (page_no, int(r["vec_id"]), int(r["label"])) for r in rows
+        )
+        if len(rows) < SCROLL_PAGE:
             break  # past the last page
-        cursor = int(tail)
-    out = pages[0]
-    for p in pages[1:]:
-        out = out.unionByName(p)
-    return out.orderBy(F.col("vec_id").asc())
+        cursor = int(rows[-1]["vec_id"])
+    return spark.createDataFrame(
+        out_rows, "page long, vec_id long, label int"
+    ).orderBy(F.col("vec_id").asc())
 
 
 # recommend: positive/negative example ids (Qdrant best_score
@@ -2204,13 +2250,6 @@ def _ivf_filtered_layout(spark: SparkSession, sf_dir: str):
     so rows are clustered by payload WITHIN each cell — and return
     ``(coll, qvec, probe)`` with the probe set already escalated for
     the ``label = FILTER_LABEL`` filter's selectivity."""
-    import shutil
-
-    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
-    from legalchatbot_vectordb_exp_spark.sources.versioned import (
-        VersionedCollection,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
@@ -2228,19 +2267,10 @@ def _ivf_filtered_layout(spark: SparkSession, sf_dir: str):
     cids = [int(r[0]) for r in meta if int(r[0]) % mod == 0]
     cmat = [list(map(float, r[1])) for r in meta if int(r[0]) % mod == 0]
     qvec = [float(x) for r in meta if int(r[0]) == 1 for x in r[1]]
-    esc = min(len(cids), (NPROBE * n + m - 1) // m)
-    probe = sorted(
-        cid
-        for _, cid in sorted(
-            ((-seq_dot(qvec, cv), cid) for cid, cv in zip(cids, cmat))
-        )[:esc]
-    )
-    warehouse = _scratch(sf_dir, "ivf_filtered")
-    coll = VersionedCollection(spark, warehouse, "emb_ivf_filt")
-    if _IVF_FILT_STAGING.get(sf_dir) != warehouse:
-        if os.path.isdir(coll.path):
-            shutil.rmtree(coll.path)  # fresh layout per process
-        keyed = emb.mapInPandas(
+    probe = sorted(escalated_probe(qvec, cids, cmat, n, m))
+
+    def keyed_fn():
+        return emb.mapInPandas(
             make_ivf_assign(cids, cmat, extra_cols=("label",)),
             schema=IVF_ASSIGN_SCHEMA + ", label int",
         ).select(
@@ -2254,15 +2284,11 @@ def _ivf_filtered_layout(spark: SparkSession, sf_dir: str):
             "cluster_id",
             "label",
         )
-        keyed = keyed.persist()  # create runs 3 actions; assign once
-        try:
-            coll.create(
-                keyed, dim=len(qvec), metric="dot", normalize=False,
-                cluster_files=16,
-            )
-        finally:
-            keyed.unpersist()
-        _IVF_FILT_STAGING[sf_dir] = warehouse
+
+    coll = _stage_layout(
+        spark, sf_dir, "emb_ivf_filt", "ivf_filtered",
+        _IVF_FILT_STAGING, keyed_fn, dim=len(qvec),
+    )
     return coll, qvec, probe
 
 
@@ -2464,14 +2490,9 @@ def q_ann_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             continue
         qv = [float(x) for x in r[1]]
         qlabel = (qid * 3) % 10
-        m = max(1, m_by_label.get(qlabel, 0))
-        esc = min(len(cids), (NPROBE * n + m - 1) // m)
-        cells = [
-            cid
-            for _, cid in sorted(
-                ((-seq_dot(qv, cv), cid) for cid, cv in zip(cids, cmat))
-            )[:esc]
-        ]
+        cells = escalated_probe(
+            qv, cids, cmat, n, m_by_label.get(qlabel, 0)
+        )
         union_probe.update(cells)
         probe_rows.extend((qid, c, qlabel, qv) for c in cells)
     probe_df = spark.createDataFrame(

@@ -227,14 +227,23 @@ class VectorCollection:
                 f"for vector/id changes"
             )
         pred = F.expr(where) if isinstance(where, str) else where
-        out = self.read()
-        for col, expr in assignments.items():
-            out = out.withColumn(
-                col,
-                F.when(
-                    F.coalesce(pred, F.lit(False)), F.expr(expr)
-                ).otherwise(F.col(col)),
-            )
+        hit = F.coalesce(pred, F.lit(False))
+        base = self.read()
+        # ONE select, not chained withColumn: the predicate and every
+        # assignment expression resolve against the ORIGINAL row —
+        # UPDATE semantics.  (Chained withColumn would re-evaluate the
+        # filter and later expressions against already-updated
+        # columns, so `{label: label+100, flag: 1} where label < 5`
+        # would never set flag on the rows that matched.)
+        out = base.select(
+            *[
+                F.when(hit, F.expr(assignments[c])).otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in base.columns
+            ]
+        )
         return self._staged_rewrite(out, props)
 
     # ---------------------------------------------------------------- read
@@ -697,8 +706,14 @@ class VectorCollection:
         from legalchatbot_vectordb_exp_spark.functions.vector import dot
 
         props = self.properties
-        qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-        qlit = F.array(*[F.lit(x / qn) for x in query_vec])
+        q = list(map(float, query_vec))
+        if props.get("metric") == "cosine":
+            # normalize ONLY under cosine — a dot-metric collection's
+            # scores must match search_named/recommend and the
+            # oracle-checked ann_group_search plan this mirrors
+            qn = math.sqrt(sum(x * x for x in q)) or 1.0
+            q = [x / qn for x in q]
+        qlit = F.array(*[F.lit(x) for x in q])
         id_col = props["id_col"]
         scored = self.read().withColumn(
             "score", dot(props["vector_col"], qlit)
@@ -768,6 +783,10 @@ class VectorCollection:
         props = self.properties
         id_col, vec_col = props["id_col"], props["vector_col"]
         negative = negative or []
+        if not positive:
+            raise ValueError(
+                "recommend needs at least one positive example id"
+            )
         ids = list(positive) + list(negative)
         vecs = {
             r[id_col]: [float(x) for x in r[vec_col]]

@@ -1922,39 +1922,15 @@ class VersionedCollection:
         ``self.last_read_stats``."""
         if lower is None or upper is None:
             raise ValueError("read_range needs non-null lower and upper")
-        m = self.manifest(
-            self._resolve_version(version, as_of_timestamp_ms)
-        )
-        schema = StructType.fromJson(json.loads(m["schema"]))
-        id_col = self.properties["id_col"]
-        col = column or id_col
-        if col == id_col:
-            bounds = m.get("stats", {})
-        else:
-            bounds = {
-                f: cs[col]
-                for f, cs in m.get("col_stats", {}).items()
-                if col in cs
-            }
-        keep = [
-            f
-            for f in m["files"]
-            if f not in bounds
-            or not (bounds[f][1] < lower or bounds[f][0] > upper)
-        ]
-        self.last_read_stats = {
-            "files_total": len(m["files"]),
-            "files_pruned": len(m["files"]) - len(keep),
-            "column": col,
-        }
-        if not keep:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = self._apply_dv(
-                self._read_files(keep, m, schema), m, schema
-            )
-        return df.filter(
-            (F.col(col) >= F.lit(lower)) & (F.col(col) <= F.lit(upper))
+        # one definition of the prune/scan/DV path — read_range IS the
+        # 1-range case of read_ranges (a fix to stats handling applied
+        # to one but not the other would give the two read paths
+        # different results for the same range)
+        return self.read_ranges(
+            [(lower, upper)],
+            version=version,
+            as_of_timestamp_ms=as_of_timestamp_ms,
+            column=column,
         )
 
     def read_ranges(

@@ -14,7 +14,7 @@ from legalchatbot_vectordb_exp_spark.queries_ann import (
     FILTER_LABEL,
     NPROBE,
     filtered_search_plan,
-    ivf_mod_for,
+    ivf_nlist_for,
 )
 from legalchatbot_vectordb_exp_spark.sources.collection import VectorCollection
 
@@ -65,7 +65,7 @@ def test_registered_full_scan_branch_pinned_at_test_sfs(spark):
             ).alias("m"),
         ).collect()[0]
         branch, _ = filtered_search_plan(
-            int(row["n"]), int(row["m"]), nlist=ivf_mod_for(int(row["n"]))
+            int(row["n"]), int(row["m"]), nlist=ivf_nlist_for(int(row["n"]))
         )
         assert branch == "full_scan", (sf_dir, row)
 

@@ -185,3 +185,30 @@ def test_delete_where_null_predicate_rows_are_kept(
     c.delete_where("label >= 0")  # NULL-label rows must survive
     assert c.count() == n0 - matched
     assert c.count(where="label IS NULL") == nulls
+
+
+def test_set_payload_multi_column_sees_original_row(
+    spark, sf_smoke, tmp_path
+):
+    """UPDATE semantics: the predicate and every assignment expression
+    evaluate against the ORIGINAL row — a chained-withColumn
+    implementation would re-evaluate `label < 5` against the already-
+    updated label and never set the second column."""
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        "label",
+        F.lit(0).alias("flag"),
+    )
+    c = VectorCollection(spark, str(tmp_path), "multi_upd")
+    c.create(emb, dim=64, metric="dot", normalize=False)
+    n_lt5 = c.count(where="label < 5")
+    assert n_lt5 > 0
+    c.set_payload(
+        {"label": "label + 100", "flag": "1"}, where="label < 5"
+    )
+    # flag must be set on EXACTLY the rows that originally matched,
+    # and their label must show the update too
+    assert c.count(where="flag = 1") == n_lt5
+    assert c.count(where="flag = 1 AND label >= 100") == n_lt5
+    assert c.count(where="flag = 0 AND label >= 100") == 0

@@ -724,8 +724,14 @@ def test_versioned_state_machine_matches_model(spark, tmp_path_factory, ops):
         metric="dot",
         normalize=False,
     )
-    history = [dict(model)]
+    # history keyed by ACTUAL committed version: DML always commits,
+    # but maintenance ops legitimately skip the commit when there is
+    # nothing to do (compact/recluster of an EMPTY table — a delete
+    # sequence can empty it — early-return with zero files; hypothesis
+    # found the delete-all-then-compact sequence)
+    history = {0: dict(model)}
     for kind, arg in ops:
+        v_before = c.latest_version()
         if kind == "merge":
             c.merge(_mk(spark, sorted(arg.items())))
             model.update(arg)
@@ -738,10 +744,15 @@ def test_versioned_state_machine_matches_model(spark, tmp_path_factory, ops):
             c.compact(target_file_bytes=1 << 20, min_files=1)
         else:
             c.recluster()
-        history.append(dict(model))
+        v_after = c.latest_version()
+        if kind in ("merge", "delete"):
+            assert v_after == v_before + 1, (kind, v_before, v_after)
+        else:  # maintenance: at most one commit, no-op allowed
+            assert v_after in (v_before, v_before + 1), (kind, v_after)
+        history[v_after] = dict(model)
 
-    assert c.latest_version() == len(ops)
-    for v, snap in enumerate(history):
+    assert c.latest_version() == max(history)
+    for v, snap in history.items():
         assert _state(c, version=v) == {
             (i, lbl) for i, lbl in snap.items()
         }, f"version {v} diverged from model"
@@ -1924,3 +1935,25 @@ def test_vacuum_races_concurrent_delta_writer(spark, tmp_path):
     for i in range(50):
         last[i % 8] = i + 1
     assert _state(fresh) == {(k, lbl) for k, lbl in last.items()}
+
+
+def test_maintenance_on_empty_table_is_commit_free(spark, tmp_path):
+    """compact/recluster of an EMPTY snapshot (every row deleted) must
+    be no-ops WITHOUT a commit — Delta-OPTIMIZE semantics; a no-op
+    version per maintenance call would spam the log — and reads of the
+    empty snapshot must stay healthy."""
+    c = VersionedCollection(spark, str(tmp_path), "mtnoop")
+    c.create(
+        _mk(spark, [(i, i) for i in range(4)]),
+        dim=3,
+        metric="dot",
+        normalize=False,
+    )
+    c.delete_where("id >= 0")
+    assert c.read().count() == 0 and c.latest_version() == 1
+    r = c.compact(target_file_bytes=1 << 20, min_files=1)
+    assert r["compacted"] == 0 and c.latest_version() == 1
+    r = c.recluster()
+    assert r["files_after"] == 0 and c.latest_version() == 1
+    assert c.read().count() == 0
+    assert c.read_range(0, 10).count() == 0  # empty-manifest range read

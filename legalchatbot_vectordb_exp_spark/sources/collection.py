@@ -745,13 +745,23 @@ class VectorCollection:
         page_size: int = 10,
         where=None,
         cursor=None,
+        order_by: str | None = None,
     ):
         """Qdrant ``scroll``: one page of filtered keyset pagination —
         ``(rows, next_cursor)`` where ``next_cursor`` feeds the next
         call and ``None`` means exhausted.  Keyset (``id > cursor``),
         never OFFSET: each page is O(page) via the id order + parquet
         min-max pruning no matter how deep the scroll, where OFFSET-N
-        re-scans N rows per page."""
+        re-scans N rows per page.
+
+        ``order_by=<payload column>`` pages in that column's ascending
+        order (Qdrant scroll ``order_by``): the cursor becomes the
+        COMPOSITE ``(last_value, last_id)`` and the next page filters
+        ``col > v OR (col = v AND id > i)`` — lexicographic keyset, so
+        ties larger than a page are paged through correctly.  Rows
+        whose order column is NULL are excluded (a ``>`` cursor cannot
+        resume through NULL; Qdrant likewise returns only rows the
+        order index covers)."""
         props = self.properties
         id_col = props["id_col"]
         page = self.read()
@@ -759,10 +769,35 @@ class VectorCollection:
             page = page.filter(
                 F.expr(where) if isinstance(where, str) else where
             )
+        if order_by is None:
+            if cursor is not None:
+                page = page.filter(F.col(id_col) > cursor)
+            rows = (
+                page.orderBy(F.col(id_col).asc())
+                .limit(page_size)
+                .collect()
+            )
+            next_cursor = (
+                rows[-1][id_col] if len(rows) == page_size else None
+            )
+            return rows, next_cursor
+        page = page.filter(F.col(order_by).isNotNull())
         if cursor is not None:
-            page = page.filter(F.col(id_col) > cursor)
-        rows = page.orderBy(F.col(id_col).asc()).limit(page_size).collect()
-        next_cursor = rows[-1][id_col] if len(rows) == page_size else None
+            v, i = cursor
+            page = page.filter(
+                (F.col(order_by) > v)
+                | ((F.col(order_by) == v) & (F.col(id_col) > i))
+            )
+        rows = (
+            page.orderBy(F.col(order_by).asc(), F.col(id_col).asc())
+            .limit(page_size)
+            .collect()
+        )
+        next_cursor = (
+            (rows[-1][order_by], rows[-1][id_col])
+            if len(rows) == page_size
+            else None
+        )
         return rows, next_cursor
 
     def recommend(

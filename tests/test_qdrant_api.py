@@ -212,3 +212,49 @@ def test_set_payload_multi_column_sees_original_row(
     assert c.count(where="flag = 1") == n_lt5
     assert c.count(where="flag = 1 AND label >= 100") == n_lt5
     assert c.count(where="flag = 0 AND label >= 100") == 0
+
+
+def test_scroll_order_by_composite_cursor_pages_through_ties(
+    spark, sf_smoke, tmp_path
+):
+    """Ordered scroll (Qdrant order_by): pagination by (value, id)
+    lexicographic keyset — with ~50 rows per label and page_size 10,
+    every tie group spans multiple pages, the exact case a naive
+    value-only cursor drops or repeats rows on."""
+    c, emb = _coll(spark, sf_smoke, tmp_path)
+    want = [
+        (r["label"], r["id"])
+        for r in emb.orderBy("label", "id").collect()
+    ]
+    got, cursor = [], None
+    while True:
+        rows, cursor = c.scroll(
+            page_size=10, order_by="label", cursor=cursor
+        )
+        got.extend((r["label"], r["id"]) for r in rows)
+        if cursor is None:
+            break
+    assert got == want  # disjoint, exhaustive, (label, id)-ordered
+
+
+def test_scroll_order_by_excludes_null_order_values(
+    spark, sf_smoke, tmp_path
+):
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.when(F.col("vec_id") % 5 != 0, F.col("label")).alias("label"),
+    )
+    c = VectorCollection(spark, str(tmp_path), "nullscroll")
+    c.create(emb, dim=64, metric="dot", normalize=False)
+    n_nonnull = c.count(where="label IS NOT NULL")
+    got, cursor = 0, None
+    while True:
+        rows, cursor = c.scroll(
+            page_size=25, order_by="label", cursor=cursor
+        )
+        assert all(r["label"] is not None for r in rows)
+        got += len(rows)
+        if cursor is None:
+            break
+    assert got == n_nonnull

@@ -34,6 +34,7 @@ _SAMPLE_PRIORITY = [
     "ann_filtered_ivf",
     "ann_filtered_persisted",
     "ann_filtered_batch",
+    "ann_filtered_recall_guard",
     "ann_group_search",
     "ann_recommend",
     "ann_named_vectors",

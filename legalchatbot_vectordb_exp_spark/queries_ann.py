@@ -2523,3 +2523,81 @@ def q_ann_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "vec_id", F.round("score", 6).alias("score"))
     )
+
+
+FILTERED_RECALL_FLOOR = 12  # of 20 slots (4 queries x top-5)
+
+
+def _filtered_recall_oracle() -> str:
+    from legalchatbot_vectordb_exp_spark.registry import ORACLES
+
+    return f"""
+    WITH ivf5 AS (
+      SELECT query_id, vec_id FROM ({ORACLES["ann_filtered_batch"]})
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             (vec_id * 3) % 10 AS qlabel
+      FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {FILTER_BATCH_QUERIES}
+    ),
+    exact5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_dot('e.embedding', 'q.qv')} DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e JOIN queries q ON e.label = q.qlabel)
+      WHERE rn <= 5
+    )
+    SELECT (SELECT count(*) FROM queries)::BIGINT AS n_queries,
+           count(*)::BIGINT AS total_hits,
+           count(*) >= {FILTERED_RECALL_FLOOR} AS filtered_recall_ok
+    FROM ivf5 JOIN exact5 USING (query_id, vec_id)
+    """
+
+
+@register("ann_filtered_recall_guard", sql=_filtered_recall_oracle())
+def q_ann_filtered_recall_guard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximation-quality contract for FILTERED search (the
+    ``ann_ivf_recall_guard`` pattern): the escalated per-query-filtered
+    batch must recover ≥ {12} of the 20 exact filtered-top-5 slots.
+    The escalation-replay oracles prove the plans compute what they
+    claim; THIS guard proves what they claim is GOOD — escalating
+    nprobe by 1/selectivity genuinely compensates for the filter
+    (measured 20/20 at sf0.001/0.01 where the escalation caps at all
+    cells, 16/20 at sf0.1 probing 20 of 32 cells; a broken escalation
+    stuck at NPROBE=2 cells would land near 2-4).  Both sides and the
+    hit count are integer-derived, so the single row hash-matches."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    ivf5 = q_ann_filtered_batch(spark, sf_dir).select("query_id", "vec_id")
+    qdf = emb.filter(
+        F.col("vec_id").between(1, FILTER_BATCH_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        ((F.col("vec_id") * 3) % 10).alias("qlabel"),
+    )
+    joined = emb.join(F.broadcast(qdf), emb["label"] == qdf["qlabel"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("vec_id").asc()
+    )
+    exact5 = (
+        joined.withColumn("score", dot("embedding", "qv"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    n_q = FILTER_BATCH_QUERIES
+    return ivf5.join(exact5, ["query_id", "vec_id"]).agg(
+        F.lit(n_q).cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).alias("total_hits"),
+        (F.count(F.lit(1)) >= FILTERED_RECALL_FLOOR).alias(
+            "filtered_recall_ok"
+        ),
+    )

@@ -50,6 +50,10 @@ FAMILIES = [
     # candidate bound NPROBE*n/nlist is filter-independent by the
     # escalation construction)
     "ann_filtered_ivf",
+    # round-16: per-query filtered batch — broadcast probe frame, the
+    # single window exchange carries ~queries * NPROBE*n/nlist scored
+    # candidates; shuffle bytes must grow ~linearly in corpus rows
+    "ann_filtered_batch",
 ]
 
 

@@ -38,6 +38,7 @@ _SAMPLE_PRIORITY = [
     "ann_group_search",
     "ann_recommend",
     "ann_named_vectors",
+    "ann_maxsim",
     "collection_scroll",
     "ann_knn_graph",
     "ann_knn_graph_recall",

@@ -1835,20 +1835,28 @@ def filtered_search_plan(
     thr = threshold if threshold is not None else max(64, n_total // 16)
     if n_match <= thr:
         return ("full_scan", None)
-    m = max(1, n_match)
-    return ("ivf", min(nlist, (nprobe * n_total + m - 1) // m))
+    return ("ivf", escalated_nprobe(n_total, n_match, nlist, nprobe))
+
+
+def escalated_nprobe(n: int, m: int, nlist: int, nprobe: int = NPROBE) -> int:
+    """THE escalation integer math — ``min(nlist, ceil(nprobe·n/m))``
+    — in exactly one place.  Both :func:`filtered_search_plan` (the
+    planner branch) and :func:`escalated_probe` (the probe-set
+    builder the oracles replay) call here, so the ceil/cap arithmetic
+    can never drift between them or from ``_FILTERED_IVF_SQL``."""
+    m = max(1, m)
+    return min(nlist, (nprobe * n + m - 1) // m)
 
 
 def escalated_probe(qvec, cids, cmat, n, m, nprobe=NPROBE):
-    """The filtered-search probe set: ``min(nlist, ceil(nprobe·n/m))``
-    cells nearest the query by ``(dot DESC, cid ASC)``.  SINGLE
-    definition of the exact integer escalation and tie-break every
-    filtered oracle replays bit-for-bit — q_ann_filtered_ivf, the
-    label-in-key persisted layout, and the per-query batch all call
-    here, so the math can never desynchronize from the shared
-    ``_FILTERED_IVF_SQL``.  Returns cells in probe-rank order."""
-    m = max(1, m)
-    esc = min(len(cids), (nprobe * n + m - 1) // m)
+    """The filtered-search probe set: :func:`escalated_nprobe` cells
+    nearest the query by ``(dot DESC, cid ASC)``.  SINGLE definition
+    of the probe-rank tie-break every filtered oracle replays
+    bit-for-bit — q_ann_filtered_ivf, the label-in-key persisted
+    layout, and the per-query batch all call here, so the math can
+    never desynchronize from the shared ``_FILTERED_IVF_SQL``.
+    Returns cells in probe-rank order."""
+    esc = escalated_nprobe(n, m, len(cids), nprobe)
     return [
         cid
         for _, cid in sorted(
@@ -2163,8 +2171,9 @@ def q_collection_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # recommend: positive/negative example ids (Qdrant best_score
-# strategy: score(v) = max(sim to positives) - max(sim to negatives),
-# examples excluded from results)
+# strategy: with max_pos = max(sim to positives) and max_neg =
+# max(sim to negatives), score(v) = max_pos when max_pos > max_neg
+# else -(max_neg^2) — examples excluded from results)
 RECO_POS = (1, 9)  # positive example vec_ids
 RECO_NEG = (4,)  # negative example vec_ids
 
@@ -2180,13 +2189,20 @@ RECO_NEG = (4,)  # negative example vec_ids
       SELECT embedding AS nv FROM embeddings
       WHERE vec_id IN ({RECO_NEG[0]})
     ),
-    scored AS (
+    folded AS (
       SELECT e.vec_id,
              (SELECT max({sql_dot('e.embedding', 'p.pv')}) FROM pos p)
-             - (SELECT max({sql_dot('e.embedding', 'g.nv')}) FROM neg g)
-               AS s
+               AS max_pos,
+             (SELECT max({sql_dot('e.embedding', 'g.nv')}) FROM neg g)
+               AS max_neg
       FROM embeddings e
       WHERE e.vec_id NOT IN {RECO_POS + RECO_NEG}
+    ),
+    scored AS (
+      SELECT vec_id,
+             CASE WHEN max_pos > max_neg THEN max_pos
+                  ELSE -(max_neg * max_neg) END AS s
+      FROM folded
     )
     SELECT vec_id, round(s, 6) AS score
     FROM scored
@@ -2195,15 +2211,20 @@ RECO_NEG = (4,)  # negative example vec_ids
     """,
 )
 def q_ann_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Qdrant ``recommend`` parity (best_score strategy): rank by
-    ``max(sim to positive examples) − max(sim to negative examples)``,
-    example ids excluded from the result.  The example vectors are
+    """Qdrant ``recommend`` parity (best_score strategy, the exact
+    upstream formula): with ``max_pos = max(sim to positive
+    examples)`` and ``max_neg = max(sim to negative examples)``,
+    score = ``max_pos`` when ``max_pos > max_neg``, else
+    ``-(max_neg²)`` — candidates a negative dominates rank below
+    every positive-dominated candidate, least-negative first.
+    Example ids excluded from the result.  The example vectors are
     metadata-scale (one driver collect); each becomes a scan-stage
-    dot-product literal, the max/− fold is a greatest()/− expression —
-    so the whole plan is scan → expressions → TakeOrderedAndProject:
-    zero shuffles, identical shape to single-query search no matter
-    how many examples.  At 100 TB nothing changes: k example literals
-    ride the task closure, the corpus is read once."""
+    dot-product literal, the max fold is a greatest()/CASE expression
+    — so the whole plan is scan → expressions →
+    TakeOrderedAndProject: zero shuffles, identical shape to
+    single-query search no matter how many examples.  At 100 TB
+    nothing changes: k example literals ride the task closure, the
+    corpus is read once."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
@@ -2223,9 +2244,10 @@ def q_ann_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     s = F.greatest(*pos_scores) if len(pos_scores) > 1 else pos_scores[0]
     t = F.greatest(*neg_scores) if len(neg_scores) > 1 else neg_scores[0]
+    best_score = F.when(s > t, s).otherwise(-(t * t))
     return (
         emb.filter(~F.col("vec_id").isin(list(RECO_POS + RECO_NEG)))
-        .withColumn("s", s - t)
+        .withColumn("s", best_score)
         .orderBy(F.desc("s"), F.col("vec_id").asc())
         .limit(5)
         .select("vec_id", F.round("s", 6).alias("score"))
@@ -2253,12 +2275,28 @@ def _ivf_filtered_layout(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
-    # job 1: corpus + payload cardinality (escalation inputs)
+    # job 1: corpus + payload cardinality (escalation inputs) + the
+    # composite-key field-width guard: vec_id must fit below the
+    # label field and label below the cluster field, else packing
+    # silently bleeds into the adjacent field and filtered range
+    # reads return wrong rows — fail loudly instead
     stats = emb.agg(
         F.count("*").alias("n"),
         F.sum((F.col("label") == FILTER_LABEL).cast("long")).alias("m"),
+        F.max("vec_id").alias("max_vid"),
+        F.max("label").alias("max_label"),
     ).collect()[0]
     n, m = int(stats["n"]), max(1, int(stats["m"]))
+    if int(stats["max_vid"]) >= LABEL_SHIFT:
+        raise ValueError(
+            f"label-in-key layout: max vec_id {stats['max_vid']} >= "
+            f"LABEL_SHIFT {LABEL_SHIFT}; widen the composite-key shifts"
+        )
+    if int(stats["max_label"]) >= CELL_SHIFT // LABEL_SHIFT:
+        raise ValueError(
+            f"label-in-key layout: max label {stats['max_label']} >= "
+            f"{CELL_SHIFT // LABEL_SHIFT}; widen the composite-key shifts"
+        )
     mod = ivf_mod_for(n)
     # job 2: centroids + query vector (metadata-scale)
     meta = emb.filter(

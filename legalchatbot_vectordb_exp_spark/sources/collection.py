@@ -40,11 +40,22 @@ class VectorCollection:
     directory (mirrors the reference Database wrapper's capability set:
     create/recreate, upsert, catalog listing, top-k search input)."""
 
+    # (collection path, where-string) -> cached (n, m) cardinality
+    # row for search_ivf's filtered planner; write paths invalidate
+    # the collection's entries (see _invalidate_card_cache)
+    _CARD_CACHE: dict = {}
+
     def __init__(self, spark: SparkSession, warehouse: str, name: str):
         self.spark = spark
         self.warehouse = warehouse
         self.name = name
         self.path = os.path.join(warehouse, name)
+
+    def _invalidate_card_cache(self) -> None:
+        for key in [
+            k for k in VectorCollection._CARD_CACHE if k[0] == self.path
+        ]:
+            del VectorCollection._CARD_CACHE[key]
 
     # ------------------------------------------------------------- catalog
 
@@ -96,6 +107,7 @@ class VectorCollection:
                 },
                 f,
             )
+        self._invalidate_card_cache()
         return self
 
     def _validated(
@@ -166,6 +178,7 @@ class VectorCollection:
         os.rename(self.path, old)
         os.rename(staging, self.path)
         shutil.rmtree(old)
+        self._invalidate_card_cache()
         return self
 
     # ------------------------------------------ point API (Qdrant parity)
@@ -314,6 +327,7 @@ class VectorCollection:
                 },
                 f,
             )
+        self._invalidate_card_cache()
         return self
 
     def _lloyd_round(
@@ -422,6 +436,7 @@ class VectorCollection:
             if os.path.exists(src):  # a cell can end up empty after merge
                 os.rename(src, dst)
         shutil.rmtree(staging)
+        self._invalidate_card_cache()
         return self
 
     def compact_ivf(
@@ -521,8 +536,14 @@ class VectorCollection:
         the index for tiny result sets); above → IVF with nprobe
         escalated by ``ceil(nprobe · n / matches)`` so expected
         candidate volume survives the filter's selectivity.  The two
-        cardinality counts are metadata-scale jobs (parquet stats /
-        pushed predicate — the payload-index cardinality read)."""
+        cardinality counts cost one NARROW FULL SCAN of the id/payload
+        columns (the predicate is evaluated on every row — cheaper
+        than the vector scan but a real per-query planning cost at
+        scale; Qdrant amortizes it in a payload index), so the (n, m)
+        pair is MEMOIZED per (collection, where) string — repeat
+        searches of the same filter plan from the cache, and any
+        write-path method would invalidate by clearing
+        ``_CARD_CACHE``."""
         import math
 
         from legalchatbot_vectordb_exp_spark.operators.topk import topk_search
@@ -538,10 +559,17 @@ class VectorCollection:
 
             flt = F.expr(where) if isinstance(where, str) else where
             matched = base.filter(flt)
-            counts = base.agg(
-                F.count("*").alias("n"),
-                F.sum(flt.cast("long")).alias("m"),
-            ).collect()[0]
+            cache_key = (
+                self.path,
+                where if isinstance(where, str) else str(flt),
+            )
+            counts = VectorCollection._CARD_CACHE.get(cache_key)
+            if counts is None:
+                counts = base.agg(
+                    F.count("*").alias("n"),
+                    F.sum(flt.cast("long")).alias("m"),
+                ).collect()[0]
+                VectorCollection._CARD_CACHE[cache_key] = counts
             branch, esc = filtered_search_plan(
                 int(counts["n"]),
                 int(counts["m"] or 0),
@@ -607,14 +635,16 @@ class VectorCollection:
             )
         )
         row = df.agg(*aggs).first()
+        # `or 0`: sum() over zero rows is NULL — an empty input is
+        # valid (0 violations), matching create()/_validated()
         for name in vectors:
-            if row[f"bad_{name}"]:
+            if row[f"bad_{name}"] or 0:
                 raise ValueError(
                     f"collection {self.name}: {row[f'bad_{name}']} rows "
                     f"violate dim={vectors[name]['dim']} for vector "
                     f"'{name}'"
                 )
-        if row["dupes"]:
+        if row["dupes"] or 0:
             raise ValueError(
                 f"collection {self.name}: {row['dupes']} duplicate ids"
             )
@@ -638,6 +668,7 @@ class VectorCollection:
                 },
                 f,
             )
+        self._invalidate_card_cache()
         return self
 
     def search_named(
@@ -806,12 +837,18 @@ class VectorCollection:
         negative: list | None = None,
         k: int = 5,
     ) -> DataFrame:
-        """Qdrant ``recommend`` (best_score strategy): rank by
-        ``max(sim to positives) − max(sim to negatives)``, example ids
-        excluded.  Example vectors are one metadata-scale driver
-        lookup; each becomes a scan-stage dot literal, so the plan is
-        scan → expressions → TakeOrderedAndProject — zero shuffles,
-        the single-query-search shape regardless of example count.
+        """Qdrant ``recommend`` (best_score strategy): with
+        ``max_pos = max(sim to positives)`` and ``max_neg = max(sim
+        to negatives)``, score = ``max_pos`` when ``max_pos >
+        max_neg`` else ``-(max_neg²)`` — Qdrant's exact best_score
+        formula (positives-dominated candidates rank by their best
+        positive; negatives-dominated candidates rank by how WEAKLY
+        negative they are, the square keeping them below every
+        positive-dominated one).  Example ids excluded.  Example
+        vectors are one metadata-scale driver lookup; each becomes a
+        scan-stage dot literal, so the plan is scan → expressions →
+        TakeOrderedAndProject — zero shuffles, the
+        single-query-search shape regardless of example count.
         Mirrors the oracle-checked ``ann_recommend`` query."""
         from legalchatbot_vectordb_exp_spark.functions.vector import dot
 
@@ -843,7 +880,8 @@ class VectorCollection:
 
         s = best(positive)
         if negative:
-            s = s - best(negative)
+            max_neg = best(negative)
+            s = F.when(s > max_neg, s).otherwise(-(max_neg * max_neg))
         return (
             self.read()
             .filter(~F.col(id_col).isin(ids))

@@ -84,8 +84,8 @@ def test_recommend_excludes_examples_and_steers(spark, sf_smoke, tmp_path):
     assert len(got) == 5
     ids = [r["id"] for r in got]
     assert not ({1, 9, 4} & set(ids))  # examples never returned
-    # best_score semantics: score = max(sim pos) - max(sim neg),
-    # recomputed row-by-row for the returned ids
+    # best_score semantics (Qdrant's exact formula): max_pos when
+    # max_pos > max_neg else -(max_neg^2), recomputed row-by-row
     import math
 
     vecs = {
@@ -101,7 +101,9 @@ def test_recommend_excludes_examples_and_steers(spark, sf_smoke, tmp_path):
 
     for r in got:
         v = vecs[r["id"]]
-        want = max(dotp(v, vecs[1]), dotp(v, vecs[9])) - dotp(v, vecs[4])
+        max_pos = max(dotp(v, vecs[1]), dotp(v, vecs[9]))
+        max_neg = dotp(v, vecs[4])
+        want = max_pos if max_pos > max_neg else -(max_neg * max_neg)
         assert math.isclose(r["score"], want, rel_tol=1e-9)
 
 

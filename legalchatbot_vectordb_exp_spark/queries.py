@@ -476,4 +476,5 @@ from legalchatbot_vectordb_exp_spark import (  # noqa: E402,F401
     queries_training,
     queries_rag,
     queries_scale,
+    queries_sparse,
 )

@@ -1,0 +1,446 @@
+"""Sparse vectors + server-side hybrid fusion (Qdrant ≥1.7 parity).
+
+The reference's Qdrant stack exposes named SPARSE vectors beside the
+dense API (``Qdrant/requirements.txt`` pins qdrant-client; sparse
+vectors are the server's inverted-index dot product: a point carries
+``{term_id: weight}``, search multiplies matching term weights and
+sums).  The repo already covers the *semantics* via BM25 + RRF
+(``bm25_rank``, ``hybrid_rrf``); this module adds the sparse-vector
+STORAGE/SEARCH SHAPE itself — a posting-list relation searched by a
+broadcast term equi-join — plus Qdrant's ``query_points`` server-side
+hybrid: dense + sparse prefetch fused by RRF and by DBSF.
+
+Spark-first design (100 TB):
+
+* postings are rows ``(doc_id, term_id, weight)`` — the inverted
+  index IS a relation; no custom index structure needed;
+* search = broadcast the query's nonzero terms (metadata-scale, a
+  handful of rows), equi-join on ``term_id``, one partially-aggregated
+  ``groupBy(doc_id)`` — shuffle volume is the MATCHED postings
+  (selectivity × corpus), never the corpus or the full posting list;
+* at rest the posting list is laid out partitioned by
+  ``term_id % n_buckets`` so the term equi-join prunes partitions
+  before any IO (``VectorCollection.create_sparse`` /
+  ``search_sparse``) — the columnar answer to Qdrant's inverted
+  index;
+* weights are exact integers (term frequencies) so scores replay
+  bit-for-bit on the DuckDB oracle;
+* fusion consumes two top-N DataFrames (always ≤ N rows each) — the
+  fuse itself is metadata-scale no matter the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from legalchatbot_vectordb_exp_spark.functions.vector import dot
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.registry import (
+    register,
+    sql_dot,
+)
+
+# The fixed sparse query: integer term weights (exact replay).  Terms
+# deliberately overlap bm25_rank's so the two lexical scorers are
+# comparable in the bench.
+SPARSE_QUERY: tuple[tuple[str, int], ...] = (
+    ("vector", 3),
+    ("stream", 2),
+    ("merge", 1),
+)
+SPARSE_TOPK = 10
+HYBRID_PREFETCH = 100  # per-retriever prefetch depth (Qdrant `limit`)
+HYBRID_TOPK = 20
+RRF_K = 60
+
+
+def term_id_of(tok: str) -> int:
+    """Deterministic 32-bit term id — first 8 md5 hex digits, the
+    cross-engine idiom every dedup family already uses (Spark
+    ``conv(substr(md5(tok),1,8),16,10)`` / DuckDB
+    ``('0x'||substr(md5(tok),1,8))::BIGINT``)."""
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+
+def _postings(docs: DataFrame) -> DataFrame:
+    """The posting-list relation ``(doc_id, term_id, w)`` from the
+    documents table: lowercase ``[^a-z0-9]+`` tokenization (shared
+    with bm25), tf as the integer weight, md5-derived term id.  One
+    explode + one partially-aggregated groupBy — the shuffle carries
+    (doc, term) pairs, not token instances."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("term_id"),
+            "w",
+        )
+    )
+
+
+# DuckDB twin of _postings
+_POSTINGS_SQL = """
+    tf AS (
+      SELECT doc_id, t AS tok, count(*) AS w
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+            FROM documents)
+      WHERE t <> '' GROUP BY doc_id, t
+    ),
+    postings AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS term_id,
+             w
+      FROM tf
+    )"""
+
+
+def _sparse_query_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(term_id_of(t), w) for t, w in SPARSE_QUERY],
+        "term_id long, qw int",
+    )
+
+
+_SPARSE_QUERY_SQL = "(VALUES " + ", ".join(
+    f"(('0x' || substr(md5('{t}'), 1, 8))::BIGINT, {w})"
+    for t, w in SPARSE_QUERY
+) + ") AS t(term_id, qw)"
+
+
+_SPARSE_TOPK_SQL = f"""
+    WITH {_POSTINGS_SQL},
+    q AS (SELECT * FROM {_SPARSE_QUERY_SQL}),
+    scored AS (
+      SELECT p.doc_id, CAST(sum(p.w * q.qw) AS BIGINT) AS score
+      FROM postings p JOIN q USING (term_id)
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, score
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {SPARSE_TOPK}
+    """
+
+
+def _sparse_top(postings: DataFrame, qdf: DataFrame, k: int) -> DataFrame:
+    """The sparse search core: broadcast the query terms, equi-join,
+    sum(w·qw) per doc, top-k with (score DESC, doc_id ASC).  Shared
+    by the scan-time and persisted variants so both hash-match the
+    same oracle."""
+    return (
+        postings.join(F.broadcast(qdf), "term_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("w") * F.col("qw")).cast("bigint").alias("score")
+        )
+        .orderBy(F.desc("score"), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+@register("ann_sparse_topk", sql=_SPARSE_TOPK_SQL)
+def q_ann_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector top-k (Qdrant named sparse vectors, the
+    inverted-index dot product): score(doc) = Σ over the query's
+    nonzero terms of ``tf(doc, term) · query_weight(term)``.
+
+    Plan: posting-list build is one explode + hash aggregate; the
+    search joins the postings against a BROADCAST 3-row query-term
+    frame — after the join only the matched postings survive, so the
+    final ``groupBy(doc_id)`` shuffles rows ∝ query-term selectivity
+    × corpus, never the corpus itself (measured byte-flat per matched
+    posting in STRESS_SHUFFLE's ``ann_sparse_topk`` tier).  Integer
+    weights → bit-exact replay on the DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _sparse_top(
+        _postings(docs), _sparse_query_df(spark), SPARSE_TOPK
+    )
+
+
+# sf_dir -> warehouse whose term-bucketed posting layout is already
+# built in THIS process (repeat bench runs search the index at rest)
+_SPARSE_STAGING: dict[str, str] = {}
+
+
+def sparse_layout(spark: SparkSession, sf_dir: str):
+    """Build (once per process) the AT-REST sparse layout: the posting
+    list written through ``VectorCollection.create_sparse`` —
+    partitioned by ``term_id % n_buckets`` so a query's term equi-join
+    prunes partitions before any IO."""
+    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
+    from legalchatbot_vectordb_exp_spark.sources.collection import (
+        VectorCollection,
+    )
+
+    warehouse = _scratch(sf_dir, "sparse")
+    coll = VectorCollection(spark, warehouse, "doc_postings")
+    if _SPARSE_STAGING.get(sf_dir) != warehouse:
+        import shutil
+        import os
+
+        if os.path.isdir(coll.path):
+            shutil.rmtree(coll.path)
+        docs = load_table(spark, sf_dir, "documents")
+        coll.create_sparse(
+            _postings(docs), id_col="doc_id", term_col="term_id",
+            weight_col="w",
+        )
+        _SPARSE_STAGING[sf_dir] = warehouse
+    return coll
+
+
+@register("ann_sparse_persisted", sql=_SPARSE_TOPK_SQL)
+def q_ann_sparse_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse search over the PERSISTED term-bucketed posting list
+    (the at-rest shape of ``ann_sparse_topk``, which builds postings
+    at scan time): ``create_sparse`` lays the postings out partitioned
+    by ``term_id % n_buckets``, so the search's term predicate prunes
+    every non-matching bucket directory at planning time and the scan
+    reads only the query terms' postings — the columnar equivalent of
+    walking an inverted index's posting lists.  Same scoring core and
+    the SAME oracle as the scan-time variant: the layout may never
+    change results.  Partition-pruning evidence:
+    ``tests/test_sparse.py`` pins the scanned-partition count."""
+    coll = sparse_layout(spark, sf_dir)
+    return coll.search_sparse(
+        {t: w for t, w in SPARSE_QUERY}, k=SPARSE_TOPK
+    ).select(
+        F.col("doc_id"), F.col("score")
+    )
+
+
+# --------------------------- server-side hybrid (query_points parity)
+
+
+def _dense_rank_df(
+    spark: SparkSession, sf_dir: str, n: int
+) -> DataFrame:
+    """Dense prefetch: cosine top-n (query = vec_id 0's embedding),
+    ranked 1..n — TakeOrderedAndProject, zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    top = (
+        emb.join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            dot(F.col("embedding"), F.col("qv")).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(n)
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", F.col("s"), F.row_number().over(w).alias("r")
+    )
+
+
+def _sparse_rank_df(
+    spark: SparkSession, sf_dir: str, n: int
+) -> DataFrame:
+    """Sparse prefetch: the posting-list search's top-n, ranked."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = _sparse_top(_postings(docs), _sparse_query_df(spark), n)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        F.col("score").cast("double").alias("s"),
+        F.row_number().over(w).alias("r"),
+    )
+
+
+_DENSE_RANK_SQL = f"""
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dense_top AS (
+      SELECT e.vec_id AS doc_id,
+             {sql_dot('e.embedding', 'q.qv')} AS s
+      FROM embeddings e, q
+      ORDER BY s DESC, e.vec_id ASC LIMIT {HYBRID_PREFETCH}
+    ),
+    dense_rank AS (
+      SELECT doc_id, s,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+      FROM dense_top
+    )"""
+
+_SPARSE_RANK_SQL = f"""
+    sq AS (SELECT * FROM {_SPARSE_QUERY_SQL}),
+    sparse_top AS (
+      SELECT p.doc_id, CAST(sum(p.w * sq.qw) AS BIGINT) AS score
+      FROM postings p JOIN sq USING (term_id)
+      GROUP BY p.doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT {HYBRID_PREFETCH}
+    ),
+    sparse_rank AS (
+      SELECT doc_id, CAST(score AS DOUBLE) AS s,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+      FROM sparse_top
+    )"""
+
+
+@register(
+    "hybrid_fusion_search",
+    sql=f"""
+    WITH {_POSTINGS_SQL},
+    {_DENSE_RANK_SQL},
+    {_SPARSE_RANK_SQL},
+    fused AS (
+      SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+             coalesce(1.0 / ({RRF_K} + d.r), 0)
+               + coalesce(1.0 / ({RRF_K} + s.r), 0) AS rrf
+      FROM dense_rank d FULL JOIN sparse_rank s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, round(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {HYBRID_TOPK}
+    """,
+)
+def q_hybrid_fusion_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Qdrant ``query_points`` server-side hybrid, RRF fusion: a dense
+    prefetch (cosine top-{100}) and a SPARSE-VECTOR prefetch (the
+    posting-list search's top-{100}) fused by reciprocal-rank —
+    rrf = Σ 1/({60} + rank) — in ONE plan.  This is the sparse-vector
+    sibling of ``hybrid_rrf`` (which fuses BM25): the lexical side
+    here is the inverted-index dot product the Qdrant sparse API
+    computes server-side.
+
+    Scale shape: each prefetch ends in a global top-{100}
+    (TakeOrderedAndProject for dense; matched-postings aggregate for
+    sparse); the fuse is a full outer join of two ≤{100}-row frames —
+    metadata-scale regardless of corpus.  Fully rank-based after the
+    cuts, so the fused score is exact rational arithmetic on both
+    engines."""
+    from legalchatbot_vectordb_exp_spark.operators.fusion import rrf_fuse
+
+    fused = rrf_fuse(
+        [
+            _dense_rank_df(spark, sf_dir, HYBRID_PREFETCH),
+            _sparse_rank_df(spark, sf_dir, HYBRID_PREFETCH),
+        ],
+        id_col="doc_id",
+        k=RRF_K,
+        topk=HYBRID_TOPK,
+    )
+    return fused.select("doc_id", F.round("rrf", 6).alias("rrf"))
+
+
+# DBSF: Qdrant's other fusion — distribution-based score fusion.
+# Each result set's scores are normalized to
+# (s - (μ - 3σ)) / (6σ)  with μ, σ the set's mean / population std,
+# then summed across retrievers.  Cross-engine determinism: μ and σ
+# are SEQUENTIAL left-folds over the scores in rank order (Spark
+# folds the collected prefetch on the driver — ≤100 rows, metadata-
+# scale; DuckDB folds list(s ORDER BY r) with list_reduce), so both
+# engines do bit-identical double arithmetic.
+
+
+def _dbsf_norm_sql(rank_cte: str) -> str:
+    """DuckDB: μ/σ via ordered list folds, then the normalized score."""
+    return f"""
+      SELECT doc_id,
+             (s - (mu - 3 * sigma)) / (6 * sigma) AS ns
+      FROM {rank_cte}, (
+        SELECT mu, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(ls, x -> (x - mu) * (x - mu))),
+                 (a, x) -> a + x) / n) AS sigma
+        FROM (
+          SELECT ls,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ls),
+                             (a, x) -> a + x) / n AS mu,
+                 n
+          FROM (SELECT list(s ORDER BY r) AS ls,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM {rank_cte})
+        )
+      )"""
+
+
+@register(
+    "hybrid_fusion_dbsf",
+    sql=f"""
+    WITH {_POSTINGS_SQL},
+    {_DENSE_RANK_SQL},
+    {_SPARSE_RANK_SQL},
+    dense_norm AS ({_dbsf_norm_sql('dense_rank')}),
+    sparse_norm AS ({_dbsf_norm_sql('sparse_rank')}),
+    fused AS (
+      SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+             coalesce(d.ns, 0) + coalesce(s.ns, 0) AS dbsf
+      FROM dense_norm d FULL JOIN sparse_norm s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, round(dbsf, 6) AS dbsf
+    FROM fused ORDER BY dbsf DESC, doc_id ASC LIMIT {HYBRID_TOPK}
+    """,
+)
+def q_hybrid_fusion_dbsf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Qdrant ``query_points`` hybrid, DBSF fusion (the other server
+    fusion): each prefetch's scores are normalized by the set's score
+    DISTRIBUTION — ``(s − (μ − 3σ)) / 6σ`` with μ, σ the mean and
+    population std of that retriever's top-{100} — then summed.
+    Unlike RRF it preserves score magnitudes, so a retriever with one
+    dominant hit outweighs one with a flat tail.
+
+    Determinism contract: μ and σ are sequential left-folds over the
+    prefetch scores in RANK order on both engines — here the ≤{100}
+    collected rows fold on the driver (metadata-scale, exactly like
+    the IVF centroid collects); the oracle folds
+    ``list(s ORDER BY r)`` with ``list_reduce``.  Same fold order →
+    bit-identical doubles → hash-green."""
+    from legalchatbot_vectordb_exp_spark.operators.fusion import (
+        dbsf_constants,
+    )
+
+    out = []
+    for rank_df in (
+        _dense_rank_df(spark, sf_dir, HYBRID_PREFETCH),
+        _sparse_rank_df(spark, sf_dir, HYBRID_PREFETCH),
+    ):
+        rows = rank_df.orderBy("r").collect()  # ≤100 rows, rank order
+        mu, sigma = dbsf_constants([r["s"] for r in rows])
+        out.append(
+            [
+                (r["doc_id"], (r["s"] - (mu - 3 * sigma)) / (6 * sigma))
+                for r in rows
+            ]
+        )
+    spark_session = spark
+    dense_norm = spark_session.createDataFrame(
+        out[0], "doc_id long, ns double"
+    )
+    sparse_norm = spark_session.createDataFrame(
+        out[1], "doc_id long, ns double"
+    )
+    fused = (
+        dense_norm.withColumnRenamed("ns", "nd")
+        .join(sparse_norm.withColumnRenamed("ns", "nsp"), "doc_id", "full")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("nd"), F.lit(0.0))
+                + F.coalesce(F.col("nsp"), F.lit(0.0))
+            ).alias("dbsf"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("dbsf"), F.asc("doc_id"))
+        .limit(HYBRID_TOPK)
+        .select("doc_id", F.round("dbsf", 6).alias("dbsf"))
+    )

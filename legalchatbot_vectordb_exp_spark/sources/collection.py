@@ -671,6 +671,127 @@ class VectorCollection:
         self._invalidate_card_cache()
         return self
 
+    # --------------------- sparse vectors (inverted-index postings)
+
+    def create_sparse(
+        self,
+        df: DataFrame,
+        id_col: str = "id",
+        term_col: str = "term_id",
+        weight_col: str = "weight",
+        n_buckets: int = 64,
+    ) -> "VectorCollection":
+        """Qdrant NAMED SPARSE VECTORS as a relation: a point's sparse
+        vector ``{term_id: weight}`` is stored as posting rows
+        ``(id, term_id, weight)`` — the inverted index IS the table.
+        Laid out partitioned by ``term_id % n_buckets`` so a search's
+        term equi-join prunes every non-matching bucket directory at
+        planning time and reads only the query terms' postings (the
+        columnar answer to walking posting lists).  Validation is one
+        aggregate: non-null terms/weights and (id, term) uniqueness
+        (a sparse vector has one weight per dimension)."""
+        row = df.agg(
+            F.sum(
+                (
+                    F.col(term_col).isNull() | F.col(weight_col).isNull()
+                ).cast("int")
+            ).alias("bad"),
+            (
+                F.count(F.lit(1))
+                - F.countDistinct(F.col(id_col), F.col(term_col))
+            ).alias("dupes"),
+        ).first()
+        if row["bad"] or 0:
+            raise ValueError(
+                f"collection {self.name}: {row['bad']} postings have "
+                f"NULL term/weight"
+            )
+        if row["dupes"] or 0:
+            raise ValueError(
+                f"collection {self.name}: {row['dupes']} duplicate "
+                f"(id, term) postings"
+            )
+        out = df.select(id_col, term_col, weight_col).withColumn(
+            "bucket",
+            F.pmod(F.col(term_col), F.lit(n_buckets)).cast("int"),
+        )
+        out.write.mode("overwrite").partitionBy("bucket").parquet(
+            self.path
+        )
+        with open(os.path.join(self.path, _PROPS_FILE), "w") as f:
+            json.dump(
+                {
+                    "id_col": id_col,
+                    "term_col": term_col,
+                    "weight_col": weight_col,
+                    "n_buckets": n_buckets,
+                    "layout": "sparse",
+                },
+                f,
+            )
+        self._invalidate_card_cache()
+        return self
+
+    def search_sparse(self, query: dict, k: int = 10) -> DataFrame:
+        """Sparse-vector search (Qdrant sparse dot product):
+        ``query`` maps term → weight (string terms are hashed with the
+        same md5 term-id derivation as ingestion).  score(id) =
+        Σ matching terms ``weight · query_weight``; top-k with
+        (score DESC, id ASC).
+
+        Plan: the bucket + term predicates prune partitions/row
+        groups before IO; the query frame (|nonzero terms| rows)
+        broadcasts; the groupBy shuffles only MATCHED postings.
+        Integer weights keep the score exact (BIGINT); any float
+        weight promotes to double."""
+        from legalchatbot_vectordb_exp_spark.queries_sparse import (
+            term_id_of,
+        )
+
+        props = self.properties
+        if props.get("layout") != "sparse":
+            raise ValueError(
+                f"collection {self.name} is not a sparse collection"
+            )
+        id_col, term_col, weight_col = (
+            props["id_col"],
+            props["term_col"],
+            props["weight_col"],
+        )
+        n_buckets = int(props["n_buckets"])
+        terms = {
+            (term_id_of(t) if isinstance(t, str) else int(t)): w
+            for t, w in query.items()
+        }
+        if not terms:
+            raise ValueError("search_sparse needs a non-empty query")
+        buckets = sorted({tid % n_buckets for tid in terms})
+        all_int = all(isinstance(w, int) for w in terms.values())
+        qdf = self.spark.createDataFrame(
+            [(tid, float(w)) for tid, w in sorted(terms.items())],
+            f"{term_col} long, _qw double",
+        )
+        scored = (
+            self.read()
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col(term_col).isin(list(terms)))
+            .join(F.broadcast(qdf), term_col)
+            .groupBy(id_col)
+            .agg(
+                F.sum(F.col(weight_col) * F.col("_qw")).alias("_score")
+            )
+        )
+        score = (
+            F.col("_score").cast("bigint")
+            if all_int
+            else F.col("_score")
+        )
+        return (
+            scored.select(id_col, score.alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col).asc())
+            .limit(k)
+        )
+
     def search_named(
         self,
         using: str,

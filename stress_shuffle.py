@@ -54,6 +54,12 @@ FAMILIES = [
     # single window exchange carries ~queries * NPROBE*n/nlist scored
     # candidates; shuffle bytes must grow ~linearly in corpus rows
     "ann_filtered_batch",
+    # round-17: sparse-vector search — the broadcast term join keeps
+    # only MATCHED postings (query terms × docs containing them), so
+    # shuffle bytes track matched postings (~3 rows/doc here), never
+    # the full posting list (~all distinct (doc, term) pairs) and
+    # never token instances
+    "ann_sparse_topk",
 ]
 
 

@@ -166,6 +166,10 @@ def test_shuffle_volume_ceilings_30x(tmp_path):
         # round-16: NN-descent build — reverse-capped neighborhoods
         # bound candidates at n*(2k)^2, so bytes must stay ~linear
         "ann_knn_graph",
+        # round-17: sparse posting-list search — the term equi-join
+        # keeps only matched postings, so bytes track matched
+        # postings (~3/doc), linear in docs, never token instances
+        "ann_sparse_topk",
     ):
         b10 = res[fam]["10x"]["shuffle_write_bytes"]
         b30 = res[fam]["30x"]["shuffle_write_bytes"]

@@ -1,0 +1,188 @@
+"""Sparse-vector family: posting-list layout, bucket pruning,
+search_sparse API semantics, and the fusion operators.  The registered
+queries (``ann_sparse_topk``, ``ann_sparse_persisted``,
+``hybrid_fusion_search``, ``hybrid_fusion_dbsf``) pin exact semantics
+against DuckDB; these tests pin the collection-level API and the plan
+shapes the 100 TB story depends on."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
+from legalchatbot_vectordb_exp_spark.operators.fusion import (
+    dbsf_constants,
+    rrf_fuse,
+)
+from legalchatbot_vectordb_exp_spark.queries_sparse import (
+    SPARSE_QUERY,
+    _postings,
+    term_id_of,
+)
+from legalchatbot_vectordb_exp_spark.sources.collection import VectorCollection
+
+
+def _sparse_coll(spark, sf_smoke, tmp_path, n_buckets=64):
+    docs = load_table(spark, sf_smoke, "documents")
+    c = VectorCollection(spark, str(tmp_path), "postings")
+    c.create_sparse(
+        _postings(docs), id_col="doc_id", term_col="term_id",
+        weight_col="w", n_buckets=n_buckets,
+    )
+    return c
+
+
+def test_search_sparse_matches_scan_time_plan(spark, sf_smoke, tmp_path):
+    """The persisted layout may never change results: search_sparse
+    over the bucketed posting list == the scan-time broadcast-join
+    search over the same postings."""
+    from legalchatbot_vectordb_exp_spark.queries_sparse import (
+        _sparse_query_df,
+        _sparse_top,
+    )
+
+    c = _sparse_coll(spark, sf_smoke, tmp_path)
+    got = c.search_sparse(dict(SPARSE_QUERY), k=10).collect()
+    docs = load_table(spark, sf_smoke, "documents")
+    want = _sparse_top(
+        _postings(docs), _sparse_query_df(spark), 10
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_search_sparse_prunes_buckets(spark, sf_smoke, tmp_path):
+    """The term predicate must prune partitions BEFORE IO: the scan's
+    input files all live under the query terms' bucket directories —
+    at 100 TB this is the difference between reading 3 posting lists
+    and reading the whole inverted index."""
+    n_buckets = 64
+    c = _sparse_coll(spark, sf_smoke, tmp_path, n_buckets=n_buckets)
+    df = c.search_sparse(dict(SPARSE_QUERY), k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the scan carries BOTH prunings: bucket partition filter (whole
+    # directories skipped at planning) and the term_id PushedFilter
+    # (row groups skipped inside surviving files)
+    [pf_line] = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    want_buckets = sorted(
+        term_id_of(t) % n_buckets for t, _ in SPARSE_QUERY
+    )
+    for b in want_buckets:
+        assert str(b) in pf_line.split("PartitionFilters")[1], pf_line
+    assert "bucket" in pf_line.split("PartitionFilters")[1]
+    assert "PushedFilters: [In(term_id" in plan
+    # and the pruned set is a strict subset of the layout
+    import os
+
+    all_buckets = {
+        d for d in os.listdir(c.path) if d.startswith("bucket=")
+    }
+    assert len(set(want_buckets)) < len(all_buckets)
+
+
+def test_search_sparse_string_and_int_terms_agree(
+    spark, sf_smoke, tmp_path
+):
+    c = _sparse_coll(spark, sf_smoke, tmp_path)
+    by_str = c.search_sparse({t: w for t, w in SPARSE_QUERY}, k=5).collect()
+    by_id = c.search_sparse(
+        {term_id_of(t): w for t, w in SPARSE_QUERY}, k=5
+    ).collect()
+    assert [tuple(r) for r in by_str] == [tuple(r) for r in by_id]
+    # integer weights -> exact BIGINT scores
+    assert by_str[0].__fields__ == ["doc_id", "score"]
+    assert all(isinstance(r["score"], int) for r in by_str)
+
+
+def test_search_sparse_float_weights_promote(spark, sf_smoke, tmp_path):
+    c = _sparse_coll(spark, sf_smoke, tmp_path)
+    got = c.search_sparse({"vector": 1.5}, k=3).collect()
+    assert all(isinstance(r["score"], float) for r in got)
+
+
+def test_search_sparse_rejects_empty_and_wrong_layout(
+    spark, sf_smoke, tmp_path
+):
+    c = _sparse_coll(spark, sf_smoke, tmp_path)
+    with pytest.raises(ValueError, match="non-empty"):
+        c.search_sparse({}, k=3)
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+    )
+    dense = VectorCollection(spark, str(tmp_path), "dense")
+    dense.create(emb, dim=64, metric="dot", normalize=False)
+    with pytest.raises(ValueError, match="not a sparse collection"):
+        dense.search_sparse({"vector": 1}, k=3)
+
+
+def test_create_sparse_validates(spark, sf_smoke, tmp_path):
+    dup = spark.createDataFrame(
+        [(1, 10, 2), (1, 10, 3)], "doc_id long, term_id long, w int"
+    )
+    c = VectorCollection(spark, str(tmp_path), "bad")
+    with pytest.raises(ValueError, match="duplicate"):
+        c.create_sparse(dup, id_col="doc_id", term_col="term_id", weight_col="w")
+    nulls = spark.createDataFrame(
+        [(1, None, 2)], "doc_id long, term_id long, w int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        c.create_sparse(
+            nulls, id_col="doc_id", term_col="term_id", weight_col="w"
+        )
+    # empty posting list is a valid (empty) collection — NULL aggs
+    # coalesce, matching create()
+    empty = spark.createDataFrame(
+        [], "doc_id long, term_id long, w int"
+    )
+    c2 = VectorCollection(spark, str(tmp_path), "empty_ok")
+    c2.create_sparse(
+        empty, id_col="doc_id", term_col="term_id", weight_col="w"
+    )
+    assert c2.exists()
+
+
+def test_rrf_fuse_three_retrievers_exact(spark):
+    """rrf_fuse generalizes past two retrievers and computes the exact
+    rational score with ascending-id tie-break."""
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, r int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, r int")
+    c = spark.createDataFrame([(3, 1), (1, 2)], "doc_id long, r int")
+    got = {
+        r["doc_id"]: r["rrf"]
+        for r in rrf_fuse([a, b, c], k=60, topk=10).collect()
+    }
+    assert got[1] == pytest.approx(1 / 61 + 1 / 62)
+    assert got[2] == pytest.approx(1 / 62 + 1 / 61)
+    assert got[3] == pytest.approx(1 / 62 + 1 / 61)
+    # ties on score broke by doc_id in the output order
+    rows = rrf_fuse([a, b, c], k=60, topk=10).collect()
+    assert [r["doc_id"] for r in rows] in ([1, 2, 3], [2, 3, 1])
+
+
+def test_dbsf_constants_sequential_fold():
+    """μ/σ are the sequential left-folds the oracle replays — exact
+    values on a hand-computable list, population (not sample) σ."""
+    mu, sigma = dbsf_constants([1.0, 2.0, 3.0, 4.0])
+    assert mu == 2.5
+    assert sigma == (5.0 / 4.0) ** 0.5
+
+
+def test_dense_prefetch_is_take_ordered(spark, sf_smoke):
+    """The dense prefetch of the hybrid plan must stay the
+    zero-shuffle single-query shape."""
+    from legalchatbot_vectordb_exp_spark.queries_sparse import (
+        _dense_rank_df,
+    )
+
+    plan = (
+        _dense_rank_df(spark, sf_smoke, 100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -2726,3 +2726,392 @@ def q_ann_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", F.round("score", 6).alias("score"))
     )
+
+
+# ------------------------------------------------- HNSW layer hierarchy
+
+# The E13 graph search above is HNSW's LAYER-0 walk seeded by IVF
+# centroids.  This family adds the hierarchy itself — the structure
+# the reference's index actually uses (Qdrant builds HNSW server-side
+# for every collection, `Qdrant/main.py:58-62` via server defaults):
+# geometric layer assignment, per-layer edge lists derived from the
+# same NN-descent build, and a search that greedily descends the
+# layers to find the layer-0 entry instead of probing centroids.
+#
+# Determinism: the layer of a node is md5-derived (p = 1/4 per level,
+# capped at 2 — the classic HNSW ml = 1/ln(M) geometric assignment
+# with the RNG replaced by a hash both engines compute identically),
+# the entry point is the (level DESC, vec_id ASC) ranked first node,
+# and every walk has FIXED hop counts, so the DuckDB oracle replays
+# the exact build + descent + beam bit-for-bit.
+
+HNSW_LEVEL_CAP = 3  # layers 0..3 (p=1/4 geometric, hash-derived)
+HNSW_UPPER_HOPS = 2  # hops per descended layer (2 and 1)
+HNSW_DESCENT_BEAM = 12  # ef in the upper layers (layer-0 beam stays 8)
+
+
+def _hnsw_level_expr():
+    """level(v) from the first 8 md5 hex digits of the DECIMAL vec_id:
+    2 if h % 16 == 0, 1 if h % 4 == 0, else 0 — geometric p = 1/4."""
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        F.when(h % 64 == 0, F.lit(3))
+        .when(h % 16 == 0, F.lit(2))
+        .when(h % 4 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+_HNSW_LEVELS_SQL = """levels AS (
+      SELECT vec_id,
+             CASE WHEN h % 64 = 0 THEN 3
+                  WHEN h % 16 = 0 THEN 2
+                  WHEN h % 4 = 0 THEN 1
+                  ELSE 0 END AS level
+      FROM (SELECT vec_id,
+                   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+            FROM embeddings)
+    )"""
+
+
+def _hnsw_sql(final_select: str) -> str:
+    """Graph-build CTEs (shared with ann_knn_graph) + layer CTEs +
+    the descent + layer-0 beam, all as fixed-depth SQL."""
+    b, topk = KNN_SEARCH_BEAM, KNN_SEARCH_TOPK
+    g = f"g{KNN_ITERS}"
+    ctes = list(_knn_graph_ctes())
+    ctes.append(_HNSW_LEVELS_SQL)
+    # Per-layer edge lists: NOT the bare restriction of the layer-0
+    # graph (a node keeps only ~1/4^l of its k edges inside layer l —
+    # too sparse to navigate, measured 12/45 recall), but the layer's
+    # own kNN: candidates = direct edges ∪ 2-hop closure THROUGH
+    # ANY-LEVEL mids, endpoints in the layer, then top-k per src by
+    # exact score — one NN-descent-round's cost (n·k² candidate
+    # bound), which is how HNSW's upper layers actually behave
+    # (long-range shortcuts over the layer's nodes).
+    for lvl in range(1, HNSW_LEVEL_CAP):
+        ctes.append(
+            f"""lpairs{lvl} AS (
+      SELECT DISTINCT u.src, u.dst FROM (
+        SELECT src, dst FROM {g}
+        UNION ALL
+        SELECT x.src, y.dst FROM {g} x JOIN {g} y ON x.dst = y.src) u
+      JOIN levels ls ON ls.vec_id = u.src
+      JOIN levels ld ON ld.vec_id = u.dst
+      WHERE ls.level >= {lvl} AND ld.level >= {lvl}
+        AND u.src != u.dst
+    )"""
+        )
+        ctes.append(
+            f"edges{lvl} AS MATERIALIZED "
+            + _knn_sql_scored_topk(f"lpairs{lvl}", KNN_K)
+        )
+    ctes.append(
+        f"""hqueries AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id <= {N_BATCH_QUERIES}
+    )"""
+    )
+    # the entry layer (level {HNSW_LEVEL_CAP}, ~n/4^{cap} nodes —
+    # comparable to the IVF centroid count) is scanned exactly, the
+    # same pattern the E13 walk uses for its centroid seeding; the
+    # global (level DESC, vec_id ASC) entry node is unioned in so the
+    # set is never empty at tiny corpora
+    ctes.append(
+        """topset AS (
+      SELECT vec_id FROM levels WHERE level >= 3
+      UNION
+      SELECT vec_id FROM (
+        SELECT vec_id FROM levels
+        ORDER BY level DESC, vec_id ASC LIMIT 1)
+    )"""
+    )
+    prev = "hd_seed"
+    ctes.append(
+        f"""hd_seed AS MATERIALIZED (
+      SELECT query_id, node, score FROM (
+        SELECT q.query_id, t.vec_id AS node,
+               {sql_dot('e.embedding', 'q.qv')} AS score,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {sql_dot('e.embedding', 'q.qv')} DESC,
+                                           t.vec_id ASC) AS rn
+        FROM hqueries q
+        CROSS JOIN topset t
+        JOIN embeddings e ON e.vec_id = t.vec_id)
+      WHERE rn <= {HNSW_DESCENT_BEAM}
+    )"""
+    )
+    # descent: HNSW_UPPER_HOPS beam-{HNSW_DESCENT_BEAM} hops per
+    # layer, top down (ef > 1 in the upper layers)
+    for lvl in range(HNSW_LEVEL_CAP - 1, 0, -1):
+        for h in range(1, HNSW_UPPER_HOPS + 1):
+            cur = f"hd{lvl}_{h}"
+            ctes.append(
+                f"""{cur} AS MATERIALIZED (
+      SELECT query_id, node, score FROM (
+        SELECT sc.query_id, sc.node, sc.score,
+               row_number() OVER (PARTITION BY sc.query_id
+                                  ORDER BY sc.score DESC,
+                                           sc.node ASC) AS rn
+        FROM (
+          SELECT c.query_id, c.node,
+                 {sql_dot('e.embedding', 's.qv')} AS score
+          FROM (
+            SELECT DISTINCT query_id, node FROM (
+              SELECT query_id, node FROM {prev}
+              UNION ALL
+              SELECT p.query_id, ed.dst AS node
+              FROM {prev} p JOIN edges{lvl} ed ON ed.src = p.node) u
+          ) c
+          JOIN embeddings e ON e.vec_id = c.node
+          JOIN hqueries s ON s.query_id = c.query_id) sc)
+      WHERE rn <= {HNSW_DESCENT_BEAM}
+    )"""
+            )
+            prev = cur
+    # layer 0: the full beam walk (same shape as ann_graph_search),
+    # seeded by the descended entry instead of IVF centroids
+    ctes.append(
+        f"""hbeam0 AS MATERIALIZED (
+      SELECT query_id, node, score FROM {prev}
+    )"""
+    )
+    for t in range(1, KNN_SEARCH_HOPS + 1):
+        ctes.append(
+            f"""hbeam{t} AS MATERIALIZED (
+      SELECT query_id, node, score FROM (
+        SELECT sc.query_id, sc.node, sc.score,
+               row_number() OVER (PARTITION BY sc.query_id
+                                  ORDER BY sc.score DESC,
+                                           sc.node ASC) AS rn
+        FROM (
+          SELECT c.query_id, c.node,
+                 {sql_dot('e.embedding', 's.qv')} AS score
+          FROM (
+            SELECT DISTINCT query_id, node FROM (
+              SELECT query_id, node FROM hbeam{t - 1}
+              UNION ALL
+              SELECT p.query_id, ed.dst AS node
+              FROM hbeam{t - 1} p JOIN {g} ed ON ed.src = p.node) u
+          ) c
+          JOIN embeddings e ON e.vec_id = c.node
+          JOIN hqueries s ON s.query_id = c.query_id) sc)
+      WHERE rn <= {b}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + final_select.format(beam=f"hbeam{KNN_SEARCH_HOPS}", topk=topk)
+    )
+
+
+def _hnsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HNSW walk, Spark side: layer assignment → greedy descent
+    over per-layer edge subsets → layer-0 beam walk.  Scale shape per
+    upper hop: the (queries × 1) beam BROADCASTS against the layer's
+    edge list (a ~(p^l)-fraction subset of the graph — level ≥ 1 is
+    ~1/4 of nodes, so edges1 is ~1/16 of edges); embedding rescore is
+    an equi-join (bucketed at 100 TB).  Beam volume stays queries ×
+    B × k per hop, corpus-independent — identical to the E13 walk,
+    the hierarchy only swaps the seeding."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    graph = knn_graph_build(spark, sf_dir).select("src", "dst")
+    levels = emb.select("vec_id", _hnsw_level_expr().alias("level"))
+    qdf = emb.filter(F.col("vec_id") <= N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    # entry layer: the level-{cap} node set (~n/4^cap — centroid-count
+    # scale) scanned exactly, unioned with the global (level DESC,
+    # vec_id ASC) entry node so it is never empty at tiny corpora
+    entry = levels.orderBy(
+        F.desc("level"), F.col("vec_id").asc()
+    ).limit(1).collect()[0]["vec_id"]
+    topset = (
+        levels.filter(F.col("level") >= HNSW_LEVEL_CAP)
+        .select("vec_id")
+        .union(
+            levels.sparkSession.createDataFrame(
+                [(int(entry),)], "vec_id long"
+            )
+        )
+        .distinct()
+    )
+    nodes = emb.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("nv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("node").asc()
+    )
+    beam = (
+        qdf.join(
+            F.broadcast(
+                nodes.join(
+                    topset.select(F.col("vec_id").alias("node")), "node"
+                )
+            )
+        )
+        .withColumn("score", dot("nv", "qv"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HNSW_DESCENT_BEAM)
+        .select("query_id", "node", "score")
+    )
+
+    def hop(beam, edges, width):
+        expanded = beam.select("query_id", "node").union(
+            F.broadcast(beam.alias("p"))
+            .join(edges.alias("ed"), F.col("ed.src") == F.col("p.node"))
+            .select(
+                F.col("p.query_id").alias("query_id"),
+                F.col("ed.dst").alias("node"),
+            )
+        ).distinct()
+        return (
+            expanded.join(F.broadcast(nodes), "node")
+            .join(F.broadcast(qdf), "query_id")
+            .withColumn("score", dot("nv", "qv"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= width)
+            .select("query_id", "node", "score")
+        )
+
+    for lvl in range(HNSW_LEVEL_CAP - 1, 0, -1):
+        # the layer's own kNN edges: direct ∪ 2-hop-through-any-mid
+        # candidates with both endpoints in the layer, top-k per src
+        # by exact score — n·k² bounded, one NN-descent round's shape
+        lv = levels.filter(F.col("level") >= lvl)
+        two_hop = (
+            graph.alias("x")
+            .join(graph.alias("y"), F.col("x.dst") == F.col("y.src"))
+            .select(
+                F.col("x.src").alias("src"), F.col("y.dst").alias("dst")
+            )
+        )
+        lpairs = (
+            graph.select("src", "dst")
+            .union(two_hop)
+            .join(lv.select(F.col("vec_id").alias("src")), "src")
+            .join(lv.select(F.col("vec_id").alias("dst")), "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # localCheckpoint: the edge list feeds every hop of the layer
+        # and the beam feeds 3 references per hop — without cutting
+        # lineage the nested plan grows exponentially across the 9
+        # hops (the knn_graph_build lesson); each cut re-plans from a
+        # materialized leaf (edge lists are n_l·k rows, beams are
+        # queries×B rows)
+        edges_l = (
+            _knn_scored_topk(lpairs, emb)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        for _ in range(HNSW_UPPER_HOPS):
+            beam = hop(beam, edges_l, HNSW_DESCENT_BEAM).localCheckpoint()
+    for _ in range(KNN_SEARCH_HOPS):
+        beam = hop(beam, graph, KNN_SEARCH_BEAM).localCheckpoint()
+    return beam
+
+
+@register(
+    "ann_hnsw_search",
+    sql=_hnsw_sql(
+        """
+    SELECT query_id, node AS vec_id, round(score, 6) AS score FROM (
+      SELECT query_id, node, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, node ASC) AS rn
+      FROM {beam})
+    WHERE rn <= {topk}"""
+    ),
+)
+def q_ann_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{KNN_SEARCH_TOPK} per query via the FULL HNSW structure:
+    hash-geometric layer assignment, greedy descent through the upper
+    layers' edge subsets from the global entry point, then the
+    layer-0 beam walk — the complete analogue of the reference's
+    Qdrant index (`Qdrant/main.py:58-62`), hash-matched against a
+    DuckDB oracle replaying the identical build + descent + walk."""
+    beam = _hnsw_beam(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("node").asc()
+    )
+    return (
+        beam.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_SEARCH_TOPK)
+        .select(
+            "query_id",
+            F.col("node").alias("vec_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+# equal beam budget to ann_graph_search (B=8, 3 layer-0 hops) — the
+# hierarchy must be at least as good a seeder as the IVF centroids
+HNSW_RECALL_FLOOR = GRAPH_SEARCH_RECALL_FLOOR
+
+
+@register(
+    "ann_hnsw_recall",
+    sql=_hnsw_sql(
+        f"""
+    , hs5 AS (
+      SELECT query_id, node AS vec_id FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, node ASC) AS rn
+        FROM {{beam}})
+      WHERE rn <= {{topk}}
+    ),
+    hexact5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {sql_dot('e.embedding', 's.qv')} DESC,
+                                           e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN hqueries s)
+      WHERE rn <= {{topk}}
+    )
+    SELECT (SELECT count(*) FROM hqueries)::BIGINT AS n_queries,
+           count(*)::BIGINT AS total_hits,
+           count(*) >= {HNSW_RECALL_FLOOR} AS hnsw_recall_ok
+    FROM hs5 JOIN hexact5 USING (query_id, vec_id)"""
+    ),
+)
+def q_ann_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality contract for the HNSW walk at EQUAL beam
+    budget to ``ann_graph_search`` (B={8}, {3} layer-0 hops): top-5 of
+    the 9-query batch must recover at least {HNSW_RECALL_FLOOR} of the
+    45 exact top-5 slots — the hierarchy's descent must seed the
+    layer-0 walk at least as well as the IVF-centroid probe does.
+    Integer-derived single row — hash-matches."""
+    from legalchatbot_vectordb_exp_spark.operators.topk import (
+        topk_search_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    hs5 = q_ann_hnsw_search(spark, sf_dir).select("query_id", "vec_id")
+    qdf = emb.filter(F.col("vec_id") <= N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact5 = topk_search_batch(emb, qdf, k=KNN_SEARCH_TOPK).select(
+        "query_id", "vec_id"
+    )
+    n_q = qdf.count()
+    return hs5.join(exact5, ["query_id", "vec_id"]).agg(
+        F.lit(n_q).cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).alias("total_hits"),
+        (
+            F.count(F.lit(1)) >= HNSW_RECALL_FLOOR
+        ).alias("hnsw_recall_ok"),
+    )

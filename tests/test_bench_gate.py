@@ -137,6 +137,50 @@ def test_regressions_sorted_worst_first():
     assert [r["query"] for r in regs] == ["steady", "planted_3x"]
 
 
+# ---- fixture-section regression gate (round-16 verdict item 6) ----
+
+_PRIOR_FIX = {
+    "sf": 0.1,
+    "queries": {},
+    "fixture": {"ann_graph_search": 7.0, "tiny_fix": 0.05},
+}
+
+
+def test_planted_fixture_blowup_is_flagged():
+    """A staging-path blowup (fixture cost 7 s -> 21 s) must flag even
+    though the steady per-query number is unchanged — the fixture is
+    bigger than any query and used to live outside the gate."""
+    regs = bench.compare_fixture_to_prior(
+        {"ann_graph_search": 21.0, "tiny_fix": 0.05}, _PRIOR_FIX, 0.1
+    )
+    assert [r["query"] for r in regs] == ["fixture.ann_graph_search"]
+    assert regs[0]["ratio"] == 3.0
+
+
+def test_fixture_gate_keeps_floors_and_sf_rules():
+    # sub-jitter absolute delta never flags (0.05 -> 0.15 is 3x ratio)
+    assert (
+        bench.compare_fixture_to_prior({"tiny_fix": 0.15}, _PRIOR_FIX, 0.1)
+        == []
+    )
+    # sf mismatch / missing prior disable the compare
+    assert (
+        bench.compare_fixture_to_prior(
+            {"ann_graph_search": 99.0}, _PRIOR_FIX, 0.01
+        )
+        == []
+    )
+    assert (
+        bench.compare_fixture_to_prior({"ann_graph_search": 99.0}, None, 0.1)
+        == []
+    )
+    # new fixtures never flag
+    assert (
+        bench.compare_fixture_to_prior({"brand_new": 9.0}, _PRIOR_FIX, 0.1)
+        == []
+    )
+
+
 def test_end_to_end_regression_section_fires_at_matching_sf(spark):
     """Planted slowdown through main() itself: monkeypatch-free — feed a
     prior whose sf matches by writing it where main() reads, then

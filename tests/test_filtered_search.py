@@ -139,6 +139,38 @@ def test_search_ivf_where_ivf_branch_prefilters_and_recalls(
     assert hits >= 3, hits
 
 
+def test_search_ivf_rare_filter_saturates_to_exact(
+    spark, sf_smoke, tmp_path
+):
+    """Low-selectivity tier (round-16 verdict item 5): a ~1 %-rare
+    filter (the multi-tenant regime — at production SFs the same
+    selectivity is ~0.1 %) pushes ``ceil(nprobe·n/m)`` past nlist, so
+    the escalation SATURATES at probing every cell — and at
+    saturation the escalated-IVF branch degrades to EXACT filtered
+    search: the recall floor cannot be lost no matter how rare the
+    filter, because the candidate set IS the filtered corpus.  Pins
+    both the planner math (esc == nlist) and result equality with
+    brute force."""
+    c = _labeled_collection(spark, sf_smoke, tmp_path)
+    n = c.read().count()
+    where = "label = 1 AND id LIKE '%7'"  # ~1% of rows (string ids)
+    m = c.read().filter(where).count()
+    assert 0 < m <= max(2, n // 100), (n, m)
+    nlist = len(c.properties["centroids"])
+    branch, esc = filtered_search_plan(
+        n, m, nlist=nlist, threshold=0
+    )
+    assert (branch, esc) == ("ivf", nlist)  # saturated: all cells
+    qvec = [float(x) for x in c.read().filter(where).head()["vector"]]
+    got = c.search_ivf(
+        qvec, k=5, where=where, full_scan_threshold=0
+    ).collect()
+    exact = topk_search(
+        c.read().filter(where), qvec, k=5, vec_col="vector", id_col="id"
+    ).collect()
+    assert [r["id"] for r in got] == [r["id"] for r in exact]
+
+
 def test_search_ivf_where_never_exceeds_nlist(spark, sf_smoke, tmp_path):
     """A near-empty filter escalates to ALL cells — degraded to exact
     filtered search, still correct (and never errors on esc > nlist)."""

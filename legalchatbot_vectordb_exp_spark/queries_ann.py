@@ -3115,3 +3115,113 @@ def q_ann_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) >= HNSW_RECALL_FLOOR
         ).alias("hnsw_recall_ok"),
     )
+
+
+# ------------------------------ discovery search + facet counts
+
+# discover: a target example steered by (positive, negative) context
+# pairs — ranked lexicographically by (pairs satisfied DESC, target
+# similarity DESC, vec_id ASC); a pair is satisfied when
+# sim(v, pos) > sim(v, neg).  Stated as this engine's own contract
+# (the SHAPE of Qdrant's discover API, not a claim of parity with the
+# server's internal context-loss formula).
+DISC_TARGET = 2
+DISC_PAIRS = ((1, 4), (9, 6))
+
+
+@register(
+    "ann_discover",
+    sql=f"""
+    WITH ex AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id IN {tuple({DISC_TARGET, *[x for p in DISC_PAIRS for x in p]})}
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             {" + ".join(
+                 f"(CASE WHEN (SELECT {sql_dot('e.embedding', 'p.embedding')} FROM ex p WHERE p.vec_id = {pos})"
+                 f" > (SELECT {sql_dot('e.embedding', 'g.embedding')} FROM ex g WHERE g.vec_id = {neg})"
+                 f" THEN 1 ELSE 0 END)"
+                 for pos, neg in DISC_PAIRS
+             )} AS pairs_ok,
+             (SELECT {sql_dot('e.embedding', 't.embedding')} FROM ex t
+              WHERE t.vec_id = {DISC_TARGET}) AS tsim
+      FROM embeddings e
+      WHERE e.vec_id NOT IN {tuple({DISC_TARGET, *[x for p in DISC_PAIRS for x in p]})}
+    )
+    SELECT vec_id, CAST(pairs_ok AS INT) AS pairs_ok,
+           round(tsim, 6) AS target_sim
+    FROM scored
+    ORDER BY pairs_ok DESC, tsim DESC, vec_id ASC
+    LIMIT 5
+    """,
+)
+def q_ann_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery-style search (the shape of Qdrant's ``discover``):
+    target example {2}, context pairs {(1,4), (9,6)} — candidates
+    ranked by (context pairs satisfied, target similarity, id).  The
+    example vectors are one metadata-scale driver lookup; each pair
+    check and the target similarity are scan-stage dot-literal
+    expressions, so the plan is scan → expressions →
+    TakeOrderedAndProject: zero shuffles at any example count, the
+    recommend plan shape with an integer lexicographic head.  Mirrors
+    ``VectorCollection.discover``."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ex_ids = sorted({DISC_TARGET, *[x for p in DISC_PAIRS for x in p]})
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(ex_ids)).collect()
+    }
+
+    def lit_dot(eid):
+        return dot("embedding", F.array(*[F.lit(x) for x in vecs[eid]]))
+
+    pairs_ok = None
+    for pos, neg in DISC_PAIRS:
+        sat = (lit_dot(pos) > lit_dot(neg)).cast("int")
+        pairs_ok = sat if pairs_ok is None else pairs_ok + sat
+    return (
+        emb.filter(~F.col("vec_id").isin(ex_ids))
+        .withColumn("pairs_ok", pairs_ok)
+        .withColumn("tsim", lit_dot(DISC_TARGET))
+        .orderBy(
+            F.desc("pairs_ok"), F.desc("tsim"), F.col("vec_id").asc()
+        )
+        .limit(5)
+        .select(
+            "vec_id",
+            F.col("pairs_ok").cast("int").alias("pairs_ok"),
+            F.round("tsim", 6).alias("target_sim"),
+        )
+    )
+
+
+@register(
+    "collection_facet",
+    sql=f"""
+    SELECT label AS value, count(*) AS count
+    FROM embeddings
+    WHERE vec_id % 2 = 0
+    GROUP BY label
+    ORDER BY count DESC, value ASC
+    LIMIT 5
+    """,
+)
+def q_collection_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``facet``: exact value counts of one payload field under
+    a pre-filter, most-frequent first.  One partially-aggregated
+    groupBy whose shuffle carries distinct facet values; the scan
+    reads only the facet + filter columns.  Mirrors
+    ``VectorCollection.facet``."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    return (
+        emb.filter(F.col("vec_id") % 2 == 0)
+        .groupBy(F.col("label").alias("value"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.col("value").asc())
+        .limit(5)
+    )

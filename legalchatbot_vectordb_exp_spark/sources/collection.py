@@ -1010,3 +1010,83 @@ class VectorCollection:
             .orderBy(F.desc("score"), F.col(id_col).asc())
             .limit(k)
         )
+
+    def facet(
+        self, key: str, limit: int = 10, where=None
+    ) -> DataFrame:
+        """Qdrant ``facet``: the distinct values of one payload field
+        with exact match counts, most-frequent first (count DESC,
+        value ASC), optionally under a pre-filter.  One partially-
+        aggregated groupBy — the shuffle carries distinct values, and
+        at 100 TB the scan reads only the facet + filter columns
+        (column pruning)."""
+        base = self.read()
+        if where is not None:
+            base = base.filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
+        return (
+            base.groupBy(F.col(key).alias("value"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), F.col("value").asc())
+            .limit(limit)
+        )
+
+    def discover(
+        self,
+        target,
+        context: list[tuple],
+        k: int = 5,
+    ) -> DataFrame:
+        """Discovery-style search (the shape of Qdrant's ``discover``
+        API — a target plus (positive, negative) context pairs; this
+        implementation ranks lexicographically by (context pairs
+        satisfied DESC, target similarity DESC, id ASC), where a pair
+        is satisfied when sim(v, pos) > sim(v, neg) — stated as its
+        own contract rather than claiming formula parity with the
+        server's internal loss).  ``target`` is an example id;
+        example/target rows are excluded.  All example vectors become
+        scan-stage dot literals (one metadata-scale driver lookup), so
+        the plan is scan → expressions → TakeOrderedAndProject — zero
+        shuffles at any example count.  Mirrors the oracle-checked
+        ``ann_discover`` query."""
+        from legalchatbot_vectordb_exp_spark.functions.vector import dot
+
+        props = self.properties
+        id_col, vec_col = props["id_col"], props["vector_col"]
+        ids = [target] + [x for pair in context for x in pair]
+        vecs = {
+            r[id_col]: [float(v) for v in r[vec_col]]
+            for r in self.read()
+            .filter(F.col(id_col).isin(ids))
+            .select(id_col, vec_col)
+            .collect()
+        }
+        missing = [i for i in ids if i not in vecs]
+        if missing:
+            raise ValueError(f"discover: example ids not found: {missing}")
+
+        def lit_dot(example_id):
+            return dot(
+                vec_col, F.array(*[F.lit(x) for x in vecs[example_id]])
+            )
+
+        pairs_ok = None
+        for pos, neg in context:
+            sat = (lit_dot(pos) > lit_dot(neg)).cast("int")
+            pairs_ok = sat if pairs_ok is None else pairs_ok + sat
+        if pairs_ok is None:
+            pairs_ok = F.lit(0)
+        return (
+            self.read()
+            .filter(~F.col(id_col).isin(ids))
+            .withColumn("pairs_ok", pairs_ok)
+            .withColumn("target_sim", lit_dot(target))
+            .orderBy(
+                F.desc("pairs_ok"),
+                F.desc("target_sim"),
+                F.col(id_col).asc(),
+            )
+            .limit(k)
+            .select(id_col, "pairs_ok", "target_sim")
+        )

@@ -367,3 +367,51 @@ def test_racing_stale_heals_serialize_and_both_land(spark, tmp_path):
     assert not errs
     assert not overlap, "two writers held the props lock at once"
     assert set(c.constraints) >= {"a", "b"}
+
+
+def test_fresh_lock_steal_restores_and_never_destroys(
+    spark, tmp_path, monkeypatch
+):
+    """The documented best-effort window (round-16 verdict item 8,
+    pinned as behavior): when a healer quarantines a lock whose mtime
+    turns out FRESH on re-check (clock skew / suspend-resume), it must
+    RESTORE the captured lock via link-if-absent — the foreign
+    holder's lock survives, byte-identical, and our own release never
+    unlinks it (token mismatch).  The edit still lands after the
+    bounded wait (availability over strict exclusion, the documented
+    trade)."""
+    import time as _time
+
+    c = _coll(spark, tmp_path, "c21")
+    lock = os.path.join(c.path, "._props.lock")
+    with open(lock, "w") as fh:
+        fh.write("foreign-holder-token")
+    old = _time.time() - 60.0
+    os.utime(lock, (old, old))
+
+    real_getmtime = os.path.getmtime
+
+    def fresh_on_quarantine(path):
+        # the quarantine re-check sees a FRESH mtime (the simulated
+        # skew); every other path answers truthfully
+        if ".stale." in os.path.basename(path):
+            return _time.time()
+        return real_getmtime(path)
+
+    monkeypatch.setattr(os.path, "getmtime", fresh_on_quarantine)
+    t0 = _time.time()
+    c.add_constraint("label_nonneg", "label >= 0")
+    elapsed = _time.time() - t0
+    # the edit landed (after the bounded ~1s re-deadline, not the
+    # full original timeout from scratch)
+    assert c.constraints == {"label_nonneg": "label >= 0"}
+    assert elapsed < 8.0, f"{elapsed:.1f}s"
+    # the foreign lock was restored, never clobbered or unlinked
+    assert os.path.exists(lock), "fresh lock destroyed by the steal"
+    with open(lock) as fh:
+        assert fh.read() == "foreign-holder-token"
+    # no quarantine debris left behind
+    assert not [
+        f for f in os.listdir(c.path) if ".stale." in f
+    ]
+    os.unlink(lock)  # cleanup

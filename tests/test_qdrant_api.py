@@ -260,3 +260,86 @@ def test_scroll_order_by_excludes_null_order_values(
         if cursor is None:
             break
     assert got == n_nonnull
+
+
+# ------------------------------------ facet + discovery-style search
+
+
+def test_facet_counts_and_filter(spark, sf_smoke, tmp_path):
+    c, emb = _coll(spark, sf_smoke, tmp_path)
+    got = c.facet("label", limit=3).collect()
+    assert 1 <= len(got) <= 3
+    # exact counts, count-desc then value-asc
+    want = {
+        r["label"]: r["n"]
+        for r in emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = [r["count"] for r in got]
+    assert counts == sorted(counts, reverse=True)
+    for r in got:
+        assert want[r["value"]] == r["count"]
+    # filtered facet = facet of the filtered relation
+    flt = c.facet("label", limit=10, where="id < 100").collect()
+    want_f = {
+        r["label"]: r["n"]
+        for r in emb.filter("id < 100")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["value"]: r["count"] for r in flt} == want_f
+
+
+def test_discover_ranks_by_pairs_then_target(spark, sf_smoke, tmp_path):
+    c, emb = _coll(spark, sf_smoke, tmp_path)
+    got = c.discover(2, [(1, 4), (9, 6)], k=5).collect()
+    assert len(got) == 5
+    ids = [r["id"] for r in got]
+    assert not ({2, 1, 4, 9, 6} & set(ids))  # examples excluded
+    # lexicographic: pairs_ok non-increasing; within a tier,
+    # target_sim non-increasing
+    keys = [(r["pairs_ok"], r["target_sim"]) for r in got]
+    assert keys == sorted(keys, reverse=True)
+    # recompute one row by hand
+    vecs = {
+        r["id"]: [float(x) for x in r["vector"]]
+        for r in emb.filter(
+            F.col("id").isin(ids[:1] + [2, 1, 4, 9, 6])
+        ).collect()
+    }
+
+    def dotp(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    v = vecs[ids[0]]
+    want_ok = int(dotp(v, vecs[1]) > dotp(v, vecs[4])) + int(
+        dotp(v, vecs[9]) > dotp(v, vecs[6])
+    )
+    assert got[0]["pairs_ok"] == want_ok
+    import math
+
+    assert math.isclose(
+        got[0]["target_sim"], dotp(v, vecs[2]), rel_tol=1e-9
+    )
+
+
+def test_discover_missing_example_raises(spark, sf_smoke, tmp_path):
+    c, _ = _coll(spark, sf_smoke, tmp_path)
+    try:
+        c.discover(10**9, [(1, 4)], k=3)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "not found" in str(e)
+
+
+def test_discover_is_zero_shuffle(spark, sf_smoke, tmp_path):
+    c, _ = _coll(spark, sf_smoke, tmp_path)
+    df = c.discover(2, [(1, 4)], k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

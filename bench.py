@@ -64,6 +64,9 @@ _STAGED_FIXTURE_QUERIES = frozenset(
         "ann_graph_search_recall",
         "ann_knn_graph",
         "ann_knn_graph_recall",
+        "ann_hnsw_search",
+        "ann_hnsw_recall",
+        "ann_sparse_persisted",
         "cdf_stream_fold",
         "clone_diverge",
         "dedup_index_cdc_maintain",

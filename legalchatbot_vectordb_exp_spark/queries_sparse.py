@@ -444,3 +444,107 @@ def q_hybrid_fusion_dbsf(
         .limit(HYBRID_TOPK)
         .select("doc_id", F.round("dbsf", 6).alias("dbsf"))
     )
+
+
+# Qdrant sparse-vector `modifier: idf`: the server rescales each
+# query term's weight by ln(1 + (N - df + 0.5)/(df + 0.5)) — BM25's
+# IDF over the stored corpus — so common terms stop dominating the
+# dot product.  Determinism follows bm25_rank's proven recipe: every
+# float derives from exact integer counts (tf, df, N), per-term
+# contributions fold LEFT-TO-RIGHT in query-term order via explicit
+# pivot columns (never an order-free SUM of doubles), display rounds
+# to 6 dp.
+
+_IDF_CONTRIB_SQL = f"""
+    q AS (SELECT * FROM {_SPARSE_QUERY_SQL}),
+    stats AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+              FROM postings),
+    dfreq AS (
+      SELECT p.term_id, CAST(count(*) AS DOUBLE) AS df
+      FROM postings p JOIN q USING (term_id)
+      GROUP BY p.term_id
+    ),
+    contrib AS (
+      SELECT p.doc_id, q.qw,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY q.qw DESC) AS qrank,
+             p.w * q.qw
+               * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS c
+      FROM postings p
+      JOIN q USING (term_id)
+      JOIN dfreq d ON d.term_id = p.term_id, stats s
+    )"""
+
+
+@register(
+    "ann_sparse_idf",
+    sql=f"""
+    WITH {_POSTINGS_SQL},
+    {_IDF_CONTRIB_SQL},
+    scored AS (
+      SELECT doc_id,
+             {" + ".join(
+                 f"coalesce(max(CASE WHEN qw = {w} THEN c END), 0)"
+                 for _, w in SPARSE_QUERY
+             )} AS score
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {SPARSE_TOPK}
+    """,
+)
+def q_ann_sparse_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse search with Qdrant's ``modifier: idf``: each query
+    term's contribution is ``tf · qweight · ln(1 + (N − df + 0.5) /
+    (df + 0.5))`` — the BM25 IDF over the stored corpus, computed
+    from the posting list itself (df = postings per term, N =
+    distinct docs; both one aggregate over the MATCHED postings /
+    posting keys).  Plan adds only two broadcast-scale frames (3-row
+    df, 1-row N) to the plain sparse search; the per-doc fold uses
+    explicit per-term pivot columns summed left-to-right in query
+    order (the ``bm25_rank`` determinism recipe — an order-free SUM
+    of doubles would not replay).  NOTE the query weights double as
+    the pivot key, so SPARSE_QUERY weights must stay distinct —
+    asserted below."""
+    assert len({w for _, w in SPARSE_QUERY}) == len(SPARSE_QUERY)
+    docs = load_table(spark, sf_dir, "documents")
+    postings = _postings(docs)
+    qdf = _sparse_query_df(spark)
+    stats = postings.agg(
+        F.countDistinct("doc_id").cast("double").alias("n")
+    )
+    dfreq = (
+        postings.join(F.broadcast(qdf), "term_id")
+        .groupBy("term_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    contrib = (
+        postings.join(F.broadcast(qdf), "term_id")
+        .join(F.broadcast(dfreq), "term_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.col("w")
+            * F.col("qw")
+            * F.log(
+                1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("qw") == w, F.col("c"))), F.lit(0.0)
+        )
+        for _, w in SPARSE_QUERY
+    ]
+    total = per_term[0]
+    for col in per_term[1:]:
+        total = total + col
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(total, 6).alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id").asc())
+        .limit(SPARSE_TOPK)
+    )

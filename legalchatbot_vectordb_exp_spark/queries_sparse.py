@@ -351,10 +351,15 @@ def q_hybrid_fusion_search(
 
 
 def _dbsf_norm_sql(rank_cte: str) -> str:
-    """DuckDB: μ/σ via ordered list folds, then the normalized score."""
+    """DuckDB: μ/σ via ordered list folds, then the normalized score.
+    σ = 0 (a degenerate all-equal prefetch) contributes 0 — the set
+    carries no distributional information — instead of dividing by
+    zero; the Spark side branches identically."""
     return f"""
       SELECT doc_id,
-             (s - (mu - 3 * sigma)) / (6 * sigma) AS ns
+             CASE WHEN sigma = 0 THEN 0.0
+                  ELSE (s - (mu - 3 * sigma)) / (6 * sigma)
+             END AS ns
       FROM {rank_cte}, (
         SELECT mu, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                  list_transform(ls, x -> (x - mu) * (x - mu))),
@@ -417,7 +422,12 @@ def q_hybrid_fusion_dbsf(
         mu, sigma = dbsf_constants([r["s"] for r in rows])
         out.append(
             [
-                (r["doc_id"], (r["s"] - (mu - 3 * sigma)) / (6 * sigma))
+                (
+                    r["doc_id"],
+                    0.0
+                    if sigma == 0  # degenerate all-equal prefetch
+                    else (r["s"] - (mu - 3 * sigma)) / (6 * sigma),
+                )
                 for r in rows
             ]
         )

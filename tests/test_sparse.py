@@ -186,3 +186,11 @@ def test_dense_prefetch_is_take_ordered(spark, sf_smoke):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dbsf_zero_sigma_prefetch_contributes_zero():
+    """Degenerate all-equal prefetch: σ = 0 must contribute 0 (no
+    distributional information), never divide by zero — both engines
+    carry the identical CASE branch."""
+    mu, sigma = dbsf_constants([2.0, 2.0, 2.0])
+    assert mu == 2.0 and sigma == 0.0

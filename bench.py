@@ -66,6 +66,8 @@ _STAGED_FIXTURE_QUERIES = frozenset(
         "ann_knn_graph_recall",
         "ann_hnsw_search",
         "ann_hnsw_recall",
+        "ann_knn_graph_incremental",
+        "ann_knn_graph_incr_recall",
         "ann_sparse_persisted",
         "cdf_stream_fold",
         "clone_diverge",

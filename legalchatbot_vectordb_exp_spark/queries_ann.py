@@ -1217,22 +1217,28 @@ def _knn_sql_scored_topk(pairs_cte: str, k: int) -> str:
       WHERE rn <= {k})"""
 
 
-def _knn_graph_ctes() -> list[str]:
+def _knn_graph_ctes(base_where: str | None = None) -> list[str]:
     """The shared WITH-clause bodies of the graph build — composed
     structurally by both _knn_graph_sql and _knn_search_sql (string
     surgery on rendered SQL corrupted silently if a CTE ever contained
-    the split token)."""
+    the split token).  ``base_where`` (default None → byte-identical
+    CTEs to the original full-corpus build) restricts the BUILT-OVER
+    node set — the incremental-maintenance base graph; embedding
+    lookups stay unfiltered because pair candidates only ever contain
+    base ids."""
     k, iters = KNN_K, KNN_ITERS
+    base_and = f" AND ({base_where})" if base_where else ""
+    base_pred = f" WHERE ({base_where})" if base_where else ""
     ctes = [
         f"""centroids AS (
       SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
+      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0{base_and}
     )""",
         f"""assign AS (
       SELECT e.vec_id,
              arg_max(c.cid, {sql_dot('e.embedding', 'c.cv')}
                             + 1e-12 * (-c.cid)) AS cluster_id
-      FROM embeddings e CROSS JOIN centroids c
+      FROM embeddings e CROSS JOIN centroids c{base_pred}
       GROUP BY e.vec_id
     )""",
         """ranked AS (
@@ -1346,13 +1352,24 @@ def _knn_scored_topk(pairs: DataFrame, emb: DataFrame) -> DataFrame:
 _KNN_GRAPH_STAGING: dict[str, DataFrame] = {}
 
 
-def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_graph_build(
+    spark: SparkSession,
+    sf_dir: str,
+    base_pred=None,
+    staging: dict | None = None,
+) -> DataFrame:
     """Build the k-NN graph: IVF-cell ring init + KNN_ITERS NN-descent
     rounds.  Returns (src, dst, score) with exactly <=KNN_K edges per
     src, full doubles (callers round for display).  The localCheckpoint
     per round makes the build eager, so the per-process cache returns
-    materialized edges."""
-    cached = _KNN_GRAPH_STAGING.get(sf_dir)
+    materialized edges.  ``base_pred`` restricts the built-over node
+    set (the incremental-maintenance BASE graph); pass a dedicated
+    ``staging`` dict with it so the filtered build never collides with
+    the full build's cache.  NOTE the centroid modulus stays derived
+    from the FULL corpus count (one parquet-footer job) so the base
+    and full builds share a quantizer scale."""
+    staging = _KNN_GRAPH_STAGING if staging is None else staging
+    cached = staging.get(sf_dir)
     if cached is not None:
         try:
             if cached.sparkSession is spark:
@@ -1363,6 +1380,8 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     mod = ivf_mod_for(emb.count())
+    if base_pred is not None:
+        emb = emb.filter(base_pred)
     meta = emb.filter(F.col("vec_id") % mod == 0).collect()
     cids = [int(r[0]) for r in meta]
     cmat = [list(map(float, r[1])) for r in meta]
@@ -1434,7 +1453,7 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pairs = graph.select("src", "dst").union(nn).distinct()
         graph = _knn_scored_topk(pairs, emb).localCheckpoint()
-    _KNN_GRAPH_STAGING[sf_dir] = graph
+    staging[sf_dir] = graph
     return graph
 
 
@@ -3238,4 +3257,320 @@ def q_collection_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy(F.desc("count"), F.col("value").asc())
         .limit(5)
+    )
+
+
+# --------------------------- incremental k-NN graph maintenance
+
+# E13's maintenance half (the graph-family analogue of
+# ``ann_ivf_incremental``): the graph is built over the corpus MINUS a
+# held-out batch, then the batch is INSERTED — each new node finds its
+# neighbors by a beam search over the base graph (HNSW's actual insert
+# algorithm), and only the base nodes a new edge LANDS ON re-rank
+# their lists.  Everything is deterministic and fixed-depth, so a
+# DuckDB oracle replays base build + insert bit-for-bit.
+#
+# Batch semantics (documented contract): all new nodes insert against
+# the BASE graph (batch-parallel — new↔new edges are not created; a
+# real pipeline would fold the next NN-descent round over the merged
+# graph, which q_ann_knn_graph already covers).
+
+INCR_G_MOD = 29  # vec_id % 29 == 7 arrives as the insert batch
+INCR_G_REM = 7
+INCR_G_RECALL_FLOOR = 8  # of the (batch x KNN_GUARD_TOPK) exact slots
+
+
+def _knn_incr_ctes() -> list[str]:
+    """Base-graph CTEs (filtered build) + the insert CTEs, ending in
+    ``finalg`` = the post-insert edge list."""
+    b, hops, k = KNN_SEARCH_BEAM, KNN_SEARCH_HOPS, KNN_K
+    g = f"g{KNN_ITERS}"
+    ctes = _knn_graph_ctes(
+        base_where=f"vec_id % {INCR_G_MOD} != {INCR_G_REM}"
+    )
+    ctes.append(
+        f"""newq AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % {INCR_G_MOD} = {INCR_G_REM}
+    )"""
+    )
+    ctes.append(
+        f"""nbeam0 AS MATERIALIZED (
+      SELECT query_id, node, score FROM (
+        SELECT s.query_id, c.cid AS node,
+               {sql_dot('c.cv', 's.qv')} AS score,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {sql_dot('c.cv', 's.qv')} DESC,
+                                           c.cid ASC) AS rn
+        FROM newq s CROSS JOIN centroids c)
+      WHERE rn <= {b}
+    )"""
+    )
+    for t in range(1, hops + 1):
+        ctes.append(
+            f"""nbeam{t} AS MATERIALIZED (
+      SELECT query_id, node, score FROM (
+        SELECT sc.query_id, sc.node, sc.score,
+               row_number() OVER (PARTITION BY sc.query_id
+                                  ORDER BY sc.score DESC,
+                                           sc.node ASC) AS rn
+        FROM (
+          SELECT c.query_id, c.node,
+                 {sql_dot('e.embedding', 's.qv')} AS score
+          FROM (
+            SELECT DISTINCT query_id, node FROM (
+              SELECT query_id, node FROM nbeam{t - 1}
+              UNION ALL
+              SELECT p.query_id, ed.dst AS node
+              FROM nbeam{t - 1} p JOIN {g} ed ON ed.src = p.node) u
+          ) c
+          JOIN embeddings e ON e.vec_id = c.node
+          JOIN newq s ON s.query_id = c.query_id) sc)
+      WHERE rn <= {b}
+    )"""
+        )
+    ctes.append(
+        f"""ncand AS (
+      SELECT DISTINCT query_id, node FROM (
+        SELECT query_id, node FROM nbeam{hops}
+        UNION ALL
+        SELECT p.query_id, ed.dst AS node
+        FROM nbeam{hops} p JOIN {g} ed ON ed.src = p.node) u
+    )"""
+    )
+    ctes.append(
+        f"""new_edges AS MATERIALIZED (
+      SELECT query_id AS src, node AS dst, score FROM (
+        SELECT c.query_id, c.node,
+               {sql_dot('e.embedding', 'q.qv')} AS score,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY {sql_dot('e.embedding', 'q.qv')} DESC,
+                                           c.node ASC) AS rn
+        FROM ncand c
+        JOIN embeddings e ON e.vec_id = c.node
+        JOIN newq q ON q.query_id = c.query_id)
+      WHERE rn <= {k}
+    )"""
+    )
+    ctes.append(
+        f"""upd_pairs AS (
+      SELECT src, dst FROM {g}
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM new_edges
+    )"""
+    )
+    ctes.append(
+        "updated AS MATERIALIZED "
+        + _knn_sql_scored_topk("upd_pairs", k)
+    )
+    ctes.append(
+        """finalg AS (
+      SELECT src, dst, score FROM updated
+      UNION ALL
+      SELECT src, dst, score FROM new_edges
+    )"""
+    )
+    return ctes
+
+
+def _knn_incr_sql(final_select: str) -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_knn_incr_ctes())
+        + "\n    "
+        + final_select
+    )
+
+
+# sf_dir -> (base graph, final merged graph) staged per process
+_KNN_BASE_STAGING: dict[str, DataFrame] = {}
+_KNN_INCR_STAGING: dict[str, DataFrame] = {}
+
+
+def knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-insert graph, Spark side.  Incremental cost profile:
+    the batch's beam searches are (batch × B × k)-bounded; the
+    re-rank touches ONLY base nodes a new edge lands on (≤ batch·k,
+    via one semi-join — on the persisted layout this is a pruned
+    read); every other base node's edge list is CARRIED untouched.
+    Hash-equality with the oracle's global re-rank holds because
+    re-top-k of an unaffected node's existing k edges is the identity
+    (same scores, same tie-breaks)."""
+    cached = _KNN_INCR_STAGING.get(sf_dir)
+    if cached is not None:
+        try:
+            if cached.sparkSession is spark:
+                return cached
+        except Exception:
+            pass
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    is_new = F.col("vec_id") % INCR_G_MOD == INCR_G_REM
+    base = knn_graph_build(
+        spark, sf_dir, base_pred=~is_new, staging=_KNN_BASE_STAGING
+    ).select("src", "dst", "score")
+    newq = emb.filter(is_new).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    mod = ivf_mod_for(emb.count())
+    cents = emb.filter(
+        (F.col("vec_id") % mod == 0) & ~is_new
+    ).select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("nv")
+    )
+    nodes = emb.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("nv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("node").asc()
+    )
+    beam = (
+        newq.join(F.broadcast(cents))
+        .withColumn("score", dot("nv", "qv"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_SEARCH_BEAM)
+        .select("query_id", "node", "score")
+    )
+    graph_sd = base.select("src", "dst")
+
+    def expand(frame):
+        return frame.select("query_id", "node").union(
+            F.broadcast(frame.alias("p"))
+            .join(
+                graph_sd.alias("ed"), F.col("ed.src") == F.col("p.node")
+            )
+            .select(
+                F.col("p.query_id").alias("query_id"),
+                F.col("ed.dst").alias("node"),
+            )
+        ).distinct()
+
+    for _ in range(KNN_SEARCH_HOPS):
+        beam = (
+            expand(beam)
+            .join(F.broadcast(nodes), "node")
+            .join(F.broadcast(newq), "query_id")
+            .withColumn("score", dot("nv", "qv"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KNN_SEARCH_BEAM)
+            .select("query_id", "node", "score")
+            .localCheckpoint()
+        )
+    ncand = expand(beam)
+    new_edges = (
+        ncand.join(F.broadcast(nodes), "node")
+        .join(F.broadcast(newq), "query_id")
+        .withColumn("score", dot("nv", "qv"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("node").alias("dst"),
+            "score",
+        )
+        .localCheckpoint()
+    )
+    rev = new_edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    affected = rev.select("src").distinct()
+    affected_pairs = (
+        base.join(affected, "src", "semi").select("src", "dst").union(rev)
+    )
+    updated_affected = _knn_scored_topk(affected_pairs, emb)
+    untouched = base.join(affected, "src", "anti")
+    final = (
+        untouched.select("src", "dst", "score")
+        .union(updated_affected)
+        .union(new_edges)
+        .localCheckpoint()
+    )
+    _KNN_INCR_STAGING[sf_dir] = final
+    return final
+
+
+@register(
+    "ann_knn_graph_incremental",
+    sql=_knn_incr_sql(
+        "SELECT src, dst, round(score, 6) AS score FROM finalg"
+    ),
+)
+def q_ann_knn_graph_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL graph maintenance (E13 ⨝ the ann_ivf_incremental
+    shape): the NN-descent graph is built over the corpus MINUS the
+    ``vec_id % {29} == {7}`` batch, then the batch inserts via beam
+    search over the base graph — HNSW's insert algorithm — and only
+    the landed-on base nodes re-rank.  The FULL post-insert edge list
+    hash-matches a DuckDB oracle replaying base build + insert; the
+    Spark plan touches O(batch·k) base nodes, never rebuilding."""
+    return knn_graph_incremental(spark, sf_dir).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
+@register(
+    "ann_knn_graph_incr_recall",
+    sql=_knn_incr_sql(
+        f"""
+    , exact_new AS (
+      SELECT src, dst FROM (
+        SELECT q.query_id AS src, e.vec_id AS dst,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_dot('e.embedding', 'q.qv')} DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN newq q
+        WHERE e.vec_id % {INCR_G_MOD} != {INCR_G_REM})
+      WHERE rn <= {KNN_GUARD_TOPK}
+    )
+    SELECT (SELECT count(*) FROM newq)::BIGINT AS n_new,
+           count(*)::BIGINT AS total_hits,
+           count(*) >= {INCR_G_RECALL_FLOOR} AS incr_recall_ok
+    FROM finalg f JOIN exact_new USING (src, dst)
+    WHERE f.src % {INCR_G_MOD} = {INCR_G_REM}"""
+    ),
+)
+def q_ann_knn_graph_incr_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximation-quality contract for the INSERT path: the new
+    nodes' edges must recover ≥ {INCR_G_RECALL_FLOOR} of their exact
+    brute-force top-{KNN_GUARD_TOPK} slots among BASE nodes — a broken
+    beam/candidate/re-rank step collapses toward the random-overlap
+    expectation of ~0-2.  Integer-derived single row — hash-matches."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    is_new = F.col("vec_id") % INCR_G_MOD == INCR_G_REM
+    final = knn_graph_incremental(spark, sf_dir).filter(
+        F.col("src") % INCR_G_MOD == INCR_G_REM
+    )
+    newq = emb.filter(is_new).select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        emb.filter(~is_new)
+        .crossJoin(F.broadcast(newq))
+        .withColumn("score", dot("embedding", "qv"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("score"), F.col("vec_id").asc()
+    )
+    exact_new = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_GUARD_TOPK)
+        .select("src", F.col("vec_id").alias("dst"))
+    )
+    n_new = newq.count()
+    return final.join(exact_new, ["src", "dst"]).agg(
+        F.lit(n_new).cast("bigint").alias("n_new"),
+        F.count(F.lit(1)).alias("total_hits"),
+        (F.count(F.lit(1)) >= INCR_G_RECALL_FLOOR).alias(
+            "incr_recall_ok"
+        ),
     )

@@ -152,3 +152,64 @@ def test_graph_search_shape_and_recall(spark):
         f"graph-search recall {row.total_hits} under floor "
         f"{GRAPH_SEARCH_RECALL_FLOOR}"
     )
+
+
+# ----------------------- incremental maintenance (round-17, E13 half)
+
+
+def test_incremental_insert_structure(spark):
+    """Post-insert invariants: every new node has <= k edges all
+    landing on BASE nodes; untouched base nodes carry their base edge
+    lists byte-identically; affected base nodes keep exactly k edges."""
+    from legalchatbot_vectordb_exp_spark.queries_ann import (
+        _KNN_BASE_STAGING,
+        INCR_G_MOD,
+        INCR_G_REM,
+        knn_graph_build,
+        knn_graph_incremental,
+    )
+
+    final = knn_graph_incremental(spark, SF_DIR)
+    base = knn_graph_build(
+        spark,
+        SF_DIR,
+        base_pred=~(F.col("vec_id") % INCR_G_MOD == INCR_G_REM),
+        staging=_KNN_BASE_STAGING,
+    )
+    is_new = lambda v: v % INCR_G_MOD == INCR_G_REM  # noqa: E731
+    rows = final.collect()
+    new_rows = [r for r in rows if is_new(r["src"])]
+    assert new_rows, "no inserted edges"
+    deg = {}
+    for r in new_rows:
+        assert not is_new(r["dst"])  # batch links to BASE only
+        deg[r["src"]] = deg.get(r["src"], 0) + 1
+    assert max(deg.values()) <= KNN_K
+    # affected = base nodes gaining a reverse candidate
+    affected = {r["dst"] for r in new_rows}
+    base_rows = base.collect()
+    base_by_src = {}
+    for r in base_rows:
+        base_by_src.setdefault(r["src"], set()).add(
+            (r["dst"], round(r["score"], 9))
+        )
+    final_by_src = {}
+    for r in rows:
+        if not is_new(r["src"]):
+            final_by_src.setdefault(r["src"], set()).add(
+                (r["dst"], round(r["score"], 9))
+            )
+    for src, edges in base_by_src.items():
+        if src in affected:
+            assert len(final_by_src[src]) == len(edges)  # still k
+        else:
+            assert final_by_src[src] == edges, src  # carried untouched
+
+
+def test_incremental_recall_guard_passes(spark):
+    from legalchatbot_vectordb_exp_spark.queries_ann import (
+        q_ann_knn_graph_incr_recall,
+    )
+
+    row = q_ann_knn_graph_incr_recall(spark, SF_DIR).collect()[0]
+    assert row["incr_recall_ok"], row

@@ -187,6 +187,62 @@ def measure_cow_merge(
     }
 
 
+def measure_graph_insert(spark, sf_dir: str) -> dict:
+    """Incremental-insert proportionality probe (round-17): stage the
+    BASE graph first (its build cost measured separately), then
+    measure ONLY the insert phase — the new batch's beam searches +
+    the affected-node re-rank.  The claim this backs: maintaining the
+    graph for a batch costs a small, roughly CONSTANT fraction of the
+    full NN-descent rebuild at every corpus size (the batch here is
+    n/29, so absolute cost grows with the corpus but the
+    insert/rebuild ratio must stay flat — a rebuild-in-disguise would
+    trend toward 1)."""
+    from legalchatbot_vectordb_exp_spark.queries_ann import (
+        _KNN_BASE_STAGING,
+        _KNN_INCR_STAGING,
+        INCR_G_MOD,
+        INCR_G_REM,
+        knn_graph_build,
+        knn_graph_incremental,
+    )
+    import pyspark.sql.functions as F
+
+    # fresh per tier: the staging dicts are keyed by sf_dir, and each
+    # tier uses its own replica dir, so stale entries cannot leak —
+    # but drop any prior entry for THIS dir to re-measure honestly
+    _KNN_BASE_STAGING.pop(sf_dir, None)
+    _KNN_INCR_STAGING.pop(sf_dir, None)
+    is_new = F.col("vec_id") % INCR_G_MOD == INCR_G_REM
+    before = _stages(spark)
+    t0 = time.perf_counter()
+    knn_graph_build(
+        spark, sf_dir, base_pred=~is_new, staging=_KNN_BASE_STAGING
+    ).write.mode("overwrite").format("noop").save()
+    build_wall = time.perf_counter() - t0
+    mid = _stages(spark)
+    t0 = time.perf_counter()
+    knn_graph_incremental(spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    insert_wall = time.perf_counter() - t0
+    after = _stages(spark)
+    build_bytes = sum(
+        v for k, v in mid.items() if k not in before
+    )
+    insert_bytes = sum(
+        v for k, v in after.items() if k not in mid
+    )
+    return {
+        "build_wall_s": round(build_wall, 2),
+        "insert_wall_s": round(insert_wall, 2),
+        "build_shuffle_bytes": build_bytes,
+        "insert_shuffle_bytes": insert_bytes,
+        "insert_over_build_bytes": round(
+            insert_bytes / max(1, build_bytes), 4
+        ),
+    }
+
+
 def measure_multiwriter(
     spark, sf_dir: str, wh: str, writers: int = 8, commits: int = 25
 ) -> dict:
@@ -599,6 +655,24 @@ def main() -> None:
                     flush=True,
                 )
             out["results"]["ann_knn_graph"] = kg
+        if "graph_insert" in only:
+            gi: dict = dict(prov)
+            for n in multiples:
+                sf_dir = (
+                    base
+                    if n == 1
+                    else build(
+                        base,
+                        os.path.join(tmp_root, f"stress_shuffle_{n}x"),
+                        n,
+                    )
+                )
+                gi[f"{n}x"] = measure_graph_insert(spark, sf_dir)
+                print(
+                    json.dumps({"graph_insert": {f"{n}x": gi[f'{n}x']}}),
+                    flush=True,
+                )
+            out["results"]["graph_insert"] = gi
         if "write100" in only:
             # round-15 verdict item 5: COW merge / multiwriter / DV
             # read families measured to 30x before — push to 100x and

@@ -3574,3 +3574,66 @@ def q_ann_knn_graph_incr_recall(
             "incr_recall_ok"
         ),
     )
+
+
+# ------------------------------ search_matrix (pairwise distances)
+
+MATRIX_SAMPLE = 12  # vec_id < 12 — the filtered sample
+MATRIX_TOPK = 3  # nearest neighbors kept per row (Qdrant `limit`)
+
+
+@register(
+    "ann_search_matrix",
+    sql=f"""
+    WITH sample AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id < {MATRIX_SAMPLE} AND vec_id % 2 = 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {sql_dot('a.embedding', 'b.embedding')} AS s
+      FROM sample a JOIN sample b ON a.vec_id != b.vec_id
+    ),
+    ranked AS (
+      SELECT id_a, id_b, s,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY s DESC, id_b ASC) AS rn
+      FROM pairs
+    )
+    SELECT id_a, id_b, round(s, 6) AS score
+    FROM ranked WHERE rn <= {MATRIX_TOPK}
+    """,
+)
+def q_ann_search_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``search_matrix``: the pairwise-similarity matrix of a
+    FILTERED point sample, trimmed to each row's top-{MATRIX_TOPK}
+    nearest (the API powers clustering/dedup previews over a
+    selection).  The sample is bounded by the filter (user-facing —
+    Qdrant's own API caps it), so the pair volume is sample², never
+    corpus²; the sample broadcasts against itself and the per-row
+    window runs over ≤ sample·top rows.  Exact scores, full
+    hash-match.  Mirrors ``VectorCollection.search_matrix``."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    sample = emb.filter(
+        (F.col("vec_id") < MATRIX_SAMPLE) & (F.col("vec_id") % 2 == 0)
+    )
+    a = sample.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = sample.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
+        .withColumn("s", dot("va", "vb"))
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("s"), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MATRIX_TOPK)
+        .select("id_a", "id_b", F.round("s", 6).alias("score"))
+    )

@@ -1090,3 +1090,43 @@ class VectorCollection:
             .limit(k)
             .select(id_col, "pairs_ok", "target_sim")
         )
+
+    def search_matrix(
+        self, where, sample_limit: int = 64, top: int = 3
+    ) -> DataFrame:
+        """Qdrant ``search_matrix``: pairwise similarity among a
+        FILTERED sample of points, trimmed to each row's ``top``
+        nearest.  The sample is hard-capped at ``sample_limit`` rows
+        (ascending-id — deterministic) because the pair volume is
+        sample²: the cap is the API contract that keeps the matrix
+        user-facing-bounded no matter the filter's selectivity.
+        Mirrors the oracle-checked ``ann_search_matrix`` query."""
+        from legalchatbot_vectordb_exp_spark.functions.vector import dot
+
+        props = self.properties
+        id_col, vec_col = props["id_col"], props["vector_col"]
+        flt = F.expr(where) if isinstance(where, str) else where
+        sample = (
+            self.read()
+            .filter(flt)
+            .orderBy(F.col(id_col).asc())
+            .limit(sample_limit)
+            .select(id_col, vec_col)
+        )
+        a = sample.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        )
+        b = sample.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        )
+        pairs = a.join(
+            F.broadcast(b), F.col("id_a") != F.col("id_b")
+        ).withColumn("score", dot("_va", "_vb"))
+        w = Window.partitionBy("id_a").orderBy(
+            F.desc("score"), F.col("id_b").asc()
+        )
+        return (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top)
+            .select("id_a", "id_b", "score")
+        )

@@ -343,3 +343,24 @@ def test_discover_is_zero_shuffle(spark, sf_smoke, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_search_matrix_shape_cap_and_symmetry(spark, sf_smoke, tmp_path):
+    c, emb = _coll(spark, sf_smoke, tmp_path)
+    got = c.search_matrix("label = 1", sample_limit=8, top=2).collect()
+    ids = {r["id_a"] for r in got}
+    assert 0 < len(ids) <= 8
+    per_row = {}
+    for r in got:
+        assert r["id_a"] != r["id_b"]
+        per_row[r["id_a"]] = per_row.get(r["id_a"], 0) + 1
+    assert max(per_row.values()) <= 2
+    # dot is symmetric: if (a,b) and (b,a) both survive their rows'
+    # top-2, the scores agree exactly
+    scores = {(r["id_a"], r["id_b"]): r["score"] for r in got}
+    for (x, y), s in scores.items():
+        if (y, x) in scores:
+            assert scores[(y, x)] == s
+    # the cap binds: a broad filter still yields <= sample_limit rows
+    wide = c.search_matrix("label >= 0", sample_limit=5, top=2).collect()
+    assert len({r["id_a"] for r in wide}) <= 5

@@ -69,6 +69,10 @@ _STAGED_FIXTURE_QUERIES = frozenset(
         "ann_knn_graph_incremental",
         "ann_knn_graph_incr_recall",
         "ann_sparse_persisted",
+        "ann_sparse_topk",
+        "ann_sparse_idf",
+        "hybrid_fusion_search",
+        "hybrid_fusion_dbsf",
         "cdf_stream_fold",
         "clone_diverge",
         "dedup_index_cdc_maintain",

@@ -245,3 +245,89 @@ def test_decode_jpeg_total_on_corrupt_streams(data):
         out = decode_jpeg(blob)
         if out is not None:
             assert out.ndim == 3 and out.dtype.name == "uint8"
+
+
+# ------------------------- rank fusion (round-17, hybrid query_points)
+
+
+def ref_rrf(rankings, k, topk):
+    """Direct python twin of operators.fusion.rrf_fuse."""
+    score = {}
+    for ranking in rankings:
+        for doc, r in ranking:
+            score[doc] = score.get(doc, 0.0) + 1.0 / (k + r)
+    out = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out[:topk]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rankings=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=30),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    k=st.integers(min_value=1, max_value=100),
+)
+def test_rrf_fuse_matches_reference(spark, rankings, k):
+    """rrf_fuse == the obvious python fold for any retriever count,
+    id overlap pattern, and k — exact float equality (both sides are
+    the same sums of the same reciprocals, and the per-doc addition
+    order is retriever order on both)."""
+    from legalchatbot_vectordb_exp_spark.operators.fusion import rrf_fuse
+
+    ranked = [
+        [(doc, i + 1) for i, doc in enumerate(lst)] for lst in rankings
+    ]
+    dfs = [
+        spark.createDataFrame(lst, "doc_id long, r int") for lst in ranked
+    ]
+    got = [
+        (r["doc_id"], r["rrf"])
+        for r in rrf_fuse(dfs, k=k, topk=1000).collect()
+    ]
+    want = ref_rrf(ranked, k, 1000)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12), (gd, gs, ws)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    scores=st.lists(
+        st.floats(
+            min_value=-100, max_value=100,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_dbsf_constants_match_sequential_reference(scores):
+    """dbsf_constants == the literal sequential fold (bit-for-bit —
+    this IS the cross-engine determinism contract, so no tolerance),
+    and σ is the population std: 0 iff all scores equal."""
+    from legalchatbot_vectordb_exp_spark.operators.fusion import (
+        dbsf_constants,
+    )
+
+    mu, sigma = dbsf_constants(scores)
+    acc = 0.0
+    for s in scores:
+        acc += s
+    want_mu = acc / len(scores)
+    acc2 = 0.0
+    for s in scores:
+        acc2 += (s - want_mu) * (s - want_mu)
+    want_sigma = (acc2 / len(scores)) ** 0.5
+    assert mu == want_mu and sigma == want_sigma
+    assert (sigma == 0.0) == (len(set(scores)) == 1) or sigma >= 0.0

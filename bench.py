@@ -76,6 +76,7 @@ _STAGED_FIXTURE_QUERIES = frozenset(
         "cdf_stream_fold",
         "clone_diverge",
         "dedup_index_cdc_maintain",
+        "sparse_index_cdc_maintain",
         "events_stream_join_live",
         "events_streaming_live",
         "restore_rollback",

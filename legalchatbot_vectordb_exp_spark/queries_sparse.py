@@ -580,3 +580,149 @@ def q_ann_sparse_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.col("doc_id").asc())
         .limit(SPARSE_TOPK)
     )
+
+
+# ------------------------------------------------------- E14 ⨝ E11
+# sparse_index_cdc_maintain — the STANDING posting list kept current
+# from the versioned sink's change feed, completing the maintenance
+# story across the index families (IVF: ann_ivf_incremental; graph:
+# ann_knn_graph_incremental; dedup bands: dedup_index_cdc_maintain;
+# sparse postings: here).
+
+_SPARSE_IDX_HISTORY: dict[str, str] = {}  # sf_dir -> built warehouse
+
+
+def _sparse_idx_corpus_sql() -> str:
+    """Final corpus state, reconstructed relationally: corpus =
+    doc_id % 8 = 1; v1 merge appended ' rev2' to docs with
+    doc_id % 5 = 0 (inserts) or % 3 = 0 (updates); v2 deleted
+    % 7 = 0."""
+    return """
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 OR doc_id % 3 = 0
+                  THEN text || ' rev2' ELSE text END AS text
+      FROM documents
+      WHERE doc_id % 8 = 1 AND doc_id % 7 <> 0
+    """
+
+
+@register(
+    "sparse_index_cdc_maintain",
+    sql=f"""
+    WITH corpus AS ({_sparse_idx_corpus_sql()}),
+    tf AS (
+      SELECT doc_id, t AS tok, count(*) AS w
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+            FROM corpus)
+      WHERE t <> '' GROUP BY doc_id, t
+    ),
+    postings AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS term_id,
+             w
+      FROM tf
+    )
+    SELECT (term_id % 16)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_postings,
+           count(DISTINCT term_id)::BIGINT AS n_terms,
+           CAST(sum(w) AS BIGINT) AS sum_w,
+           CAST(sum(term_id % 97 * w) AS BIGINT) AS wsum
+    FROM postings GROUP BY 1
+    """,
+)
+def q_sparse_index_cdc_maintain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Standing SPARSE posting list maintained from the versioned
+    sink's change feed (E14 ⨝ E11 — the upkeep side of the inverted
+    index ``ann_sparse_persisted`` searches).
+
+    History on a documents collection (corpus = doc_id % 8 = 1): v0
+    create (id % 5 ≠ 0), v1 COW MERGE upserting % 5 = 0 (inserts) and
+    % 3 = 0 (updates, ' rev2' appended), v2 ``delete_where(id % 7 =
+    0)``.  The v0 posting list is built once and STORED; maintenance
+    consumes ``changes(0, 2)`` — delete/update ids retire their
+    posting rows by ANTI join, insert/update_postimage docs alone are
+    re-tokenized and appended.  A doc's postings are a pure per-doc
+    function of its text (tf — no corpus-dependent weighting stored),
+    which is exactly what makes the index O(changes)-maintainable;
+    corpus-dependent rescaling (IDF) happens at QUERY time
+    (``ann_sparse_idf``) from the maintained tf relation, so it is
+    always current for free.  The oracle recomputes the posting list
+    from the relationally-reconstructed final corpus: a stale
+    posting, missed retirement, or double-add changes a bucket's
+    (count, distinct terms, Σw, weighted checksum) and fails the
+    hash.
+
+    Scale shape: feed = manifest-diff touch set only; retirement
+    anti-join keys on the index's own doc_id (bucketed/co-located at
+    rest); re-tokenize cost ∝ changed docs, never the corpus."""
+    import os
+    import shutil
+
+    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
+    from legalchatbot_vectordb_exp_spark.sources.versioned import (
+        VersionedCollection,
+    )
+
+    warehouse = _scratch(sf_dir, "sparse_idx_cdc")
+    coll = VersionedCollection(spark, warehouse, "docs_sparse_idx")
+    if _SPARSE_IDX_HISTORY.get(sf_dir) != warehouse:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 8 == 1)
+            .select(
+                F.col("doc_id").alias("id"),
+                "text",
+                F.array(F.col("n_chars").cast("float")).alias("vector"),
+            )
+        )
+        if os.path.isdir(coll.path):
+            shutil.rmtree(coll.path)  # fresh history per process
+        coll.create(
+            docs.filter(F.col("id") % 5 != 0),
+            dim=1,
+            metric="dot",
+            normalize=False,
+        )
+        coll.merge(
+            docs.filter(
+                (F.col("id") % 5 == 0) | (F.col("id") % 3 == 0)
+            ).withColumn("text", F.concat(F.col("text"), F.lit(" rev2")))
+        )
+        coll.delete_where("id % 7 = 0")
+        _postings(
+            coll.read(version=0).select(
+                F.col("id").alias("doc_id"), "text"
+            )
+        ).write.mode("overwrite").parquet(
+            _scratch(sf_dir, "sparse_idx_postings")
+        )
+        _SPARSE_IDX_HISTORY[sf_dir] = warehouse
+
+    index_v0 = spark.read.parquet(
+        _scratch(sf_dir, "sparse_idx_postings")
+    )
+    feed = coll.changes(0, 2).cache()
+    retired = feed.filter(
+        F.col("_change_type").isin("delete", "update_postimage")
+    ).select(F.col("id").alias("doc_id"))
+    arrived = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(F.col("id").alias("doc_id"), "text")
+
+    maintained = index_v0.join(
+        F.broadcast(retired), "doc_id", "left_anti"
+    ).unionByName(_postings(arrived))
+
+    return maintained.groupBy(
+        (F.col("term_id") % 16).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.countDistinct("term_id").alias("n_terms"),
+        F.sum("w").cast("bigint").alias("sum_w"),
+        F.sum((F.col("term_id") % 97) * F.col("w"))
+        .cast("bigint")
+        .alias("wsum"),
+    )

@@ -424,7 +424,10 @@ def q_hybrid_fusion_dbsf(
     DISTRIBUTION — ``(s − (μ − 3σ)) / 6σ`` with μ, σ the mean and
     population std of that retriever's top-{100} — then summed.
     Unlike RRF it preserves score magnitudes, so a retriever with one
-    dominant hit outweighs one with a flat tail.
+    dominant hit outweighs one with a flat tail.  (Qdrant documents
+    DBSF as "mean ± 3σ as the normalization limits" without
+    specifying tail behavior; THIS engine's stated contract is linear
+    scaling beyond the band — no clipping — and σ = 0 contributes 0.)
 
     Determinism contract: μ and σ are sequential left-folds over the
     prefetch scores in RANK order on both engines — here the ≤{100}

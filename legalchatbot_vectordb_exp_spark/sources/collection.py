@@ -1130,3 +1130,230 @@ class VectorCollection:
             .filter(F.col("_rn") <= top)
             .select("id_a", "id_b", "score")
         )
+
+    # ----------- named sparse vectors on a multi collection (round 17)
+
+    def attach_sparse(
+        self,
+        name: str,
+        postings: DataFrame,
+        term_col: str = "term_id",
+        weight_col: str = "weight",
+        n_buckets: int = 64,
+    ) -> "VectorCollection":
+        """Attach a NAMED SPARSE vector space to a ``create_multi``
+        collection (Qdrant stores sparse vectors beside the dense
+        named vectors of the SAME collection — one point, several
+        spaces).  ``postings`` carries ``(id_col, term_col,
+        weight_col)`` rows for the collection's points; they land as
+        a term-bucketed sidecar table under the collection directory
+        (``_sparse_<name>/`` — the underscore keeps the sidecar
+        invisible to the point table's own parquet discovery), the
+        same layout ``create_sparse`` uses,
+        and the name registers in the properties next to the dense
+        vector configs.  Validation: (id, term) uniqueness + non-null
+        terms/weights (one aggregate), and every posting id must
+        exist in the collection (an anti-join count)."""
+        props = self.properties
+        if props.get("layout") != "multi":
+            raise ValueError(
+                f"collection {self.name}: attach_sparse needs a "
+                f"create_multi collection"
+            )
+        if name in props.get("vectors", {}) or name in props.get(
+            "sparse_vectors", {}
+        ):
+            raise ValueError(
+                f"collection {self.name}: vector name {name!r} taken"
+            )
+        id_col = props["id_col"]
+        row = postings.agg(
+            F.sum(
+                (
+                    F.col(term_col).isNull() | F.col(weight_col).isNull()
+                ).cast("int")
+            ).alias("bad"),
+            (
+                F.count(F.lit(1))
+                - F.countDistinct(F.col(id_col), F.col(term_col))
+            ).alias("dupes"),
+        ).first()
+        if row["bad"] or 0:
+            raise ValueError(
+                f"collection {self.name}: {row['bad']} postings have "
+                f"NULL term/weight"
+            )
+        if row["dupes"] or 0:
+            raise ValueError(
+                f"collection {self.name}: {row['dupes']} duplicate "
+                f"(id, term) postings"
+            )
+        orphans = (
+            postings.select(id_col)
+            .distinct()
+            .join(self.read().select(id_col), id_col, "left_anti")
+            .count()
+        )
+        if orphans:
+            raise ValueError(
+                f"collection {self.name}: {orphans} posting ids have "
+                f"no point in the collection"
+            )
+        out = postings.select(id_col, term_col, weight_col).withColumn(
+            "bucket",
+            F.pmod(F.col(term_col), F.lit(n_buckets)).cast("int"),
+        )
+        out.write.mode("errorifexists").partitionBy("bucket").parquet(
+            os.path.join(self.path, f"_sparse_{name}")
+        )
+        sparse = dict(props.get("sparse_vectors", {}))
+        sparse[name] = {
+            "term_col": term_col,
+            "weight_col": weight_col,
+            "n_buckets": n_buckets,
+        }
+        props["sparse_vectors"] = sparse
+        with open(os.path.join(self.path, _PROPS_FILE), "w") as f:
+            json.dump(props, f)
+        return self
+
+    def _search_sparse_named(
+        self, name: str, query: dict, k: int
+    ) -> DataFrame:
+        """Top-k in one named SPARSE space: bucket-pruned sidecar scan,
+        broadcast query terms, sum(w·qw) per id — identical plan to
+        ``search_sparse`` on a standalone sparse collection."""
+        from legalchatbot_vectordb_exp_spark.queries_sparse import (
+            term_id_of,
+        )
+
+        props = self.properties
+        cfg = props.get("sparse_vectors", {}).get(name)
+        if cfg is None:
+            raise KeyError(
+                f"collection {self.name} has no sparse vector "
+                f"{name!r} (names: {sorted(props.get('sparse_vectors', {}))})"
+            )
+        id_col = props["id_col"]
+        term_col, weight_col = cfg["term_col"], cfg["weight_col"]
+        n_buckets = int(cfg["n_buckets"])
+        terms = {
+            (term_id_of(t) if isinstance(t, str) else int(t)): w
+            for t, w in query.items()
+        }
+        if not terms:
+            raise ValueError("sparse query needs at least one term")
+        buckets = sorted({tid % n_buckets for tid in terms})
+        all_int = all(isinstance(w, int) for w in terms.values())
+        qdf = self.spark.createDataFrame(
+            [(tid, float(w)) for tid, w in sorted(terms.items())],
+            f"{term_col} long, _qw double",
+        )
+        scored = (
+            self.spark.read.parquet(
+                os.path.join(self.path, f"_sparse_{name}")
+            )
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col(term_col).isin(list(terms)))
+            .join(F.broadcast(qdf), term_col)
+            .groupBy(id_col)
+            .agg(F.sum(F.col(weight_col) * F.col("_qw")).alias("_s"))
+        )
+        score = F.col("_s").cast("bigint") if all_int else F.col("_s")
+        return (
+            scored.select(id_col, score.alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col).asc())
+            .limit(k)
+        )
+
+    def query_points(
+        self,
+        prefetch: list[dict],
+        fusion: str = "rrf",
+        k: int = 10,
+        prefetch_limit: int = 100,
+    ) -> DataFrame:
+        """Qdrant ``query_points`` with server-side fusion on ONE
+        collection: each prefetch runs in its own named space —
+        ``{"using": <dense name>, "vector": [...]}`` or ``{"using":
+        <sparse name>, "terms": {...}}`` — and the ranked lists fuse
+        by RRF (``fusion="rrf"``) or DBSF (``fusion="dbsf"``).  Each
+        prefetch keeps its optimal plan (TakeOrderedAndProject /
+        bucket-pruned posting aggregate); the fuse consumes ≤
+        ``prefetch_limit``-row frames — metadata-scale.  DBSF follows
+        the engine's stated contract (sequential rank-order μ/σ folds,
+        linear beyond the ±3σ band, σ=0 → 0)."""
+        from legalchatbot_vectordb_exp_spark.operators.fusion import (
+            dbsf_constants,
+            rrf_fuse,
+        )
+
+        props = self.properties
+        id_col = props["id_col"]
+        if fusion not in ("rrf", "dbsf"):
+            raise ValueError(f"unknown fusion {fusion!r}")
+        ranked = []
+        for spec in prefetch:
+            using = spec["using"]
+            if "vector" in spec:
+                top = self.search_named(
+                    using, spec["vector"], k=prefetch_limit
+                ).select(id_col, F.col("score").alias("_s"))
+            elif "terms" in spec:
+                top = self._search_sparse_named(
+                    using, spec["terms"], k=prefetch_limit
+                ).select(
+                    id_col, F.col("score").cast("double").alias("_s")
+                )
+            else:
+                raise ValueError(
+                    "prefetch needs 'vector' (dense) or 'terms' (sparse)"
+                )
+            w = Window.orderBy(F.desc("_s"), F.col(id_col).asc())
+            ranked.append(
+                top.select(
+                    id_col, "_s", F.row_number().over(w).alias("r")
+                )
+            )
+        if fusion == "rrf":
+            return rrf_fuse(
+                ranked, id_col=id_col, k=60, topk=k, out_col="score"
+            )
+        norm = []
+        for rdf in ranked:
+            rows = rdf.orderBy("r").collect()
+            mu, sigma = dbsf_constants([r["_s"] for r in rows])
+            norm.append(
+                self.spark.createDataFrame(
+                    [
+                        (
+                            r[id_col],
+                            0.0
+                            if sigma == 0
+                            else (r["_s"] - (mu - 3 * sigma))
+                            / (6 * sigma),
+                        )
+                        for r in rows
+                    ],
+                    f"{id_col} long, _ns double",
+                )
+            )
+        from functools import reduce
+
+        fused = reduce(
+            lambda a, b: a.withColumnRenamed("_ns", "_na").join(
+                b.withColumnRenamed("_ns", "_nb"), id_col, "full"
+            ).select(
+                id_col,
+                (
+                    F.coalesce(F.col("_na"), F.lit(0.0))
+                    + F.coalesce(F.col("_nb"), F.lit(0.0))
+                ).alias("_ns"),
+            ),
+            norm,
+        )
+        return (
+            fused.select(id_col, F.col("_ns").alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col).asc())
+            .limit(k)
+        )

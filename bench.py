@@ -221,6 +221,60 @@ def _compare_maps(
     return out
 
 
+def confirm_regressions(
+    regs: list[dict],
+    remeasure,
+    *,
+    ratio_floor: float = 2.0,
+    abs_floor_sec: float = 0.25,
+) -> tuple[list[dict], list[dict]]:
+    """Flag → CONFIRM → classify (round-17 item 1: the gate flagged
+    text_stats/time_gapfill/pii_redact at 2.6-3.0x on byte-identical
+    code and the round shipped undiagnosed).  Root cause, measured
+    (diag phases A-D, round 18): the elevation does not reproduce in
+    this process under ANY accumulated-state hypothesis — fresh
+    session 0.60-0.71 s, after building all 22 staged fixtures
+    0.38-0.66 s, after unpersisting 0.38-0.57 s, after 300-job
+    listener churn 0.37-0.47 s ≈ the r16 numbers — so the r17 numbers
+    were transient host interference during that run, not a plan
+    regression.  The structural fix: every flagged QUERY regression is
+    re-measured at suite END (the warmest, quietest point); if the new
+    best no longer trips the same gate it is reclassified to
+    ``transient`` (kept in the artifact for honesty), else it stays
+    confirmed.  Interference at suite end AND mid-suite on the same
+    query is possible but now requires lightning to strike twice;
+    a real plan regression re-measures slow every time.
+
+    ``remeasure(name) -> float`` returns a fresh steady sample (or
+    raises — the original sample then stands and the flag is kept
+    confirmed, never dropped on a broken re-run).  Fixture.* entries
+    are one-time builds and cannot be re-measured: pass only query
+    regressions here."""
+    confirmed: list[dict] = []
+    transient: list[dict] = []
+    for r in regs:
+        try:
+            fresh = remeasure(r["query"])
+        except Exception:  # noqa: BLE001 — keep the original verdict
+            confirmed.append(dict(r, confirm=None))
+            continue
+        best = min(float(r["current"]), fresh)
+        ratio = best / r["prior"]
+        entry = dict(
+            r,
+            confirm=round(fresh, 2),
+            current=round(best, 2),
+            ratio=round(ratio, 2),
+        )
+        still = (
+            ratio > ratio_floor
+            and ratio > max(1.0, float(r.get("prior_spread", 1.0)))
+            and (best - r["prior"]) > abs_floor_sec
+        )
+        (confirmed if still else transient).append(entry)
+    return confirmed, transient
+
+
 def _load_prior(repo_dir: str, current_names: list[str]) -> dict | None:
     """Locate the previous round's per-query timings to compare against.
 
@@ -453,6 +507,20 @@ def main(queries=None, sf_dir=None, stop=True, emit=True) -> dict:
         for n in sorted(_STAGED_FIXTURE_QUERIES)
         if n in spreads
     }
+    # flag → confirm → classify: query flags get a fresh re-measure at
+    # suite end (warmest/quietest point) before they may enter the
+    # artifact as regressions; transient host interference lands in
+    # ``transient`` instead (see confirm_regressions for the r17
+    # root-cause measurements behind this).  Fixture flags are
+    # one-time builds — not re-measurable — and pass through as-is.
+    query_flags = compare_to_prior(timings, prior, sf)
+
+    def _remeasure(name: str) -> float:
+        best = min(_run(name, queries[name]) for _ in range(3))
+        timings[name] = round(min(timings[name], best), 2)
+        return best
+
+    confirmed, transient = confirm_regressions(query_flags, _remeasure)
     # per-query (min, median, max) across repeats — the judge reads the
     # full distribution, not just the steady min
     stats = {
@@ -469,11 +537,11 @@ def main(queries=None, sf_dir=None, stop=True, emit=True) -> dict:
         "stats": stats,
         "fixture": fixture,
         "regressions": sorted(
-            compare_to_prior(timings, prior, sf)
-            + compare_fixture_to_prior(fixture, prior, sf),
+            confirmed + compare_fixture_to_prior(fixture, prior, sf),
             key=lambda r: r["ratio"],
             reverse=True,
         ),
+        "transient": transient,
         "baseline_artifact": (
             prior.get("source", "bench_latest.json@prev")
             if prior and prior.get("sf") == sf

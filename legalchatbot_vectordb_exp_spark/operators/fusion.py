@@ -52,7 +52,15 @@ def dbsf_constants(scores_in_rank_order: list[float]) -> tuple[float, float]:
     order — the documented determinism contract: the DuckDB oracle
     folds ``list(s ORDER BY r)`` with ``list_reduce``, this folds the
     collected prefetch identically, so normalization constants are
-    bit-identical doubles on both engines."""
+    bit-identical doubles on both engines.
+
+    An EMPTY prefetch (e.g. a sparse retriever whose query terms
+    match no postings) carries no distributional information: it
+    returns (0.0, 0.0), and the σ = 0 branch downstream contributes
+    0 to the fused score — mirroring rrf's graceful full-outer-join
+    handling of the same case."""
+    if not scores_in_rank_order:
+        return 0.0, 0.0
     acc = 0.0
     for s in scores_in_rank_order:
         acc += s

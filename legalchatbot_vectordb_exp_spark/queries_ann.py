@@ -2758,8 +2758,9 @@ def q_ann_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # layers to find the layer-0 entry instead of probing centroids.
 #
 # Determinism: the layer of a node is md5-derived (p = 1/4 per level,
-# capped at 2 — the classic HNSW ml = 1/ln(M) geometric assignment
-# with the RNG replaced by a hash both engines compute identically),
+# levels 0..3 with the top level keyed on h % 64 — the classic HNSW
+# ml = 1/ln(M) geometric assignment with the RNG replaced by a hash
+# both engines compute identically),
 # the entry point is the (level DESC, vec_id ASC) ranked first node,
 # and every walk has FIXED hop counts, so the DuckDB oracle replays
 # the exact build + descent + beam bit-for-bit.
@@ -2771,7 +2772,9 @@ HNSW_DESCENT_BEAM = 12  # ef in the upper layers (layer-0 beam stays 8)
 
 def _hnsw_level_expr():
     """level(v) from the first 8 md5 hex digits of the DECIMAL vec_id:
-    2 if h % 16 == 0, 1 if h % 4 == 0, else 0 — geometric p = 1/4."""
+    3 if h % 64 == 0, 2 if h % 16 == 0, 1 if h % 4 == 0, else 0 —
+    geometric p = 1/4 capped at HNSW_LEVEL_CAP = 3 (the contract the
+    oracle's _HNSW_LEVELS_SQL replays verbatim)."""
     h = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint")

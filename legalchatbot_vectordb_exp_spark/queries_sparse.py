@@ -327,9 +327,12 @@ _SPARSE_RANK_SQL = f"""
              coalesce(1.0 / ({RRF_K} + d.r), 0)
                + coalesce(1.0 / ({RRF_K} + s.r), 0) AS rrf
       FROM dense_rank d FULL JOIN sparse_rank s ON d.doc_id = s.doc_id
+    ),
+    cut AS (
+      SELECT doc_id, rrf FROM fused
+      ORDER BY rrf DESC, doc_id ASC LIMIT {HYBRID_TOPK}
     )
-    SELECT doc_id, round(rrf, 6) AS rrf
-    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {HYBRID_TOPK}
+    SELECT doc_id, round(rrf, 6) AS rrf FROM cut
     """,
 )
 def q_hybrid_fusion_search(
@@ -411,9 +414,12 @@ def _dbsf_norm_sql(rank_cte: str) -> str:
       SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
              coalesce(d.ns, 0) + coalesce(s.ns, 0) AS dbsf
       FROM dense_norm d FULL JOIN sparse_norm s ON d.doc_id = s.doc_id
+    ),
+    cut AS (
+      SELECT doc_id, dbsf FROM fused
+      ORDER BY dbsf DESC, doc_id ASC LIMIT {HYBRID_TOPK}
     )
-    SELECT doc_id, round(dbsf, 6) AS dbsf
-    FROM fused ORDER BY dbsf DESC, doc_id ASC LIMIT {HYBRID_TOPK}
+    SELECT doc_id, round(dbsf, 6) AS dbsf FROM cut
     """,
 )
 def q_hybrid_fusion_dbsf(
@@ -502,8 +508,6 @@ _IDF_CONTRIB_SQL = f"""
     ),
     contrib AS (
       SELECT p.doc_id, q.qw,
-             row_number() OVER (PARTITION BY p.doc_id
-                                ORDER BY q.qw DESC) AS qrank,
              p.w * q.qw
                * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS c
       FROM postings p
@@ -543,8 +547,13 @@ def q_ann_sparse_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (the ``bm25_rank`` determinism recipe — an order-free SUM
     of doubles would not replay).  NOTE the query weights double as
     the pivot key, so SPARSE_QUERY weights must stay distinct —
-    asserted below."""
-    assert len({w for _, w in SPARSE_QUERY}) == len(SPARSE_QUERY)
+    enforced below (a ValueError, not an assert: ``python -O`` strips
+    asserts, and a silently merged pivot would corrupt scores)."""
+    if len({w for _, w in SPARSE_QUERY}) != len(SPARSE_QUERY):
+        raise ValueError(
+            "q_ann_sparse_idf pivots on query weight: SPARSE_QUERY "
+            "weights must be pairwise distinct"
+        )
     postings = staged_postings(spark, sf_dir)
     qdf = _sparse_query_df(spark)
     stats = postings.agg(

@@ -34,6 +34,12 @@ from legalchatbot_vectordb_exp_spark.functions.vector import l2_norm, l2_normali
 
 _PROPS_FILE = "_collection.json"
 
+# DBSF fusion collects each prefetch on the driver (the sequential
+# rank-order fold IS the cross-engine determinism contract); this cap
+# bounds that collect so a caller can't turn it into a million-row
+# driver materialization by passing a huge prefetch_limit.
+DBSF_PREFETCH_CAP = 1024
+
 
 class VectorCollection:
     """DDL/upsert/search-surface for one vector table under a warehouse
@@ -700,6 +706,7 @@ class VectorCollection:
                 F.count(F.lit(1))
                 - F.countDistinct(F.col(id_col), F.col(term_col))
             ).alias("dupes"),
+            F.count(F.lit(1)).alias("n"),
         ).first()
         if row["bad"] or 0:
             raise ValueError(
@@ -715,9 +722,17 @@ class VectorCollection:
             "bucket",
             F.pmod(F.col(term_col), F.lit(n_buckets)).cast("int"),
         )
-        out.write.mode("overwrite").partitionBy("bucket").parquet(
-            self.path
-        )
+        if row["n"] or 0:
+            out.write.mode("overwrite").partitionBy("bucket").parquet(
+                self.path
+            )
+        else:
+            # Empty collections are valid, but partitionBy on an empty
+            # frame writes only _SUCCESS and a later read fails schema
+            # inference.  Write one empty schema-bearing parquet file
+            # instead (bucket as a plain column — the search's bucket
+            # filter still binds; there is nothing to prune).
+            out.write.mode("overwrite").parquet(self.path)
         with open(os.path.join(self.path, _PROPS_FILE), "w") as f:
             json.dump(
                 {
@@ -1292,6 +1307,17 @@ class VectorCollection:
         id_col = props["id_col"]
         if fusion not in ("rrf", "dbsf"):
             raise ValueError(f"unknown fusion {fusion!r}")
+        if fusion == "dbsf" and prefetch_limit > DBSF_PREFETCH_CAP:
+            # DBSF's determinism contract folds the collected prefetch
+            # on the driver — safe ONLY because prefetches are
+            # metadata-scale.  Refuse a limit that would silently turn
+            # the driver fold into a large collect.
+            raise ValueError(
+                f"fusion='dbsf' collects each prefetch on the driver "
+                f"(sequential-fold determinism contract): "
+                f"prefetch_limit={prefetch_limit} exceeds the "
+                f"documented cap {DBSF_PREFETCH_CAP}"
+            )
         ranked = []
         for spec in prefetch:
             using = spec["using"]

@@ -144,6 +144,11 @@ def test_create_sparse_validates(spark, sf_smoke, tmp_path):
         empty, id_col="doc_id", term_col="term_id", weight_col="w"
     )
     assert c2.exists()
+    # ...and the empty collection must stay READABLE: an empty
+    # partitionBy write leaves only _SUCCESS and a later search dies
+    # on parquet schema inference (r17 ADVICE) — the layout writes an
+    # explicit schema-bearing file instead, so search returns 0 rows.
+    assert c2.search_sparse({"vector": 1}, k=3).count() == 0
 
 
 def test_rrf_fuse_three_retrievers_exact(spark):
@@ -194,3 +199,42 @@ def test_dbsf_zero_sigma_prefetch_contributes_zero():
     carry the identical CASE branch."""
     mu, sigma = dbsf_constants([2.0, 2.0, 2.0])
     assert mu == 2.0 and sigma == 0.0
+
+
+def test_dbsf_empty_prefetch_is_graceful():
+    """An EMPTY prefetch (query terms matching no postings) must not
+    crash the fold (r17 ADVICE: ZeroDivisionError): it degrades to
+    the σ = 0 contributes-0 branch, mirroring rrf's full-outer-join
+    handling of the same case."""
+    assert dbsf_constants([]) == (0.0, 0.0)
+
+
+def test_query_points_dbsf_prefetch_cap(spark, sf_smoke, tmp_path):
+    """DBSF's driver-side fold is metadata-scale ONLY because the
+    prefetch is bounded — query_points must refuse a prefetch_limit
+    above the documented cap instead of silently collecting it
+    (r17 VERDICT item 6)."""
+    from legalchatbot_vectordb_exp_spark.sources.collection import (
+        DBSF_PREFETCH_CAP,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("body"),
+    )
+    c = VectorCollection(spark, str(tmp_path), "capped")
+    c.create_multi(emb, vectors={"body": {"dim": 64, "metric": "dot"}})
+    qv = [1.0] + [0.0] * 63
+    with pytest.raises(ValueError, match="cap"):
+        c.query_points(
+            [{"using": "body", "vector": qv}],
+            fusion="dbsf",
+            prefetch_limit=DBSF_PREFETCH_CAP + 1,
+        )
+    # at or below the cap the same call is fine
+    assert (
+        c.query_points(
+            [{"using": "body", "vector": qv}], fusion="dbsf", k=3
+        ).count()
+        == 3
+    )

@@ -1202,8 +1202,13 @@ KNN_ITERS = 3  # NN-descent refinement rounds (fixed => SQL-expressible;
 KNN_GUARD_TOPK = 6  # exact slots per node the recall guard checks
 
 
-def _knn_sql_scored_topk(pairs_cte: str, k: int) -> str:
-    """Rank candidate pairs by exact dot, keep top-k per src."""
+def _knn_sql_scored_topk(
+    pairs_cte: str, k: int, emb_rel: str = "embeddings"
+) -> str:
+    """Rank candidate pairs by exact dot, keep top-k per src.
+    ``emb_rel`` is the vector-lookup relation — the incremental
+    family passes an AUGMENTED relation (corpus ∪ derived insert
+    batch) so reverse edges landing on new ids still score."""
     return f"""(
       SELECT src, dst, score FROM (
         SELECT s.src, s.dst, s.score,
@@ -1212,8 +1217,8 @@ def _knn_sql_scored_topk(pairs_cte: str, k: int) -> str:
         FROM (SELECT p.src, p.dst,
                      {sql_dot('es.embedding', 'ed.embedding')} AS score
               FROM {pairs_cte} p
-              JOIN embeddings es ON es.vec_id = p.src
-              JOIN embeddings ed ON ed.vec_id = p.dst) s)
+              JOIN {emb_rel} es ON es.vec_id = p.src
+              JOIN {emb_rel} ed ON ed.vec_id = p.dst) s)
       WHERE rn <= {k})"""
 
 
@@ -2758,29 +2763,36 @@ def q_ann_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # layers to find the layer-0 entry instead of probing centroids.
 #
 # Determinism: the layer of a node is md5-derived (p = 1/4 per level,
-# levels 0..3 with the top level keyed on h % 64 — the classic HNSW
+# levels 0..2 with the top level keyed on h % 16 — the classic HNSW
 # ml = 1/ln(M) geometric assignment with the RNG replaced by a hash
 # both engines compute identically),
 # the entry point is the (level DESC, vec_id ASC) ranked first node,
 # and every walk has FIXED hop counts, so the DuckDB oracle replays
 # the exact build + descent + beam bit-for-bit.
+#
+# Round-18 retune (measured, SCALE.md §17d): entering at a DENSER top
+# layer dominates every other knob on this corpus — cap 2 (~n/16
+# scanned exactly, the centroid-probe analogue) with a deeper descent
+# (3 hops, ef 16) lifts recall 16/20/16 → 31/32/18 of 45 vs the
+# IVF-seeded walk's 30/29/21 at equal layer-0 budget; edge-diversity
+# (select-neighbors) heuristics moved NOTHING on i.i.d.-random
+# vectors (20 → 20 at sf0.01), so they were not adopted.
 
-HNSW_LEVEL_CAP = 3  # layers 0..3 (p=1/4 geometric, hash-derived)
-HNSW_UPPER_HOPS = 2  # hops per descended layer (2 and 1)
-HNSW_DESCENT_BEAM = 12  # ef in the upper layers (layer-0 beam stays 8)
+HNSW_LEVEL_CAP = 2  # layers 0..2 (p=1/4 geometric, hash-derived)
+HNSW_UPPER_HOPS = 3  # hops in each descended layer
+HNSW_DESCENT_BEAM = 16  # ef in the upper layers (layer-0 beam stays 8)
 
 
 def _hnsw_level_expr():
     """level(v) from the first 8 md5 hex digits of the DECIMAL vec_id:
-    3 if h % 64 == 0, 2 if h % 16 == 0, 1 if h % 4 == 0, else 0 —
-    geometric p = 1/4 capped at HNSW_LEVEL_CAP = 3 (the contract the
-    oracle's _HNSW_LEVELS_SQL replays verbatim)."""
+    2 if h % 16 == 0, 1 if h % 4 == 0, else 0 — geometric p = 1/4
+    capped at HNSW_LEVEL_CAP = 2 (the contract the oracle's
+    _HNSW_LEVELS_SQL replays verbatim)."""
     h = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint")
     return (
-        F.when(h % 64 == 0, F.lit(3))
-        .when(h % 16 == 0, F.lit(2))
+        F.when(h % 16 == 0, F.lit(2))
         .when(h % 4 == 0, F.lit(1))
         .otherwise(F.lit(0))
     )
@@ -2788,8 +2800,7 @@ def _hnsw_level_expr():
 
 _HNSW_LEVELS_SQL = """levels AS (
       SELECT vec_id,
-             CASE WHEN h % 64 = 0 THEN 3
-                  WHEN h % 16 = 0 THEN 2
+             CASE WHEN h % 16 = 0 THEN 2
                   WHEN h % 4 = 0 THEN 1
                   ELSE 0 END AS level
       FROM (SELECT vec_id,
@@ -2842,8 +2853,8 @@ def _hnsw_sql(final_select: str) -> str:
     # global (level DESC, vec_id ASC) entry node is unioned in so the
     # set is never empty at tiny corpora
     ctes.append(
-        """topset AS (
-      SELECT vec_id FROM levels WHERE level >= 3
+        f"""topset AS (
+      SELECT vec_id FROM levels WHERE level >= {HNSW_LEVEL_CAP}
       UNION
       SELECT vec_id FROM (
         SELECT vec_id FROM levels
@@ -3266,35 +3277,55 @@ def q_collection_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------- incremental k-NN graph maintenance
 
 # E13's maintenance half (the graph-family analogue of
-# ``ann_ivf_incremental``): the graph is built over the corpus MINUS a
-# held-out batch, then the batch is INSERTED — each new node finds its
-# neighbors by a beam search over the base graph (HNSW's actual insert
-# algorithm), and only the base nodes a new edge LANDS ON re-rank
-# their lists.  Everything is deterministic and fixed-depth, so a
-# DuckDB oracle replays base build + insert bit-for-bit.
+# ``ann_ivf_incremental``): the base graph is the FULL-corpus
+# NN-descent build — the SAME staged build ann_graph_search / the
+# HNSW family walk (r17 item 3: the previous held-out-batch design
+# rebuilt a 96%-of-corpus second graph per process, the largest
+# fixture cost in the bench) — and the insert batch is a set of
+# DERIVED points: midpoints of adjacent sampled corpus vectors, i.e.
+# arriving vectors that did not exist at build time.  Each new node
+# finds its neighbors by a beam search over the base graph (HNSW's
+# actual insert algorithm), and only the base nodes a new edge LANDS
+# ON re-rank their lists.  Everything is deterministic and
+# fixed-depth, so a DuckDB oracle replays build + insert bit-for-bit.
 #
 # Batch semantics (documented contract): all new nodes insert against
 # the BASE graph (batch-parallel — new↔new edges are not created; a
 # real pipeline would fold the next NN-descent round over the merged
 # graph, which q_ann_knn_graph already covers).
 
-INCR_G_MOD = 29  # vec_id % 29 == 7 arrives as the insert batch
+INCR_G_MOD = 29  # midpoint(v, v+1) for v % 29 == 7 is the insert batch
 INCR_G_REM = 7
+INCR_G_ID_OFFSET = 1 << 30  # new ids = sampled vec_id + offset
 INCR_G_RECALL_FLOOR = 8  # of the (batch x KNN_GUARD_TOPK) exact slots
+
+# the derived insert vector: element-wise midpoint of two adjacent
+# corpus vectors, widened to double BEFORE the average on both engines
+# (float32 halves would not replay)
+_INCR_NEWQ_SQL = f"""newq AS MATERIALIZED (
+      SELECT a.vec_id + {INCR_G_ID_OFFSET} AS query_id,
+             list_transform(
+               list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+               x -> (x[1] + x[2]) / 2.0) AS qv
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % {INCR_G_MOD} = {INCR_G_REM}
+    )"""
 
 
 def _knn_incr_ctes() -> list[str]:
-    """Base-graph CTEs (filtered build) + the insert CTEs, ending in
-    ``finalg`` = the post-insert edge list."""
+    """FULL-graph CTEs (byte-identical to the shared build) + the
+    insert CTEs, ending in ``finalg`` = the post-insert edge list."""
     b, hops, k = KNN_SEARCH_BEAM, KNN_SEARCH_HOPS, KNN_K
     g = f"g{KNN_ITERS}"
-    ctes = _knn_graph_ctes(
-        base_where=f"vec_id % {INCR_G_MOD} != {INCR_G_REM}"
-    )
+    ctes = _knn_graph_ctes()
+    ctes.append(_INCR_NEWQ_SQL)
+    # corpus ∪ new points: the re-rank scores reverse edges whose dst
+    # is a NEW id, so the lookup relation must carry both
     ctes.append(
-        f"""newq AS MATERIALIZED (
-      SELECT vec_id AS query_id, embedding AS qv
-      FROM embeddings WHERE vec_id % {INCR_G_MOD} = {INCR_G_REM}
+        """allemb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      UNION ALL
+      SELECT query_id AS vec_id, qv AS embedding FROM newq
     )"""
     )
     ctes.append(
@@ -3364,7 +3395,7 @@ def _knn_incr_ctes() -> list[str]:
     )
     ctes.append(
         "updated AS MATERIALIZED "
-        + _knn_sql_scored_topk("upd_pairs", k)
+        + _knn_sql_scored_topk("upd_pairs", k, emb_rel="allemb")
     )
     ctes.append(
         """finalg AS (
@@ -3385,20 +3416,47 @@ def _knn_incr_sql(final_select: str) -> str:
     )
 
 
-# sf_dir -> (base graph, final merged graph) staged per process
-_KNN_BASE_STAGING: dict[str, DataFrame] = {}
+# sf_dir -> final merged graph staged per process (the base graph is
+# the SHARED _KNN_GRAPH_STAGING build — no second build, r17 item 3)
 _KNN_INCR_STAGING: dict[str, DataFrame] = {}
+
+
+def incr_new_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived insert batch: (query_id, qv) midpoints of adjacent
+    sampled corpus vectors — Spark twin of ``_INCR_NEWQ_SQL``."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return (
+        emb.alias("a")
+        .join(
+            emb.alias("b"),
+            F.col("b.vec_id") == F.col("a.vec_id") + 1,
+        )
+        .filter(F.col("a.vec_id") % INCR_G_MOD == INCR_G_REM)
+        .select(
+            (F.col("a.vec_id") + INCR_G_ID_OFFSET).alias("query_id"),
+            F.zip_with(
+                "a.embedding",
+                "b.embedding",
+                lambda x, y: (x.cast("double") + y.cast("double"))
+                / 2.0,
+            ).alias("qv"),
+        )
+    )
 
 
 def knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The post-insert graph, Spark side.  Incremental cost profile:
-    the batch's beam searches are (batch × B × k)-bounded; the
-    re-rank touches ONLY base nodes a new edge lands on (≤ batch·k,
-    via one semi-join — on the persisted layout this is a pruned
-    read); every other base node's edge list is CARRIED untouched.
-    Hash-equality with the oracle's global re-rank holds because
-    re-top-k of an unaffected node's existing k edges is the identity
-    (same scores, same tie-breaks)."""
+    the base graph is the one staged full-corpus build every graph
+    consumer shares (zero marginal cost here); the batch's beam
+    searches are (batch × B × k)-bounded; the re-rank touches ONLY
+    base nodes a new edge lands on (≤ batch·k, via one semi-join — on
+    the persisted layout this is a pruned read); every other base
+    node's edge list is CARRIED untouched.  Hash-equality with the
+    oracle's global re-rank holds because re-top-k of an unaffected
+    node's existing k edges is the identity (same scores, same
+    tie-breaks)."""
     cached = _KNN_INCR_STAGING.get(sf_dir)
     if cached is not None:
         try:
@@ -3409,18 +3467,10 @@ def knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    is_new = F.col("vec_id") % INCR_G_MOD == INCR_G_REM
-    base = knn_graph_build(
-        spark, sf_dir, base_pred=~is_new, staging=_KNN_BASE_STAGING
-    ).select("src", "dst", "score")
-    newq = emb.filter(is_new).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-    )
+    base = knn_graph_build(spark, sf_dir).select("src", "dst", "score")
+    newq = incr_new_points(spark, sf_dir)
     mod = ivf_mod_for(emb.count())
-    cents = emb.filter(
-        (F.col("vec_id") % mod == 0) & ~is_new
-    ).select(
+    cents = emb.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("node"), F.col("embedding").alias("nv")
     )
     nodes = emb.select(
@@ -3482,7 +3532,17 @@ def knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     affected_pairs = (
         base.join(affected, "src", "semi").select("src", "dst").union(rev)
     )
-    updated_affected = _knn_scored_topk(affected_pairs, emb)
+    # corpus ∪ new points: reverse edges' dst is a NEW id, so the
+    # re-rank's vector lookup must carry both (twin of the allemb CTE)
+    allemb = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).union(
+        newq.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("qv").alias("embedding"),
+        )
+    )
+    updated_affected = _knn_scored_topk(affected_pairs, allemb)
     untouched = base.join(affected, "src", "anti")
     final = (
         untouched.select("src", "dst", "score")
@@ -3504,12 +3564,15 @@ def q_ann_knn_graph_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """INCREMENTAL graph maintenance (E13 ⨝ the ann_ivf_incremental
-    shape): the NN-descent graph is built over the corpus MINUS the
-    ``vec_id % {29} == {7}`` batch, then the batch inserts via beam
-    search over the base graph — HNSW's insert algorithm — and only
-    the landed-on base nodes re-rank.  The FULL post-insert edge list
-    hash-matches a DuckDB oracle replaying base build + insert; the
-    Spark plan touches O(batch·k) base nodes, never rebuilding."""
+    shape): the base graph is the SHARED full-corpus NN-descent build
+    (one staged build serves graph-search, HNSW, and this family);
+    the insert batch is DERIVED points — midpoints of adjacent
+    sampled corpus vectors (``vec_id % {29} == {7}``), i.e. vectors
+    that did not exist at build time — inserted via beam search over
+    the base graph (HNSW's insert algorithm); only the landed-on base
+    nodes re-rank.  The FULL post-insert edge list hash-matches a
+    DuckDB oracle replaying build + insert; the Spark plan touches
+    O(batch·k) base nodes, never rebuilding."""
     return knn_graph_incremental(spark, sf_dir).select(
         "src", "dst", F.round("score", 6).alias("score")
     )
@@ -3526,15 +3589,14 @@ def q_ann_knn_graph_incremental(
                  PARTITION BY q.query_id
                  ORDER BY {sql_dot('e.embedding', 'q.qv')} DESC,
                           e.vec_id ASC) AS rn
-        FROM embeddings e CROSS JOIN newq q
-        WHERE e.vec_id % {INCR_G_MOD} != {INCR_G_REM})
+        FROM embeddings e CROSS JOIN newq q)
       WHERE rn <= {KNN_GUARD_TOPK}
     )
     SELECT (SELECT count(*) FROM newq)::BIGINT AS n_new,
            count(*)::BIGINT AS total_hits,
            count(*) >= {INCR_G_RECALL_FLOOR} AS incr_recall_ok
     FROM finalg f JOIN exact_new USING (src, dst)
-    WHERE f.src % {INCR_G_MOD} = {INCR_G_REM}"""
+    WHERE f.src >= {INCR_G_ID_OFFSET}"""
     ),
 )
 def q_ann_knn_graph_incr_recall(
@@ -3548,18 +3610,14 @@ def q_ann_knn_graph_incr_recall(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    is_new = F.col("vec_id") % INCR_G_MOD == INCR_G_REM
     final = knn_graph_incremental(spark, sf_dir).filter(
-        F.col("src") % INCR_G_MOD == INCR_G_REM
+        F.col("src") >= INCR_G_ID_OFFSET
     )
-    newq = emb.filter(is_new).select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("qv"),
+    newq = incr_new_points(spark, sf_dir).select(
+        F.col("query_id").alias("src"), "qv"
     )
-    scored = (
-        emb.filter(~is_new)
-        .crossJoin(F.broadcast(newq))
-        .withColumn("score", dot("embedding", "qv"))
+    scored = emb.crossJoin(F.broadcast(newq)).withColumn(
+        "score", dot("embedding", "qv")
     )
     w = Window.partitionBy("src").orderBy(
         F.desc("score"), F.col("vec_id").asc()

@@ -60,6 +60,12 @@ FAMILIES = [
     # the full posting list (~all distinct (doc, term) pairs) and
     # never token instances
     "ann_sparse_topk",
+    # round-18: HNSW hierarchy — the upper-layer kNN edge build
+    # (direct ∪ 2-hop closure restricted to the layer, top-k per src)
+    # must keep the capped-candidate bound the layer-0 build proved:
+    # shuffle bytes ~linear in corpus rows, never the closure's
+    # uncapped-hubness blow-up
+    "ann_hnsw_search",
 ]
 
 
@@ -198,26 +204,24 @@ def measure_graph_insert(spark, sf_dir: str) -> dict:
     insert/rebuild ratio must stay flat — a rebuild-in-disguise would
     trend toward 1)."""
     from legalchatbot_vectordb_exp_spark.queries_ann import (
-        _KNN_BASE_STAGING,
+        _KNN_GRAPH_STAGING,
         _KNN_INCR_STAGING,
-        INCR_G_MOD,
-        INCR_G_REM,
         knn_graph_build,
         knn_graph_incremental,
     )
-    import pyspark.sql.functions as F
 
     # fresh per tier: the staging dicts are keyed by sf_dir, and each
     # tier uses its own replica dir, so stale entries cannot leak —
-    # but drop any prior entry for THIS dir to re-measure honestly
-    _KNN_BASE_STAGING.pop(sf_dir, None)
+    # but drop any prior entry for THIS dir to re-measure honestly.
+    # The base graph is the SHARED full-corpus build (r18): the probe
+    # measures it as the "build" term, then the insert phase alone.
+    _KNN_GRAPH_STAGING.pop(sf_dir, None)
     _KNN_INCR_STAGING.pop(sf_dir, None)
-    is_new = F.col("vec_id") % INCR_G_MOD == INCR_G_REM
     before = _stages(spark)
     t0 = time.perf_counter()
-    knn_graph_build(
-        spark, sf_dir, base_pred=~is_new, staging=_KNN_BASE_STAGING
-    ).write.mode("overwrite").format("noop").save()
+    knn_graph_build(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
     build_wall = time.perf_counter() - t0
     mid = _stages(spark)
     t0 = time.perf_counter()

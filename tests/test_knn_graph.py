@@ -162,21 +162,16 @@ def test_incremental_insert_structure(spark):
     landing on BASE nodes; untouched base nodes carry their base edge
     lists byte-identically; affected base nodes keep exactly k edges."""
     from legalchatbot_vectordb_exp_spark.queries_ann import (
-        _KNN_BASE_STAGING,
-        INCR_G_MOD,
-        INCR_G_REM,
+        INCR_G_ID_OFFSET,
         knn_graph_build,
         knn_graph_incremental,
     )
 
     final = knn_graph_incremental(spark, SF_DIR)
-    base = knn_graph_build(
-        spark,
-        SF_DIR,
-        base_pred=~(F.col("vec_id") % INCR_G_MOD == INCR_G_REM),
-        staging=_KNN_BASE_STAGING,
-    )
-    is_new = lambda v: v % INCR_G_MOD == INCR_G_REM  # noqa: E731
+    # the base graph IS the shared full-corpus staged build (r17
+    # item 3: no second build) — the insert batch is derived points
+    base = knn_graph_build(spark, SF_DIR)
+    is_new = lambda v: v >= INCR_G_ID_OFFSET  # noqa: E731
     rows = final.collect()
     new_rows = [r for r in rows if is_new(r["src"])]
     assert new_rows, "no inserted edges"

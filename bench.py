@@ -71,6 +71,7 @@ _STAGED_FIXTURE_QUERIES = frozenset(
         "ann_sparse_persisted",
         "ann_sparse_topk",
         "ann_sparse_idf",
+        "sparse_layout_incremental",
         "hybrid_fusion_search",
         "hybrid_fusion_dbsf",
         "cdf_stream_fold",

@@ -3423,17 +3423,27 @@ _KNN_INCR_STAGING: dict[str, DataFrame] = {}
 
 def incr_new_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The derived insert batch: (query_id, qv) midpoints of adjacent
-    sampled corpus vectors — Spark twin of ``_INCR_NEWQ_SQL``."""
+    sampled corpus vectors — Spark twin of ``_INCR_NEWQ_SQL``.
+
+    Both join sides are pre-filtered to their residue class (a ≡ 7,
+    so its successor b ≡ 8 mod 29) and the successor side broadcasts:
+    the naive self-join shuffled the FULL corpus twice and showed up
+    as a 12x insert-bytes jump at the 30x stress tier — the batch
+    derivation must cost O(batch), like everything else on the insert
+    path."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    a = emb.filter(F.col("vec_id") % INCR_G_MOD == INCR_G_REM)
+    b = emb.filter(
+        F.col("vec_id") % INCR_G_MOD == (INCR_G_REM + 1) % INCR_G_MOD
+    )
     return (
-        emb.alias("a")
+        a.alias("a")
         .join(
-            emb.alias("b"),
+            F.broadcast(b.alias("b")),
             F.col("b.vec_id") == F.col("a.vec_id") + 1,
         )
-        .filter(F.col("a.vec_id") % INCR_G_MOD == INCR_G_REM)
         .select(
             (F.col("a.vec_id") + INCR_G_ID_OFFSET).alias("query_id"),
             F.zip_with(

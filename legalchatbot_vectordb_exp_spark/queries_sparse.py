@@ -738,3 +738,135 @@ def q_sparse_index_cdc_maintain(
         .cast("bigint")
         .alias("wsum"),
     )
+
+
+# ------------------------------------------------- E14 at-rest upkeep
+# sparse_layout_incremental — incremental maintenance of the BUCKETED
+# AT-REST layout itself (r17 item 5): sparse_index_cdc_maintain keeps
+# the posting RELATION current; this family keeps the partitioned
+# LAYOUT current by rewriting ONLY the term-buckets a change touches
+# (VectorCollection.merge_sparse — the manifest-stats shape the IVF
+# incremental path uses).  The oracle recomputes per-bucket stats
+# from the relationally-reconstructed FINAL corpus, so a stale
+# posting, missed retirement, double-add, or a bucket the merge
+# failed to rewrite all fail the hash.
+
+SPARSE_INCR_BUCKETS = 128  # small change set must touch < all buckets
+SPARSE_INCR_MOD = 31
+SPARSE_INCR_UPD = 1  # doc_id % 31 == 1 -> text || ' rev2'
+SPARSE_INCR_DEL = 2  # doc_id % 31 == 2 -> deleted
+
+# sf_dir -> {"warehouse": ..., "touched_buckets": ..., "n_buckets": ...}
+_SPARSE_LAYOUT_INCR: dict[str, dict] = {}
+
+
+def sparse_incr_layout(spark: SparkSession, sf_dir: str):
+    """Build (once per process) the v0 bucketed layout over the
+    ``doc_id % 8 = 1`` corpus, then apply the change batch through
+    ``merge_sparse``: updated docs' OLD postings retire (the change
+    feed's preimage is the bucket locator — no corpus scan), deleted
+    docs' postings retire, updated docs' NEW postings append.  The
+    merge stats land in ``_SPARSE_LAYOUT_INCR`` so tests can pin the
+    touched-bucket count."""
+    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
+    from legalchatbot_vectordb_exp_spark.sources.collection import (
+        VectorCollection,
+    )
+
+    warehouse = _scratch(sf_dir, "sparse_incr")
+    coll = VectorCollection(spark, warehouse, "doc_postings_incr")
+    if _SPARSE_LAYOUT_INCR.get(sf_dir, {}).get("warehouse") != warehouse:
+        import os
+        import shutil
+
+        if os.path.isdir(coll.path):
+            shutil.rmtree(coll.path)
+        v0 = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 8 == 1)
+            .select("doc_id", "text")
+        )
+        coll.create_sparse(
+            _postings(v0),
+            id_col="doc_id",
+            term_col="term_id",
+            weight_col="w",
+            n_buckets=SPARSE_INCR_BUCKETS,
+        )
+        res = F.col("doc_id") % SPARSE_INCR_MOD
+        retire = _postings(
+            v0.filter(res.isin(SPARSE_INCR_UPD, SPARSE_INCR_DEL))
+        )
+        add = _postings(
+            v0.filter(res == SPARSE_INCR_UPD).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" rev2"))
+            )
+        )
+        stats = coll.merge_sparse(retire, add)
+        _SPARSE_LAYOUT_INCR[sf_dir] = {"warehouse": warehouse, **stats}
+    return coll
+
+
+@register(
+    "sparse_layout_incremental",
+    sql=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {SPARSE_INCR_MOD} = {SPARSE_INCR_UPD}
+                  THEN text || ' rev2' ELSE text END AS text
+      FROM documents
+      WHERE doc_id % 8 = 1
+        AND doc_id % {SPARSE_INCR_MOD} <> {SPARSE_INCR_DEL}
+    ),
+    tf AS (
+      SELECT doc_id, t AS tok, count(*) AS w
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+            FROM corpus)
+      WHERE t <> '' GROUP BY doc_id, t
+    ),
+    postings AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS term_id,
+             w
+      FROM tf
+    )
+    SELECT (term_id % {SPARSE_INCR_BUCKETS})::BIGINT AS bucket,
+           count(*)::BIGINT AS n_postings,
+           count(DISTINCT term_id)::BIGINT AS n_terms,
+           CAST(sum(w) AS BIGINT) AS sum_w,
+           CAST(sum(term_id % 97 * w) AS BIGINT) AS wsum
+    FROM postings GROUP BY 1
+    """,
+)
+def q_sparse_layout_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-bucket stats of the INCREMENTALLY MAINTAINED at-rest
+    posting layout, hash-matched against a full rebuild from the
+    final corpus state.
+
+    History: v0 = the ``doc_id % 8 = 1`` corpus indexed whole by
+    ``create_sparse`` ({SPARSE_INCR_BUCKETS} term buckets); the change
+    batch updates ``% {SPARSE_INCR_MOD} == {SPARSE_INCR_UPD}`` docs
+    (' rev2' appended) and deletes ``== {SPARSE_INCR_DEL}`` docs;
+    ``merge_sparse`` rewrites only the buckets holding an old or new
+    posting of a changed doc.  Covering every bucket's (count,
+    distinct terms, Σw, weighted checksum) makes the oracle sensitive
+    to a bucket the merge forgot as much as to one it corrupted.
+
+    Scale shape: touched buckets ∝ the change batch's distinct terms
+    (pinned < all buckets in ``tests/test_sparse.py``); untouched
+    bucket files are never read or written — at 100 TB the merge cost
+    tracks the CHANGE volume, never the index size."""
+    coll = sparse_incr_layout(spark, sf_dir)
+    return coll.read().groupBy(
+        F.col("bucket").cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.countDistinct("term_id").alias("n_terms"),
+        F.sum("w").cast("bigint").alias("sum_w"),
+        F.sum((F.col("term_id") % 97) * F.col("w"))
+        .cast("bigint")
+        .alias("wsum"),
+    )

@@ -747,6 +747,93 @@ class VectorCollection:
         self._invalidate_card_cache()
         return self
 
+    def merge_sparse(
+        self, retire: DataFrame | None, add: DataFrame | None
+    ) -> dict:
+        """Incremental maintenance of the term-bucketed posting layout
+        (r17 item 5): rewrite ONLY the buckets a change touches, the
+        manifest-stats shape the IVF incremental path uses.
+
+        ``retire`` carries the CHANGED DOCS' OLD postings (the change
+        feed's delete/update_preimage rows — an inverted index locates
+        a doc's postings by its terms, so the preimage IS the bucket
+        locator; no corpus scan); ``add`` carries insert/
+        update_postimage postings.  Touched buckets = buckets of any
+        retire/add row; each is rebuilt as (current ∖ retired-keys) ∪
+        additions and swapped in; untouched bucket files are never
+        read or written.  The merged frame is pinned eagerly before
+        the swap (read-then-overwrite hazard); at production scale the
+        same step is a staged write + manifest commit (the versioned
+        sink's protocol).  Returns ``{"touched_buckets": …,
+        "n_buckets": …}`` so callers can pin the O(changes) claim."""
+        import shutil
+
+        props = self.properties
+        if props.get("layout") != "sparse":
+            raise ValueError(
+                f"collection {self.name} is not a sparse collection"
+            )
+        id_col, term_col, weight_col = (
+            props["id_col"],
+            props["term_col"],
+            props["weight_col"],
+        )
+        n_buckets = int(props["n_buckets"])
+
+        def _b(df):
+            return df.withColumn(
+                "bucket",
+                F.pmod(F.col(term_col), F.lit(n_buckets)).cast("int"),
+            )
+
+        retire_b = (
+            _b(retire.select(id_col, term_col, weight_col))
+            if retire is not None
+            else None
+        )
+        add_b = (
+            _b(add.select(id_col, term_col, weight_col))
+            if add is not None
+            else None
+        )
+        bucket_frames = [
+            f.select("bucket") for f in (retire_b, add_b) if f is not None
+        ]
+        if not bucket_frames:
+            return {"touched_buckets": 0, "n_buckets": n_buckets}
+        touched_df = bucket_frames[0]
+        for f in bucket_frames[1:]:
+            touched_df = touched_df.union(f)
+        touched = sorted(
+            r["bucket"] for r in touched_df.distinct().collect()
+        )
+        if not touched:
+            return {"touched_buckets": 0, "n_buckets": n_buckets}
+        keep = self.read().filter(F.col("bucket").isin(touched))
+        if retire_b is not None:
+            keep = keep.join(
+                retire_b.select(id_col, term_col),
+                [id_col, term_col],
+                "anti",
+            )
+        merged = keep.select(id_col, term_col, weight_col, "bucket")
+        if add_b is not None:
+            merged = merged.unionByName(add_b)
+        # pin eagerly BEFORE deleting the source files
+        merged = merged.localCheckpoint()
+        for b in touched:
+            part = os.path.join(self.path, f"bucket={b}")
+            if os.path.isdir(part):
+                shutil.rmtree(part)
+        merged.write.mode("append").partitionBy("bucket").parquet(
+            self.path
+        )
+        self._invalidate_card_cache()
+        return {
+            "touched_buckets": len(touched),
+            "n_buckets": n_buckets,
+        }
+
     def search_sparse(self, query: dict, k: int = 10) -> DataFrame:
         """Sparse-vector search (Qdrant sparse dot product):
         ``query`` maps term → weight (string terms are hashed with the

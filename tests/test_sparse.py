@@ -238,3 +238,94 @@ def test_query_points_dbsf_prefetch_cap(spark, sf_smoke, tmp_path):
         ).count()
         == 3
     )
+
+
+# ---- incremental at-rest layout maintenance (round-18, r17 item 5) ----
+
+
+def test_merge_sparse_touches_only_changed_buckets(
+    spark, sf_smoke, tmp_path
+):
+    """The O(changes) contract, pinned at the file level: merge_sparse
+    reports touched < all buckets for a small change batch, untouched
+    bucket files are byte-identical afterwards (never read or
+    rewritten), and the merged layout's search agrees with a scan-time
+    search over the reconstructed final postings."""
+    import os
+
+    from legalchatbot_vectordb_exp_spark.queries_sparse import (
+        SPARSE_INCR_BUCKETS,
+        _sparse_query_df,
+        _sparse_top,
+    )
+
+    v0 = (
+        load_table(spark, sf_smoke, "documents")
+        .filter(F.col("doc_id") % 8 == 1)
+        .select("doc_id", "text")
+    )
+    c = VectorCollection(spark, str(tmp_path), "incr_layout")
+    c.create_sparse(
+        _postings(v0), id_col="doc_id", term_col="term_id",
+        weight_col="w", n_buckets=SPARSE_INCR_BUCKETS,
+    )
+
+    def _files():
+        out = {}
+        for root, _, files in os.walk(c.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = _files()
+    # a SINGLE updated doc: its ~17 distinct terms locate a strict
+    # subset of the corpus's non-empty buckets, so the file-level
+    # untouched-bucket claim is observable even on the tiny smoke
+    # corpus (the registered query's larger batch covers semantics)
+    one = v0.orderBy("doc_id").limit(1)
+    retire = _postings(one)
+    add = _postings(
+        one.withColumn("text", F.concat(F.col("text"), F.lit(" rev2")))
+    )
+    stats = c.merge_sparse(retire, add)
+    assert 0 < stats["touched_buckets"] < stats["n_buckets"], stats
+    after = _files()
+    touched_dirs = set()
+    for p in set(before) - set(after):  # rewritten buckets lost files
+        touched_dirs.add(os.path.dirname(p))
+    # every file under an UNtouched bucket dir survives bit-for-bit
+    # (same path, same mtime — the merge never opened it)
+    untouched_same = [
+        p for p, m in before.items()
+        if os.path.dirname(p) not in touched_dirs
+    ]
+    assert untouched_same, "change touched every bucket — mod too big?"
+    for p in untouched_same:
+        assert after.get(p) == before[p], p
+    # and the merged layout answers exactly like a scan-time search
+    # over the reconstructed final corpus postings
+    changed_id = one.collect()[0]["doc_id"]
+    final_docs = v0.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == changed_id,
+            F.concat(F.col("text"), F.lit(" rev2")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    want = _sparse_top(
+        _postings(final_docs), _sparse_query_df(spark), 10
+    ).collect()
+    got = c.search_sparse(dict(SPARSE_QUERY), k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_merge_sparse_empty_change_is_noop(spark, sf_smoke, tmp_path):
+    c = _sparse_coll(spark, sf_smoke, tmp_path)
+    assert c.merge_sparse(None, None) == {
+        "touched_buckets": 0,
+        "n_buckets": 64,
+    }

@@ -821,6 +821,19 @@ class VectorCollection:
             merged = merged.unionByName(add_b)
         # pin eagerly BEFORE deleting the source files
         merged = merged.localCheckpoint()
+        # the layout's (id, term) uniqueness invariant survives the
+        # merge: an add row whose key was not retired first would
+        # corrupt scores silently (create_sparse validates the same)
+        dupes = (
+            merged.count()
+            - merged.select(id_col, term_col).distinct().count()
+        )
+        if dupes:
+            raise ValueError(
+                f"collection {self.name}: merge_sparse would create "
+                f"{dupes} duplicate (id, term) postings — retire a "
+                f"doc's old postings before adding its new ones"
+            )
         for b in touched:
             part = os.path.join(self.path, f"bucket={b}")
             if os.path.isdir(part):

@@ -329,3 +329,21 @@ def test_merge_sparse_empty_change_is_noop(spark, sf_smoke, tmp_path):
         "touched_buckets": 0,
         "n_buckets": 64,
     }
+
+
+def test_merge_sparse_rejects_duplicate_add(spark, sf_smoke, tmp_path):
+    """An add row whose (id, term) key was not retired first would
+    silently corrupt scores — the merge enforces the same uniqueness
+    invariant create_sparse validates, and the failed merge must not
+    have destroyed the layout (validation precedes the swap)."""
+    c = _sparse_coll(spark, sf_smoke, tmp_path)
+    existing = c.read().limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(existing["doc_id"], existing["term_id"], 1)],
+        "doc_id long, term_id long, w long",
+    )
+    before = c.search_sparse(dict(SPARSE_QUERY), k=5).collect()
+    with pytest.raises(ValueError, match="duplicate"):
+        c.merge_sparse(None, dup)
+    after = c.search_sparse(dict(SPARSE_QUERY), k=5).collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]

@@ -169,14 +169,18 @@ def compare_fixture_to_prior(
     sf,
     *,
     ratio_floor: float = 2.0,
-    abs_floor_sec: float = 0.25,
+    abs_floor_sec: float = 1.0,
 ) -> list[dict]:
     """Same regression rule over the FIXTURE section (round-16 judge
     item 6: fixture.ann_graph_search is 7.29 s — bigger than any query
     — so a staging-path blowup could hide outside ``queries``).
-    Fixture costs are single-sample per run (no measured spread), so
-    the noise band degrades to the 2x ratio + absolute floor; entries
-    are reported with a ``fixture.`` key prefix so the list stays
+    Fixture costs are single-sample per run (no measured spread) AND
+    derived as a first-minus-steady difference, so sub-second values
+    are nearly pure jitter — round-18 measured 0.09 s → 0.77 s swings
+    on unchanged staging code across back-to-back runs.  The absolute
+    floor is therefore 1 s (a real staging blowup on the fixtures
+    that matter — 4-10 s builds — clears it trivially); entries are
+    reported with a ``fixture.`` key prefix so the list stays
     unambiguous when merged with the query regressions."""
     if not prior or prior.get("sf") != sf:
         return []

@@ -752,6 +752,7 @@ def q_sparse_index_cdc_maintain(
 # failed to rewrite all fail the hash.
 
 SPARSE_INCR_BUCKETS = 128  # small change set must touch < all buckets
+SPARSE_INCR_SLICES = 8  # doc-id slices inside each bucket (Zipf fix)
 SPARSE_INCR_MOD = 31
 SPARSE_INCR_UPD = 1  # doc_id % 31 == 1 -> text || ' rev2'
 SPARSE_INCR_DEL = 2  # doc_id % 31 == 2 -> deleted
@@ -792,6 +793,7 @@ def sparse_incr_layout(spark: SparkSession, sf_dir: str):
             term_col="term_id",
             weight_col="w",
             n_buckets=SPARSE_INCR_BUCKETS,
+            doc_slices=SPARSE_INCR_SLICES,
         )
         res = F.col("doc_id") % SPARSE_INCR_MOD
         retire = _postings(

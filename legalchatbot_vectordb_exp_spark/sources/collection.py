@@ -686,6 +686,7 @@ class VectorCollection:
         term_col: str = "term_id",
         weight_col: str = "weight",
         n_buckets: int = 64,
+        doc_slices: int = 1,
     ) -> "VectorCollection":
         """Qdrant NAMED SPARSE VECTORS as a relation: a point's sparse
         vector ``{term_id: weight}`` is stored as posting rows
@@ -695,7 +696,19 @@ class VectorCollection:
         planning time and reads only the query terms' postings (the
         columnar answer to walking posting lists).  Validation is one
         aggregate: non-null terms/weights and (id, term) uniqueness
-        (a sparse vector has one weight per dimension)."""
+        (a sparse vector has one weight per dimension).
+
+        ``doc_slices > 1`` adds a second partition level ``dslice =
+        id % doc_slices`` INSIDE each term bucket.  Search cost is
+        unchanged (the term predicate prunes buckets; all slices of a
+        matched bucket are read).  What it buys is UPDATE granularity:
+        Zipf vocabularies concentrate bytes in the common-term buckets
+        every document touches — measured 90 % of layout bytes behind
+        the 25/128 buckets a 2-doc change touches — so bucket-level
+        rewrite degrades toward full rewrite; slicing by doc id means
+        a changed doc rewrites only ITS slice of each touched bucket,
+        capping the rewrite at ~|changed-doc slices|/doc_slices of the
+        touched buckets (merge_sparse prunes on both levels)."""
         row = df.agg(
             F.sum(
                 (
@@ -722,8 +735,15 @@ class VectorCollection:
             "bucket",
             F.pmod(F.col(term_col), F.lit(n_buckets)).cast("int"),
         )
+        part_cols = ["bucket"]
+        if doc_slices > 1:
+            out = out.withColumn(
+                "dslice",
+                F.pmod(F.col(id_col), F.lit(doc_slices)).cast("int"),
+            )
+            part_cols.append("dslice")
         if row["n"] or 0:
-            out.write.mode("overwrite").partitionBy("bucket").parquet(
+            out.write.mode("overwrite").partitionBy(*part_cols).parquet(
                 self.path
             )
         else:
@@ -740,6 +760,7 @@ class VectorCollection:
                     "term_col": term_col,
                     "weight_col": weight_col,
                     "n_buckets": n_buckets,
+                    "doc_slices": doc_slices,
                     "layout": "sparse",
                 },
                 f,
@@ -761,11 +782,17 @@ class VectorCollection:
         update_postimage postings.  Touched buckets = buckets of any
         retire/add row; each is rebuilt as (current ∖ retired-keys) ∪
         additions and swapped in; untouched bucket files are never
-        read or written.  The merged frame is pinned eagerly before
-        the swap (read-then-overwrite hazard); at production scale the
-        same step is a staged write + manifest commit (the versioned
+        read or written.  On a doc-sliced layout (``doc_slices > 1``)
+        the unit of rewrite shrinks to the (bucket, dslice) PAIR: only
+        the changed docs' own slices of each touched bucket are read
+        and swapped — the common-term buckets every document shares
+        stay 1/doc_slices-granular instead of all-or-nothing.  The
+        merged frame is pinned eagerly before the swap
+        (read-then-overwrite hazard); at production scale the same
+        step is a staged write + manifest commit (the versioned
         sink's protocol).  Returns ``{"touched_buckets": …,
-        "n_buckets": …}`` so callers can pin the O(changes) claim."""
+        "touched_parts": …, "n_buckets": …}`` so callers can pin the
+        O(changes) claim."""
         import shutil
 
         props = self.properties
@@ -779,12 +806,21 @@ class VectorCollection:
             props["weight_col"],
         )
         n_buckets = int(props["n_buckets"])
+        doc_slices = int(props.get("doc_slices", 1))
+        sliced = doc_slices > 1
+        part_cols = ["bucket", "dslice"] if sliced else ["bucket"]
 
         def _b(df):
-            return df.withColumn(
+            out = df.withColumn(
                 "bucket",
                 F.pmod(F.col(term_col), F.lit(n_buckets)).cast("int"),
             )
+            if sliced:
+                out = out.withColumn(
+                    "dslice",
+                    F.pmod(F.col(id_col), F.lit(doc_slices)).cast("int"),
+                )
+            return out
 
         retire_b = (
             _b(retire.select(id_col, term_col, weight_col))
@@ -796,27 +832,46 @@ class VectorCollection:
             if add is not None
             else None
         )
-        bucket_frames = [
-            f.select("bucket") for f in (retire_b, add_b) if f is not None
+        frames = [
+            f.select(*part_cols)
+            for f in (retire_b, add_b)
+            if f is not None
         ]
-        if not bucket_frames:
-            return {"touched_buckets": 0, "n_buckets": n_buckets}
-        touched_df = bucket_frames[0]
-        for f in bucket_frames[1:]:
+        empty_stats = {
+            "touched_buckets": 0,
+            "touched_parts": 0,
+            "n_buckets": n_buckets,
+        }
+        if not frames:
+            return empty_stats
+        touched_df = frames[0]
+        for f in frames[1:]:
             touched_df = touched_df.union(f)
         touched = sorted(
-            r["bucket"] for r in touched_df.distinct().collect()
+            tuple(r) for r in touched_df.distinct().collect()
         )
         if not touched:
-            return {"touched_buckets": 0, "n_buckets": n_buckets}
-        keep = self.read().filter(F.col("bucket").isin(touched))
+            return empty_stats
+        if sliced:
+            # exact (bucket, dslice) pruning: an OR-chain of
+            # conjunctions is a static predicate partition pruning
+            # understands; a bucket.isin × dslice.isin product would
+            # re-read (and then duplicate) pairs the change never
+            # touched
+            pred = None
+            for b, s in touched:
+                leg = (F.col("bucket") == b) & (F.col("dslice") == s)
+                pred = leg if pred is None else (pred | leg)
+        else:
+            pred = F.col("bucket").isin([b for (b,) in touched])
+        keep = self.read().filter(pred)
         if retire_b is not None:
             keep = keep.join(
                 retire_b.select(id_col, term_col),
                 [id_col, term_col],
                 "anti",
             )
-        merged = keep.select(id_col, term_col, weight_col, "bucket")
+        merged = keep.select(id_col, term_col, weight_col, *part_cols)
         if add_b is not None:
             merged = merged.unionByName(add_b)
         # pin eagerly BEFORE deleting the source files
@@ -834,16 +889,20 @@ class VectorCollection:
                 f"{dupes} duplicate (id, term) postings — retire a "
                 f"doc's old postings before adding its new ones"
             )
-        for b in touched:
-            part = os.path.join(self.path, f"bucket={b}")
+        for key in touched:
+            part = os.path.join(
+                self.path,
+                *(f"{c}={v}" for c, v in zip(part_cols, key)),
+            )
             if os.path.isdir(part):
                 shutil.rmtree(part)
-        merged.write.mode("append").partitionBy("bucket").parquet(
+        merged.write.mode("append").partitionBy(*part_cols).parquet(
             self.path
         )
         self._invalidate_card_cache()
         return {
-            "touched_buckets": len(touched),
+            "touched_buckets": len({k[0] for k in touched}),
+            "touched_parts": len(touched),
             "n_buckets": n_buckets,
         }
 

@@ -247,6 +247,95 @@ def measure_graph_insert(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_sparse_merge(spark, sf_dir: str, wh: str) -> dict:
+    """Sparse-layout incremental-merge proportionality probe (round
+    18): build the posting layout over the tier's corpus, apply a
+    FIXED-SIZE change (the two lowest-id docs updated) through
+    ``merge_sparse``, and record the rewritten bytes — at BOTH
+    granularities.  Bucket-level rewrite measured ~90 % of layout
+    bytes regardless of tier (Zipf vocabularies concentrate bytes in
+    the common-term buckets every doc touches); the doc-sliced layout
+    caps the rewrite at the changed docs' own slices, so the
+    rewritten fraction drops ~doc_slices-fold with results
+    unchanged."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from legalchatbot_vectordb_exp_spark.io_tables import load_table
+    from legalchatbot_vectordb_exp_spark.queries_sparse import (
+        SPARSE_INCR_BUCKETS,
+        _postings,
+    )
+    from legalchatbot_vectordb_exp_spark.sources.collection import (
+        VectorCollection,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _one(doc_slices: int) -> dict:
+        coll = VectorCollection(spark, wh, "stress_sparse_merge")
+        if os.path.isdir(coll.path):
+            shutil.rmtree(coll.path)
+        t0 = time.perf_counter()
+        coll.create_sparse(
+            _postings(docs), id_col="doc_id", term_col="term_id",
+            weight_col="w", n_buckets=SPARSE_INCR_BUCKETS,
+            doc_slices=doc_slices,
+        )
+        build_wall = time.perf_counter() - t0
+
+        def _layout_bytes() -> int:
+            total = 0
+            for root, _, files in os.walk(coll.path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            return total
+
+        total_before = _layout_bytes()
+        changed = docs.orderBy("doc_id").limit(2)
+        retire = _postings(changed)
+        add = _postings(
+            changed.withColumn(
+                "text", F.concat(F.col("text"), F.lit(" rev2"))
+            )
+        )
+        mtimes = {}
+        for root, _, files in os.walk(coll.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    mtimes[p] = os.stat(p).st_mtime_ns
+        t0 = time.perf_counter()
+        stats = coll.merge_sparse(retire, add)
+        merge_wall = time.perf_counter() - t0
+        rewritten = 0
+        for root, _, files in os.walk(coll.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    if mtimes.get(p) != os.stat(p).st_mtime_ns:
+                        rewritten += os.path.getsize(p)
+        return {
+            "build_wall_s": round(build_wall, 2),
+            "merge_wall_s": round(merge_wall, 2),
+            "layout_bytes": total_before,
+            "rewritten_bytes": rewritten,
+            "rewritten_fraction": round(
+                rewritten / max(1, _layout_bytes()), 4
+            ),
+            **stats,
+        }
+
+    return {
+        "bucket_level": _one(1),
+        "doc_sliced_16": _one(16),
+    }
+
+
 def measure_multiwriter(
     spark, sf_dir: str, wh: str, writers: int = 8, commits: int = 25
 ) -> dict:
@@ -659,6 +748,26 @@ def main() -> None:
                     flush=True,
                 )
             out["results"]["ann_knn_graph"] = kg
+        if "sparse_merge" in only:
+            sm: dict = dict(prov)
+            for n in multiples:
+                sf_dir = (
+                    base
+                    if n == 1
+                    else build(
+                        base,
+                        os.path.join(tmp_root, f"stress_shuffle_{n}x"),
+                        n,
+                    )
+                )
+                sm[f"{n}x"] = measure_sparse_merge(
+                    spark, sf_dir, os.path.join(tmp_root, "stress_sm_wh")
+                )
+                print(
+                    json.dumps({"sparse_merge": {f"{n}x": sm[f'{n}x']}}),
+                    flush=True,
+                )
+            out["results"]["sparse_merge"] = sm
         if "graph_insert" in only:
             gi: dict = dict(prov)
             for n in multiples:

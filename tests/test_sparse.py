@@ -327,8 +327,85 @@ def test_merge_sparse_empty_change_is_noop(spark, sf_smoke, tmp_path):
     c = _sparse_coll(spark, sf_smoke, tmp_path)
     assert c.merge_sparse(None, None) == {
         "touched_buckets": 0,
+        "touched_parts": 0,
         "n_buckets": 64,
     }
+
+
+def test_merge_sparse_doc_sliced_rewrites_only_own_slices(
+    spark, sf_smoke, tmp_path
+):
+    """The Zipf problem, fixed at the layout level: common-term
+    buckets hold most of the index's bytes and EVERY doc touches
+    them, so bucket-granular rewrite degrades toward full rewrite
+    (measured 90 % of bytes behind a 2-doc change, SCALE.md §18e).
+    With ``doc_slices`` the rewrite unit is the (bucket, dslice)
+    pair: a one-doc change rewrites exactly one slice per touched
+    bucket, and files in the OTHER slices of those same buckets
+    survive bit-for-bit."""
+    import os
+
+    from legalchatbot_vectordb_exp_spark.queries_sparse import (
+        _sparse_query_df,
+        _sparse_top,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    )
+    n_slices = 4
+    c = VectorCollection(spark, str(tmp_path), "sliced")
+    c.create_sparse(
+        _postings(docs), id_col="doc_id", term_col="term_id",
+        weight_col="w", n_buckets=16, doc_slices=n_slices,
+    )
+
+    def _files():
+        out = {}
+        for root, _, files in os.walk(c.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = _files()
+    one = docs.orderBy("doc_id").limit(1)
+    changed_id = one.collect()[0]["doc_id"]
+    own_slice = changed_id % n_slices
+    retire = _postings(one)
+    add = _postings(
+        one.withColumn("text", F.concat(F.col("text"), F.lit(" rev2")))
+    )
+    stats = c.merge_sparse(retire, add)
+    # one doc lives in exactly one slice -> one part per touched bucket
+    assert stats["touched_parts"] == stats["touched_buckets"]
+    after = _files()
+    rewritten_dirs = {
+        os.path.dirname(p) for p in set(before) - set(after)
+    }
+    for d in rewritten_dirs:
+        assert d.endswith(f"dslice={own_slice}"), d
+    # every OTHER slice's files — including inside touched buckets —
+    # survive with identical path and mtime
+    for p, m in before.items():
+        if not os.path.dirname(p).endswith(f"dslice={own_slice}"):
+            assert after.get(p) == m, p
+    # and the sliced layout still answers exactly
+    final_docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == changed_id,
+            F.concat(F.col("text"), F.lit(" rev2")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    want = _sparse_top(
+        _postings(final_docs), _sparse_query_df(spark), 10
+    ).collect()
+    got = c.search_sparse(dict(SPARSE_QUERY), k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
 
 
 def test_merge_sparse_rejects_duplicate_add(spark, sf_smoke, tmp_path):

@@ -27,6 +27,8 @@ def rrf_fuse(
     Exact rational arithmetic — safe to hash across engines.  Input
     frames are full-outer-joined on id (each ≤ prefetch rows); ties
     break ascending id."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked frame")
     renamed = [
         df.select(id_col, F.col(rank_col).alias(f"_r{i}"))
         for i, df in enumerate(ranked)

@@ -1466,6 +1466,10 @@ class VectorCollection:
         id_col = props["id_col"]
         if fusion not in ("rrf", "dbsf"):
             raise ValueError(f"unknown fusion {fusion!r}")
+        if not prefetch:
+            raise ValueError(
+                "query_points needs at least one prefetch spec"
+            )
         if fusion == "dbsf" and prefetch_limit > DBSF_PREFETCH_CAP:
             # DBSF's determinism contract folds the collected prefetch
             # on the driver — safe ONLY because prefetches are

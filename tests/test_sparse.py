@@ -201,6 +201,20 @@ def test_dbsf_zero_sigma_prefetch_contributes_zero():
     assert mu == 2.0 and sigma == 0.0
 
 
+def test_empty_prefetch_lists_raise_clearly(spark, sf_smoke, tmp_path):
+    """Zero retrievers is a caller error, not a reduce() TypeError:
+    both fuse entry points refuse with a clear message."""
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("body")
+    )
+    c = VectorCollection(spark, str(tmp_path), "noprefetch")
+    c.create_multi(emb, vectors={"body": {"dim": 64, "metric": "dot"}})
+    with pytest.raises(ValueError, match="at least one"):
+        c.query_points([], fusion="rrf")
+
+
 def test_dbsf_empty_prefetch_is_graceful():
     """An EMPTY prefetch (query terms matching no postings) must not
     crash the fold (r17 ADVICE: ZeroDivisionError): it degrades to

@@ -521,7 +521,25 @@ def main(queries=None, sf_dir=None, stop=True, emit=True) -> dict:
     query_flags = compare_to_prior(timings, prior, sf)
 
     def _remeasure(name: str) -> float:
-        best = min(_run(name, queries[name]) for _ in range(3))
+        fn = queries.get(name)
+        backend_guard = None
+        if fn is None and name.endswith("_libtier"):
+            # the *_libtier rows were timed with the codec library
+            # routed in, and the backend was reset after that block —
+            # a confirmation re-run must restore it or it would time
+            # the wrong (pure-NumPy) backend and always "confirm"
+            from legalchatbot_vectordb_exp_spark.multimodal import (
+                binary as B,
+            )
+
+            fn = queries[name[: -len("_libtier")]]
+            B.set_codec_backend_factory(B.PillowBackend)
+            backend_guard = B
+        try:
+            best = min(_run(name, fn) for _ in range(3))
+        finally:
+            if backend_guard is not None:
+                backend_guard.set_codec_backend_factory(None)
         timings[name] = round(min(timings[name], best), 2)
         return best
 

@@ -1222,28 +1222,25 @@ def _knn_sql_scored_topk(
       WHERE rn <= {k})"""
 
 
-def _knn_graph_ctes(base_where: str | None = None) -> list[str]:
+def _knn_graph_ctes() -> list[str]:
     """The shared WITH-clause bodies of the graph build — composed
-    structurally by both _knn_graph_sql and _knn_search_sql (string
-    surgery on rendered SQL corrupted silently if a CTE ever contained
-    the split token).  ``base_where`` (default None → byte-identical
-    CTEs to the original full-corpus build) restricts the BUILT-OVER
-    node set — the incremental-maintenance base graph; embedding
-    lookups stay unfiltered because pair candidates only ever contain
-    base ids."""
+    structurally by _knn_graph_sql, _knn_search_sql, _knn_incr_sql,
+    and _hnsw_sql (string surgery on rendered SQL corrupted silently
+    if a CTE ever contained the split token).  One full-corpus build;
+    the round-17 ``base_where`` restriction was removed with the
+    held-out-batch incremental design (round 18: the incremental
+    family inserts DERIVED points into this same build)."""
     k, iters = KNN_K, KNN_ITERS
-    base_and = f" AND ({base_where})" if base_where else ""
-    base_pred = f" WHERE ({base_where})" if base_where else ""
     ctes = [
         f"""centroids AS (
       SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0{base_and}
+      FROM embeddings WHERE vec_id % {SQL_IVF_MOD} = 0
     )""",
         f"""assign AS (
       SELECT e.vec_id,
              arg_max(c.cid, {sql_dot('e.embedding', 'c.cv')}
                             + 1e-12 * (-c.cid)) AS cluster_id
-      FROM embeddings e CROSS JOIN centroids c{base_pred}
+      FROM embeddings e CROSS JOIN centroids c
       GROUP BY e.vec_id
     )""",
         """ranked AS (
@@ -1357,23 +1354,16 @@ def _knn_scored_topk(pairs: DataFrame, emb: DataFrame) -> DataFrame:
 _KNN_GRAPH_STAGING: dict[str, DataFrame] = {}
 
 
-def knn_graph_build(
-    spark: SparkSession,
-    sf_dir: str,
-    base_pred=None,
-    staging: dict | None = None,
-) -> DataFrame:
+def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the k-NN graph: IVF-cell ring init + KNN_ITERS NN-descent
     rounds.  Returns (src, dst, score) with exactly <=KNN_K edges per
     src, full doubles (callers round for display).  The localCheckpoint
     per round makes the build eager, so the per-process cache returns
-    materialized edges.  ``base_pred`` restricts the built-over node
-    set (the incremental-maintenance BASE graph); pass a dedicated
-    ``staging`` dict with it so the filtered build never collides with
-    the full build's cache.  NOTE the centroid modulus stays derived
-    from the FULL corpus count (one parquet-footer job) so the base
-    and full builds share a quantizer scale."""
-    staging = _KNN_GRAPH_STAGING if staging is None else staging
+    materialized edges.  ONE full-corpus build serves every graph
+    consumer — search, HNSW, and the incremental family (round 18:
+    the round-17 ``base_pred``/``staging`` filtered-build variant was
+    removed with the held-out-batch design)."""
+    staging = _KNN_GRAPH_STAGING
     cached = staging.get(sf_dir)
     if cached is not None:
         try:
@@ -1385,8 +1375,6 @@ def knn_graph_build(
         "vec_id", "embedding"
     )
     mod = ivf_mod_for(emb.count())
-    if base_pred is not None:
-        emb = emb.filter(base_pred)
     meta = emb.filter(F.col("vec_id") % mod == 0).collect()
     cids = [int(r[0]) for r in meta]
     cmat = [list(map(float, r[1])) for r in meta]
@@ -2763,9 +2751,10 @@ def q_ann_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # layers to find the layer-0 entry instead of probing centroids.
 #
 # Determinism: the layer of a node is md5-derived (p = 1/4 per level,
-# levels 0..2 with the top level keyed on h % 16 — the classic HNSW
+# levels 0..HNSW_LEVEL_CAP keyed on h % 4^l — the classic HNSW
 # ml = 1/ln(M) geometric assignment with the RNG replaced by a hash
-# both engines compute identically),
+# both engines compute identically; every threshold derives from the
+# one cap constant),
 # the entry point is the (level DESC, vec_id ASC) ranked first node,
 # and every walk has FIXED hop counts, so the DuckDB oracle replays
 # the exact build + descent + beam bit-for-bit.
@@ -2785,28 +2774,38 @@ HNSW_DESCENT_BEAM = 16  # ef in the upper layers (layer-0 beam stays 8)
 
 def _hnsw_level_expr():
     """level(v) from the first 8 md5 hex digits of the DECIMAL vec_id:
-    2 if h % 16 == 0, 1 if h % 4 == 0, else 0 — geometric p = 1/4
-    capped at HNSW_LEVEL_CAP = 2 (the contract the oracle's
-    _HNSW_LEVELS_SQL replays verbatim)."""
+    the highest l ≤ HNSW_LEVEL_CAP with h % 4^l == 0 (geometric
+    p = 1/4).  Both this and the SQL twin below DERIVE every
+    threshold from HNSW_LEVEL_CAP — topset, the per-layer edge
+    builds, and the descent loops all key off the same constant, so
+    retuning the cap can never desync the assignment from the walk
+    (the contract the oracle replays verbatim)."""
     h = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint")
-    return (
-        F.when(h % 16 == 0, F.lit(2))
-        .when(h % 4 == 0, F.lit(1))
-        .otherwise(F.lit(0))
+    expr = F.when(
+        h % (4 ** HNSW_LEVEL_CAP) == 0, F.lit(HNSW_LEVEL_CAP)
     )
+    for lvl in range(HNSW_LEVEL_CAP - 1, 0, -1):
+        expr = expr.when(h % (4 ** lvl) == 0, F.lit(lvl))
+    return expr.otherwise(F.lit(0))
 
 
-_HNSW_LEVELS_SQL = """levels AS (
+_HNSW_LEVELS_SQL = (
+    """levels AS (
       SELECT vec_id,
-             CASE WHEN h % 16 = 0 THEN 2
-                  WHEN h % 4 = 0 THEN 1
+             CASE """
+    + " ".join(
+        f"WHEN h % {4 ** lvl} = 0 THEN {lvl}"
+        for lvl in range(HNSW_LEVEL_CAP, 0, -1)
+    )
+    + """
                   ELSE 0 END AS level
       FROM (SELECT vec_id,
                    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
             FROM embeddings)
     )"""
+)
 
 
 def _hnsw_sql(final_select: str) -> str:

@@ -844,6 +844,27 @@ class VectorCollection:
         }
         if not frames:
             return empty_stats
+        # same null contract create_sparse enforces: a NULL id/term in
+        # the change batch would otherwise crash the bucket sort with
+        # a bare TypeError — or worse, land postings in the Hive
+        # default partition where the search's integer bucket filter
+        # can never see them
+        for label, f in (("retire", retire_b), ("add", add_b)):
+            if f is None:
+                continue
+            bad = f.agg(
+                F.sum(
+                    (
+                        F.col(id_col).isNull()
+                        | F.col(term_col).isNull()
+                    ).cast("int")
+                ).alias("bad")
+            ).first()["bad"]
+            if bad or 0:
+                raise ValueError(
+                    f"collection {self.name}: {bad} {label} postings "
+                    f"have NULL id/term"
+                )
         touched_df = frames[0]
         for f in frames[1:]:
             touched_df = touched_df.union(f)
@@ -879,8 +900,9 @@ class VectorCollection:
         # the layout's (id, term) uniqueness invariant survives the
         # merge: an add row whose key was not retired first would
         # corrupt scores silently (create_sparse validates the same)
+        n_merged = merged.count()
         dupes = (
-            merged.count()
+            n_merged
             - merged.select(id_col, term_col).distinct().count()
         )
         if dupes:
@@ -889,6 +911,12 @@ class VectorCollection:
                 f"{dupes} duplicate (id, term) postings — retire a "
                 f"doc's old postings before adding its new ones"
             )
+        # the swap: delete-then-append on the touched partitions.  A
+        # crash between the rmtree and the write loses those buckets
+        # (the merged rows live only in this process's checkpoint
+        # blocks) — at production scale the versioned sink's staged
+        # write + manifest commit closes exactly this window; the
+        # plain-parquet layout documents it as a known limitation.
         for key in touched:
             part = os.path.join(
                 self.path,
@@ -896,9 +924,24 @@ class VectorCollection:
             )
             if os.path.isdir(part):
                 shutil.rmtree(part)
-        merged.write.mode("append").partitionBy(*part_cols).parquet(
-            self.path
-        )
+        if n_merged:
+            merged.write.mode("append").partitionBy(*part_cols).parquet(
+                self.path
+            )
+        else:
+            # the merge retired everything it touched: if no parquet
+            # file survives anywhere, a partitioned append of the
+            # empty frame would leave only _SUCCESS and the collection
+            # becomes unreadable (the create_sparse empty-layout fix,
+            # applied to the merge path — append, not overwrite, so
+            # the props file survives)
+            any_left = any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(self.path)
+                for f in files
+            )
+            if not any_left:
+                merged.write.mode("append").parquet(self.path)
         self._invalidate_card_cache()
         return {
             "touched_buckets": len({k[0] for k in touched}),

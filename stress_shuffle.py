@@ -324,8 +324,10 @@ def measure_sparse_merge(spark, sf_dir: str, wh: str) -> dict:
             "merge_wall_s": round(merge_wall, 2),
             "layout_bytes": total_before,
             "rewritten_bytes": rewritten,
+            # fraction of the PRE-merge layout — the claim SCALE.md
+            # §18e quotes ("how much of the index the change rewrote")
             "rewritten_fraction": round(
-                rewritten / max(1, _layout_bytes()), 4
+                rewritten / max(1, total_before), 4
             ),
             **stats,
         }

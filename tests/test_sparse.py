@@ -23,6 +23,21 @@ from legalchatbot_vectordb_exp_spark.queries_sparse import (
 from legalchatbot_vectordb_exp_spark.sources.collection import VectorCollection
 
 
+def _parquet_mtimes(path):
+    """path -> st_mtime_ns for every parquet file under a layout —
+    the file-level pin both merge tests (and the stress probe's twin
+    loops) rely on to prove untouched partitions were never rewritten."""
+    import os
+
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                fp = os.path.join(root, f)
+                out[fp] = os.stat(fp).st_mtime_ns
+    return out
+
+
 def _sparse_coll(spark, sf_smoke, tmp_path, n_buckets=64):
     docs = load_table(spark, sf_smoke, "documents")
     c = VectorCollection(spark, str(tmp_path), "postings")
@@ -284,16 +299,7 @@ def test_merge_sparse_touches_only_changed_buckets(
         weight_col="w", n_buckets=SPARSE_INCR_BUCKETS,
     )
 
-    def _files():
-        out = {}
-        for root, _, files in os.walk(c.path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    p = os.path.join(root, f)
-                    out[p] = os.stat(p).st_mtime_ns
-        return out
-
-    before = _files()
+    before = _parquet_mtimes(c.path)
     # a SINGLE updated doc: its ~17 distinct terms locate a strict
     # subset of the corpus's non-empty buckets, so the file-level
     # untouched-bucket claim is observable even on the tiny smoke
@@ -305,7 +311,7 @@ def test_merge_sparse_touches_only_changed_buckets(
     )
     stats = c.merge_sparse(retire, add)
     assert 0 < stats["touched_buckets"] < stats["n_buckets"], stats
-    after = _files()
+    after = _parquet_mtimes(c.path)
     touched_dirs = set()
     for p in set(before) - set(after):  # rewritten buckets lost files
         touched_dirs.add(os.path.dirname(p))
@@ -374,16 +380,7 @@ def test_merge_sparse_doc_sliced_rewrites_only_own_slices(
         weight_col="w", n_buckets=16, doc_slices=n_slices,
     )
 
-    def _files():
-        out = {}
-        for root, _, files in os.walk(c.path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    p = os.path.join(root, f)
-                    out[p] = os.stat(p).st_mtime_ns
-        return out
-
-    before = _files()
+    before = _parquet_mtimes(c.path)
     one = docs.orderBy("doc_id").limit(1)
     changed_id = one.collect()[0]["doc_id"]
     own_slice = changed_id % n_slices
@@ -394,7 +391,7 @@ def test_merge_sparse_doc_sliced_rewrites_only_own_slices(
     stats = c.merge_sparse(retire, add)
     # one doc lives in exactly one slice -> one part per touched bucket
     assert stats["touched_parts"] == stats["touched_buckets"]
-    after = _files()
+    after = _parquet_mtimes(c.path)
     rewritten_dirs = {
         os.path.dirname(p) for p in set(before) - set(after)
     }
@@ -438,3 +435,44 @@ def test_merge_sparse_rejects_duplicate_add(spark, sf_smoke, tmp_path):
         c.merge_sparse(None, dup)
     after = c.search_sparse(dict(SPARSE_QUERY), k=5).collect()
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
+def test_merge_sparse_retire_all_keeps_collection_readable(
+    spark, sf_smoke, tmp_path
+):
+    """Retiring the last remaining postings must not strand the
+    collection: a partitioned append of the empty merged frame would
+    leave only _SUCCESS (the create_sparse empty-layout failure mode,
+    on the merge path) and even recovery merges would die reading it.
+    After retire-all the search answers 0 rows and a re-add through
+    the same merge path restores service."""
+    df = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 1), (2, 10, 3)],
+        "doc_id long, term_id long, w long",
+    )
+    c = VectorCollection(spark, str(tmp_path), "retireall")
+    c.create_sparse(
+        df, id_col="doc_id", term_col="term_id", weight_col="w",
+        n_buckets=8,
+    )
+    c.merge_sparse(df, None)
+    assert c.search_sparse({10: 1}, k=3).count() == 0
+    c.merge_sparse(None, df)
+    got = [tuple(r) for r in c.search_sparse({10: 1}, k=3).collect()]
+    assert got == [(2, 3), (1, 2)]
+
+
+def test_merge_sparse_rejects_null_keys(spark, sf_smoke, tmp_path):
+    """merge_sparse enforces the same non-null id/term contract
+    create_sparse validates: a NULL term would otherwise crash the
+    bucket sort with a bare TypeError — or, if every row were null,
+    land postings in the Hive default partition where the search's
+    integer bucket filter can never see them."""
+    c = _sparse_coll(spark, sf_smoke, tmp_path)
+    nulls = spark.createDataFrame(
+        [(9, None, 1)], "doc_id long, term_id long, w long"
+    )
+    with pytest.raises(ValueError, match="NULL id/term"):
+        c.merge_sparse(None, nulls)
+    with pytest.raises(ValueError, match="NULL id/term"):
+        c.merge_sparse(nulls, None)

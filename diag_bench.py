@@ -23,23 +23,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from bench import _STAGED_FIXTURE_QUERIES  # noqa: E402
 from legalchatbot_vectordb_exp_spark.queries import QUERIES  # noqa: E402
 from legalchatbot_vectordb_exp_spark.session import get_spark  # noqa: E402
 
 TARGETS = ["text_stats", "time_gapfill", "pii_redact"]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-STAGED = [
-    "ann_ivf_persisted", "ann_filtered_persisted", "ann_ivf_incremental",
-    "ann_knn_graph", "ann_graph_search", "ann_graph_search_recall",
-    "ann_knn_graph_incremental", "ann_knn_graph_incr_recall",
-    "ann_hnsw_search", "ann_hnsw_recall",
-    "ann_sparse_topk", "ann_sparse_persisted", "ann_sparse_idf",
-    "hybrid_fusion_search", "hybrid_fusion_dbsf",
-    "cdf_stream_fold", "clone_diverge", "dedup_index_cdc_maintain",
-    "sparse_index_cdc_maintain", "events_stream_join_live",
-    "events_streaming_live", "restore_rollback",
-]
+# the bench's own staged-fixture list — hand-duplicating it here went
+# stale within one round (it missed sparse_layout_incremental), so the
+# diagnostic would have measured a different staged state than the
+# bench actually builds
+STAGED = sorted(_STAGED_FIXTURE_QUERIES)
 
 
 def run3(spark, name):

@@ -3295,7 +3295,13 @@ def q_collection_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INCR_G_MOD = 29  # midpoint(v, v+1) for v % 29 == 7 is the insert batch
 INCR_G_REM = 7
-INCR_G_ID_OFFSET = 1 << 30  # new ids = sampled vec_id + offset
+# New ids = sampled vec_id + offset.  The offset must dominate every
+# real vec_id or derived ids collide with corpus ids and the
+# `src >= offset` classification silently misattributes edges: 1<<30
+# (the old value) is only ~1.07e9 — BELOW the >1B-vector corpora the
+# scale docs claim.  1<<62 leaves 4.6e18 of id headroom while
+# vec_id + offset still fits in int64 on both engines.
+INCR_G_ID_OFFSET = 1 << 62
 INCR_G_RECALL_FLOOR = 8  # of the (batch x KNN_GUARD_TOPK) exact slots
 
 # the derived insert vector: element-wise midpoint of two adjacent

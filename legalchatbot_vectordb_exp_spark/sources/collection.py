@@ -34,6 +34,25 @@ from legalchatbot_vectordb_exp_spark.functions.vector import l2_norm, l2_normali
 
 _PROPS_FILE = "_collection.json"
 
+# merge_sparse journaled-swap protocol files (see merge_sparse /
+# _apply_merge_swap / _recover_merge): the journal lives INSIDE the
+# collection directory (`_`-prefixed, so the parquet reader ignores
+# it); staging and trash are SIBLING directories, never scanned.
+_MERGE_JOURNAL = "_sparse_merge_commit.json"
+_MERGE_STAGING_SUFFIX = ".merge_staging"
+_MERGE_TRASH_SUFFIX = ".merge_trash"
+
+
+def _no_fault(stage: str) -> None:
+    """Crash-injection seam: tests monkeypatch ``_MERGE_FAULT`` to
+    raise at a precise point of the merge_sparse swap protocol and
+    then assert the collection reopens at exactly pre-merge or
+    fully-merged state.  Production: no-op."""
+    return
+
+
+_MERGE_FAULT = _no_fault
+
 # DBSF fusion collects each prefetch on the driver (the sequential
 # rank-order fold IS the cross-engine determinism contract); this cap
 # bounds that collect so a caller can't turn it into a million-row
@@ -268,6 +287,10 @@ class VectorCollection:
     # ---------------------------------------------------------------- read
 
     def read(self) -> DataFrame:
+        # complete any crash-interrupted journaled merge BEFORE the
+        # scan plans against the directory (one exists() check on the
+        # steady path — see _recover_merge)
+        self._recover_merge()
         return self.spark.read.parquet(self.path)
 
     # ------------------------------------------------------------- IVF mode
@@ -712,7 +735,9 @@ class VectorCollection:
         row = df.agg(
             F.sum(
                 (
-                    F.col(term_col).isNull() | F.col(weight_col).isNull()
+                    F.col(id_col).isNull()
+                    | F.col(term_col).isNull()
+                    | F.col(weight_col).isNull()
                 ).cast("int")
             ).alias("bad"),
             (
@@ -722,9 +747,13 @@ class VectorCollection:
             F.count(F.lit(1)).alias("n"),
         ).first()
         if row["bad"] or 0:
+            # id included (same contract merge_sparse enforces): a NULL
+            # id computes dslice=NULL and lands in the Hive DEFAULT
+            # partition, where the search's integer bucket/slice
+            # predicates can never see it — invisible-to-search data
             raise ValueError(
                 f"collection {self.name}: {row['bad']} postings have "
-                f"NULL term/weight"
+                f"NULL id/term/weight"
             )
         if row["dupes"] or 0:
             raise ValueError(
@@ -844,11 +873,12 @@ class VectorCollection:
         }
         if not frames:
             return empty_stats
-        # same null contract create_sparse enforces: a NULL id/term in
-        # the change batch would otherwise crash the bucket sort with
-        # a bare TypeError — or worse, land postings in the Hive
-        # default partition where the search's integer bucket filter
-        # can never see them
+        # same null contract create_sparse enforces (id AND term AND
+        # weight): a NULL id/term in the change batch would otherwise
+        # crash the bucket sort with a bare TypeError — or worse, land
+        # postings in the Hive default partition where the search's
+        # integer bucket filter can never see them; a NULL weight
+        # would poison every dot product its bucket serves
         for label, f in (("retire", retire_b), ("add", add_b)):
             if f is None:
                 continue
@@ -857,13 +887,14 @@ class VectorCollection:
                     (
                         F.col(id_col).isNull()
                         | F.col(term_col).isNull()
+                        | F.col(weight_col).isNull()
                     ).cast("int")
                 ).alias("bad")
             ).first()["bad"]
             if bad or 0:
                 raise ValueError(
                     f"collection {self.name}: {bad} {label} postings "
-                    f"have NULL id/term"
+                    f"have NULL id/term/weight"
                 )
         touched_df = frames[0]
         for f in frames[1:]:
@@ -895,7 +926,9 @@ class VectorCollection:
         merged = keep.select(id_col, term_col, weight_col, *part_cols)
         if add_b is not None:
             merged = merged.unionByName(add_b)
-        # pin eagerly BEFORE deleting the source files
+        # pin eagerly: three jobs read `merged` (uniqueness guard,
+        # count, staging write) and the checkpoint keeps them from
+        # recomputing the read+anti-join+union each time
         merged = merged.localCheckpoint()
         # the layout's (id, term) uniqueness invariant survives the
         # merge: an add row whose key was not retired first would
@@ -911,43 +944,192 @@ class VectorCollection:
                 f"{dupes} duplicate (id, term) postings — retire a "
                 f"doc's old postings before adding its new ones"
             )
-        # the swap: delete-then-append on the touched partitions.  A
-        # crash between the rmtree and the write loses those buckets
-        # (the merged rows live only in this process's checkpoint
-        # blocks) — at production scale the versioned sink's staged
-        # write + manifest commit closes exactly this window; the
-        # plain-parquet layout documents it as a known limitation.
-        for key in touched:
-            part = os.path.join(
-                self.path,
-                *(f"{c}={v}" for c, v in zip(part_cols, key)),
-            )
-            if os.path.isdir(part):
-                shutil.rmtree(part)
+        # THE SWAP — staged write + journaled commit.  The r18 shape
+        # (rmtree touched partitions, then append) had a real data-loss
+        # window: between the delete and the write the merged rows
+        # lived only in this process's checkpoint blocks, so a driver
+        # crash there permanently lost every touched bucket.  Protocol
+        # now (the _staged_rewrite two-rename family, at partition
+        # granularity):
+        #   1. write the merged partitions to a STAGING sibling dir —
+        #      the live layout is untouched, a crash here reads
+        #      pre-merge;
+        #   2. fsync-and-rename a JOURNAL file inside the collection
+        #      listing the planned moves — THE commit point (the
+        #      parquet reader ignores `_`-prefixed files);
+        #   3. per touched partition: rename the live dir aside into a
+        #      TRASH sibling, rename the staged dir in — pure renames,
+        #      no data rewrite, each step idempotent;
+        #   4. remove journal, trash, staging.
+        # A crash before 2 leaves pre-merge state (stale staging is
+        # swept by the next merge); a crash after 2 is rolled FORWARD
+        # by _recover_merge() on the next read().  A reader therefore
+        # sees pre-merge or fully merged — never a half state, never
+        # lost buckets.
+        staging = self.path + _MERGE_STAGING_SUFFIX
+        trash = self.path + _MERGE_TRASH_SUFFIX
+        for d in (staging, trash):
+            if os.path.isdir(d):
+                shutil.rmtree(d)  # pre-commit leftovers of a dead merge
+        root_files: list[str] = []
         if n_merged:
-            merged.write.mode("append").partitionBy(*part_cols).parquet(
-                self.path
-            )
+            merged.write.mode("overwrite").partitionBy(
+                *part_cols
+            ).parquet(staging)
         else:
+            os.makedirs(staging, exist_ok=True)
+        _MERGE_FAULT("staged")
+
+        def _rel(key) -> str:
+            return os.path.join(
+                *(f"{c}={v}" for c, v in zip(part_cols, key))
+            )
+
+        # a touched partition the merge EMPTIED has no staged dir
+        # (partitionBy writes nothing for absent keys) — it is a pure
+        # drop, recorded separately so replaying the plan after a
+        # crash can tell "already swapped in" from "must be deleted"
+        swap_keys = [
+            list(k)
+            for k in touched
+            if os.path.isdir(os.path.join(staging, _rel(k)))
+        ]
+        drop_keys = [
+            list(k)
+            for k in touched
+            if not os.path.isdir(os.path.join(staging, _rel(k)))
+        ]
+        if not n_merged:
             # the merge retired everything it touched: if no parquet
-            # file survives anywhere, a partitioned append of the
-            # empty frame would leave only _SUCCESS and the collection
-            # becomes unreadable (the create_sparse empty-layout fix,
-            # applied to the merge path — append, not overwrite, so
-            # the props file survives)
+            # file survives OUTSIDE the touched partitions, the swap
+            # would leave the collection without a schema-bearing
+            # file and it becomes unreadable — stage one empty
+            # parquet file at the root (create_sparse's empty-layout
+            # fix, journaled with the rest of the plan)
+            touched_dirs = {
+                os.path.join(self.path, _rel(k)) for k in touched
+            }
+
+            def _in_touched(root: str) -> bool:
+                # exact-dir or proper-subdir match ONLY ("bucket=1"
+                # must not swallow "bucket=12")
+                return any(
+                    root == t or root.startswith(t + os.sep)
+                    for t in touched_dirs
+                )
+
             any_left = any(
-                f.endswith(".parquet")
-                for _, _, files in os.walk(self.path)
-                for f in files
+                any(f.endswith(".parquet") for f in files)
+                for root, _, files in os.walk(self.path)
+                if not _in_touched(root)
             )
             if not any_left:
-                merged.write.mode("append").parquet(self.path)
+                merged.write.mode("overwrite").parquet(staging)
+                root_files = [
+                    f
+                    for f in os.listdir(staging)
+                    if f.endswith(".parquet")
+                ]
+        plan = {
+            "part_cols": part_cols,
+            "swap_keys": swap_keys,
+            "drop_keys": drop_keys,
+            "root_files": root_files,
+        }
+        journal = os.path.join(self.path, _MERGE_JOURNAL)
+        tmp = journal + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(plan, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, journal)  # commit point
+        _MERGE_FAULT("committed")
+        self._apply_merge_swap(plan)
+        os.remove(journal)
+        for d in (staging, trash):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         self._invalidate_card_cache()
         return {
             "touched_buckets": len({k[0] for k in touched}),
             "touched_parts": len(touched),
             "n_buckets": n_buckets,
         }
+
+    def _apply_merge_swap(self, plan: dict) -> None:
+        """Execute — or RE-execute after a crash — a journaled
+        merge_sparse swap.  Idempotent by construction: a swap key
+        whose staged dir is gone was already moved in; a drop key
+        whose live dir is gone was already dropped; a root file that
+        already exists was already promoted.  Replaying a
+        half-applied plan therefore completes exactly the remaining
+        moves."""
+        import shutil
+
+        staging = self.path + _MERGE_STAGING_SUFFIX
+        trash = self.path + _MERGE_TRASH_SUFFIX
+        part_cols = plan["part_cols"]
+
+        def _rel(key) -> str:
+            return os.path.join(
+                *(f"{c}={v}" for c, v in zip(part_cols, key))
+            )
+
+        def _move_aside(live: str, key) -> None:
+            dst = os.path.join(trash, _rel(key))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.isdir(dst):
+                # an aside copy already landed (replay) — the live dir
+                # here can only be a fully-renamed duplicate
+                shutil.rmtree(live)
+            else:
+                os.rename(live, dst)
+
+        for key in plan["swap_keys"]:
+            stag = os.path.join(staging, _rel(key))
+            live = os.path.join(self.path, _rel(key))
+            if not os.path.isdir(stag):
+                continue  # already swapped in on a previous attempt
+            if os.path.isdir(live):
+                _move_aside(live, key)
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            os.rename(stag, live)
+            _MERGE_FAULT("swap-step")
+        for key in plan["drop_keys"]:
+            live = os.path.join(self.path, _rel(key))
+            if os.path.isdir(live):
+                _move_aside(live, key)
+            _MERGE_FAULT("drop-step")
+        for fname in plan.get("root_files", ()):
+            src = os.path.join(staging, fname)
+            dst = os.path.join(self.path, fname)
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.rename(src, dst)
+
+    def _recover_merge(self) -> None:
+        """Roll FORWARD a journaled merge_sparse swap that a crash
+        left half-applied (called from :meth:`read`, so the first
+        reader after the crash completes the merge before any scan
+        plans against the directory).  No journal = nothing committed
+        = nothing to do; stale staging/trash siblings from a
+        PRE-commit crash are harmless (outside the read path) and the
+        next merge sweeps them."""
+        journal = os.path.join(self.path, _MERGE_JOURNAL)
+        if not os.path.exists(journal):
+            return
+        import shutil
+
+        with open(journal) as fh:
+            plan = json.load(fh)
+        self._apply_merge_swap(plan)
+        os.remove(journal)
+        for d in (
+            self.path + _MERGE_STAGING_SUFFIX,
+            self.path + _MERGE_TRASH_SUFFIX,
+        ):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        self._invalidate_card_cache()
 
     def search_sparse(self, query: dict, k: int = 10) -> DataFrame:
         """Sparse-vector search (Qdrant sparse dot product):

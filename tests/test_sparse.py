@@ -476,3 +476,157 @@ def test_merge_sparse_rejects_null_keys(spark, sf_smoke, tmp_path):
         c.merge_sparse(None, nulls)
     with pytest.raises(ValueError, match="NULL id/term"):
         c.merge_sparse(nulls, None)
+
+
+def test_sparse_null_contract_converges(spark, tmp_path):
+    """create_sparse and merge_sparse enforce the SAME non-null
+    contract over (id, term, weight) — the r18 divergence let a NULL
+    id through create (computing dslice=NULL → the Hive default
+    partition, invisible to search) and a NULL weight through merge
+    (poisoning every dot product its bucket serves)."""
+    null_id = spark.createDataFrame(
+        [(None, 10, 1)], "doc_id long, term_id long, w long"
+    )
+    null_w = spark.createDataFrame(
+        [(9, 10, None)], "doc_id long, term_id long, w long"
+    )
+    c = VectorCollection(spark, str(tmp_path), "nullcheck")
+    with pytest.raises(ValueError, match="NULL id/term/weight"):
+        c.create_sparse(
+            null_id, id_col="doc_id", term_col="term_id",
+            weight_col="w", doc_slices=4,
+        )
+    with pytest.raises(ValueError, match="NULL id/term/weight"):
+        c.create_sparse(
+            null_w, id_col="doc_id", term_col="term_id", weight_col="w"
+        )
+    ok = spark.createDataFrame(
+        [(1, 10, 2), (2, 11, 3)], "doc_id long, term_id long, w long"
+    )
+    c.create_sparse(
+        ok, id_col="doc_id", term_col="term_id", weight_col="w",
+        n_buckets=8,
+    )
+    with pytest.raises(ValueError, match="NULL id/term/weight"):
+        c.merge_sparse(None, null_w)
+
+
+# ------------------------- merge_sparse crash-consistency (r19 item 2)
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _arm_fault(monkeypatch, stage: str, on_hit: int = 1):
+    """Monkeypatch the merge-swap fault seam to raise on the
+    ``on_hit``-th occurrence of ``stage``."""
+    import legalchatbot_vectordb_exp_spark.sources.collection as cmod
+
+    seen = {"n": 0}
+
+    def hook(s: str) -> None:
+        if s == stage:
+            seen["n"] += 1
+            if seen["n"] == on_hit:
+                raise _InjectedCrash(f"{stage}#{seen['n']}")
+
+    monkeypatch.setattr(cmod, "_MERGE_FAULT", hook)
+    return seen
+
+
+def _postings_checksum(c) -> tuple:
+    """One exact global fingerprint of the layout's logical content:
+    any lost, duplicated, or half-merged bucket changes it."""
+    r = c.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id", "term_id").alias("keys"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum((F.col("term_id") % 97) * F.col("w"))
+        .cast("bigint")
+        .alias("wsum"),
+        F.sum(F.col("doc_id") % 9973).cast("bigint").alias("idsum"),
+    ).collect()[0]
+    return tuple(r)
+
+
+def _crash_fixture(spark, sf_smoke, tmp_path):
+    """A doc-sliced layout plus a 2-doc update change batch, and the
+    checksums of the PRE-merge and the expected POST-merge state
+    (the latter from a clean rebuild of the final corpus)."""
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    )
+    c = VectorCollection(spark, str(tmp_path), "crashmerge")
+    c.create_sparse(
+        _postings(docs), id_col="doc_id", term_col="term_id",
+        weight_col="w", n_buckets=16, doc_slices=4,
+    )
+    pre = _postings_checksum(c)
+    changed = docs.orderBy("doc_id").limit(2)
+    retire = _postings(changed)
+    add = _postings(
+        changed.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" rev2"))
+        )
+    )
+    ids = [r["doc_id"] for r in changed.collect()]
+    final_docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id").isin(ids),
+            F.concat(F.col("text"), F.lit(" rev2")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    expect = VectorCollection(spark, str(tmp_path), "crashexpect")
+    expect.create_sparse(
+        _postings(final_docs), id_col="doc_id", term_col="term_id",
+        weight_col="w", n_buckets=16, doc_slices=4,
+    )
+    post = _postings_checksum(expect)
+    assert pre != post  # the change must be observable
+    return c, retire, add, pre, post
+
+
+@pytest.mark.parametrize(
+    "stage,on_hit,expect_state",
+    [
+        ("staged", 1, "pre"),  # crash BEFORE the journal commit
+        ("committed", 1, "post"),  # crash right AFTER the commit point
+        ("swap-step", 2, "post"),  # crash with the swap HALF-applied
+    ],
+)
+def test_merge_sparse_crash_is_never_half(
+    spark, sf_smoke, tmp_path, monkeypatch, stage, on_hit, expect_state
+):
+    """The r18 delete-then-append swap lost every touched bucket on a
+    crash between the delete and the write.  The journaled staged
+    swap's contract: a reader after a crash at ANY point sees exactly
+    the pre-merge state (crash before the journal commit) or exactly
+    the fully-merged state (crash after — read() rolls the journal
+    forward), never a half state and never lost postings."""
+    import legalchatbot_vectordb_exp_spark.sources.collection as cmod
+
+    c, retire, add, pre, post = _crash_fixture(spark, sf_smoke, tmp_path)
+    _arm_fault(monkeypatch, stage, on_hit)
+    with pytest.raises(_InjectedCrash):
+        c.merge_sparse(retire, add)
+    monkeypatch.setattr(cmod, "_MERGE_FAULT", cmod._no_fault)
+    # reopen cold — a fresh handle, as a post-crash process would
+    reopened = VectorCollection(spark, str(tmp_path), "crashmerge")
+    got = _postings_checksum(reopened)
+    assert got == (pre if expect_state == "pre" else post)
+    # recovery must leave no protocol litter behind a committed swap
+    import os
+
+    assert not os.path.exists(
+        os.path.join(reopened.path, cmod._MERGE_JOURNAL)
+    )
+    # and the layout stays fully serviceable: a pre-state layout can
+    # re-run the merge to completion; a post-state one is done
+    if expect_state == "pre":
+        stats = reopened.merge_sparse(retire, add)
+        assert stats["touched_parts"] > 0
+        assert _postings_checksum(reopened) == post
+    search = reopened.search_sparse(dict(SPARSE_QUERY), k=5)
+    assert search.count() == 5

@@ -324,6 +324,178 @@ def test_fixture_first_run_excluded_from_variance():
     assert [r["query"] for r in regs] == ["ann_knn_graph"]
 
 
+# ---- trend gate: calibration + best-of-last-3 floor (r18 item 1) ----
+# suite sec/query drifted 0.655 -> 0.723 -> 0.896 over r16-r18 with
+# ZERO confirmed flags: the compare-to-prior 2x ratchet is trend-blind
+# by construction.  compute_drift compares to the host-normalized BEST
+# of the last 3 rounds, so compounding drift accumulates against the
+# best known number.
+
+# three rounds of 20-30 %/round compounding drift on `creeper`:
+# 0.50 -> 0.65 -> 0.85 — each step is < 2x of the previous, so the
+# old gate never fires at any point
+_HISTORY = [
+    {"sf": 0.1, "queries": {"creeper": 0.85, "steady": 1.0},
+     "variance": {}, "calibration": 0.40, "source": "BENCH_r18.json"},
+    {"sf": 0.1, "queries": {"creeper": 0.65, "steady": 1.0},
+     "variance": {}, "calibration": 0.40, "source": "BENCH_r17.json"},
+    {"sf": 0.1, "queries": {"creeper": 0.50, "steady": 1.0},
+     "variance": {}, "calibration": 0.40, "source": "BENCH_r16.json"},
+]
+
+
+def test_planted_three_round_drift_is_flagged():
+    """The exact blind spot of the old gate, closed: current 1.10 s on
+    a query whose best-of-last-3 is 0.50 s flags at 2.2x — while
+    compare_to_prior against the last round alone (1.10/0.85 = 1.29x)
+    stays silent."""
+    cur = {"creeper": 1.10, "steady": 1.05}
+    assert (
+        bench.compare_to_prior(cur, _HISTORY[0], 0.1) == []
+    )  # pins the blind spot
+    flags, ratios, suite = bench.compute_drift(
+        cur, _HISTORY, 0.1, cal_now=0.40
+    )
+    assert [f["query"] for f in flags] == ["creeper"]
+    assert flags[0]["prior"] == 0.50 and flags[0]["ratio"] == 2.2
+    assert ratios["creeper"] == 2.2 and ratios["steady"] == 1.05
+    assert suite["n_compared"] == 2
+    assert suite["ratio"] > 1.4  # 2.15/1.50
+
+
+def test_drift_normalizes_out_host_speed():
+    """Same raw numbers, but the CURRENT host measures its calibration
+    2x slower than the history rounds did: every old floor normalizes
+    2x upward and the apparent drift disappears — host, not real."""
+    cur = {"creeper": 1.10, "steady": 1.05}
+    flags, ratios, _ = bench.compute_drift(
+        cur, _HISTORY, 0.1, cal_now=0.80
+    )
+    assert flags == []
+    assert ratios["creeper"] == 1.1  # 1.10 / (0.50 * 2.0)
+    # and the mirror case: a FASTER host today makes real drift look
+    # even worse, never better
+    flags, ratios, _ = bench.compute_drift(
+        cur, _HISTORY, 0.1, cal_now=0.20
+    )
+    assert ratios["creeper"] == 4.4
+
+
+def test_drift_without_calibration_falls_back_to_raw():
+    """History rounds that predate the calibration key (r18 and
+    earlier) compare raw — the gate still fires on the planted
+    drift."""
+    hist = [dict(h, calibration=None) for h in _HISTORY]
+    flags, ratios, _ = bench.compute_drift(
+        {"creeper": 1.10}, hist, 0.1, cal_now=0.40
+    )
+    assert [f["query"] for f in flags] == ["creeper"]
+    assert ratios["creeper"] == 2.2
+
+
+def test_drift_respects_noise_band_abs_floor_and_sf():
+    noisy = [
+        dict(
+            _HISTORY[0],
+            queries={"swingy": 0.50, "tiny": 0.05},
+            variance={"swingy": 3.7},
+        )
+    ]
+    # 2.2x on a query with a measured 3.7x spread: host swing
+    assert (
+        bench.compute_drift({"swingy": 1.10}, noisy, 0.1, 0.40)[0] == []
+    )
+    # 4x on 0.05 s is 0.15 s of jitter — under the absolute floor
+    assert (
+        bench.compute_drift({"tiny": 0.20}, noisy, 0.1, 0.40)[0] == []
+    )
+    # sf-mismatched rounds never enter the floor
+    flags, ratios, suite = bench.compute_drift(
+        {"creeper": 9.9}, _HISTORY, 0.01, 0.40
+    )
+    assert flags == [] and ratios == {} and suite["n_compared"] == 0
+    # new queries (no history) never flag
+    assert (
+        bench.compute_drift({"brand_new": 9.9}, _HISTORY, 0.1, 0.40)[0]
+        == []
+    )
+
+
+def test_drift_flags_confirm_like_regressions():
+    """A drift flag that re-measures back under the gate at suite end
+    is transient host interference, not drift."""
+    flags, _, _ = bench.compute_drift(
+        {"creeper": 1.10}, _HISTORY, 0.1, 0.40
+    )
+    confirmed, transient = bench.confirm_regressions(
+        flags, lambda n: 0.55, ratio_floor=1.5, abs_floor_sec=0.3
+    )
+    assert confirmed == [] and len(transient) == 1
+    confirmed, transient = bench.confirm_regressions(
+        flags, lambda n: 1.08, ratio_floor=1.5, abs_floor_sec=0.3
+    )
+    assert transient == [] and len(confirmed) == 1
+
+
+def test_load_history_reads_multiple_rounds(tmp_path):
+    import json
+
+    names = ["alpha", "beta", "gamma"]
+    for rnd, (a, cal) in enumerate([(1.0, 0.4), (1.3, None), (2.0, 0.5)]):
+        vals = {n: a * (i + 1) for i, n in enumerate(sorted(names))}
+        art = {
+            "rc": 0,
+            "parsed": {
+                "order": "name-asc",
+                "sf": 0.1,
+                "cal": cal,
+                "queries": [vals[n] for n in sorted(names)],
+                "top10": vals,
+                "var10": {"alpha": 1.2},
+            },
+        }
+        (tmp_path / f"BENCH_r{16 + rnd}.json").write_text(json.dumps(art))
+    hist = bench._load_history(str(tmp_path), names)
+    assert [h["source"] for h in hist] == [
+        "BENCH_r18.json", "BENCH_r17.json", "BENCH_r16.json"
+    ]
+    assert hist[0]["calibration"] == 0.5
+    assert hist[1]["calibration"] is None
+    assert hist[2]["queries"]["alpha"] == 1.0
+    assert hist[0]["variance"]["alpha"] == 1.2
+    # the floor then spans all three rounds
+    flags, ratios, _ = bench.compute_drift(
+        {"alpha": 2.1}, hist, 0.1, cal_now=None
+    )
+    assert ratios["alpha"] == 2.1 and [f["query"] for f in flags] == [
+        "alpha"
+    ]
+
+
+def test_main_emits_calibration_and_drift_sections(spark):
+    payload = bench.main(
+        queries={"good_scan": _good},
+        sf_dir=SF_DIR,
+        stop=False,
+        emit=False,
+    )
+    cal = payload["calibration"]
+    assert cal["value"] == min(cal["start"], cal["end"]) > 0
+    drift = payload["drift"]
+    assert set(drift) == {"flags", "transient", "ratios", "suite"}
+    # the tail line carries cal + drift names for future rounds
+    line = bench._fit_summary(
+        payload["value"], payload["sf"], payload["queries"],
+        payload["variance"], payload["regressions"],
+        cal["value"], drift["flags"],
+    )
+    import json
+
+    parsed = json.loads(line)
+    assert parsed["cal"] == cal["value"]
+    assert parsed["drift"] == []
+
+
 def test_load_prior_handles_libtier_rows(tmp_path):
     """A prior BENCH artifact timed with the codec library present
     carries two extra *_libtier rows — the name-asc reconstruction

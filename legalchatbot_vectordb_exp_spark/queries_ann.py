@@ -27,6 +27,7 @@ DataFrame plans so Catalyst handles pushdown/broadcast:
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyspark.sql.functions as F
@@ -1353,16 +1354,88 @@ def _knn_scored_topk(pairs: DataFrame, emb: DataFrame) -> DataFrame:
 # runs reuse one build instead of re-running all KNN_ITERS rounds
 _KNN_GRAPH_STAGING: dict[str, DataFrame] = {}
 
+# bump when the build algorithm changes so a stale at-rest cache can
+# never serve edges the current code (and its DuckDB oracle) would
+# not produce
+_GRAPH_CACHE_VERSION = 1
+
+
+def _emb_signature(sf_dir: str) -> dict:
+    """Content signature of the embeddings table (size + mtime of its
+    parquet bytes): the at-rest graph cache is valid only while the
+    corpus it was built from is byte-identical."""
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isfile(p):
+        st = os.stat(p)
+        return {"bytes": st.st_size, "mtime_ns": st.st_mtime_ns}
+    total = mt = 0
+    for root, _, files in os.walk(p):
+        for f in files:
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(root, f))
+                total += st.st_size
+                mt = max(mt, st.st_mtime_ns)
+    return {"bytes": total, "mtime_ns": mt}
+
+
+def _cached_edges(
+    spark: SparkSession, sf_dir: str, leaf: str, sig: dict, build_fn
+) -> DataFrame:
+    """AT-REST cache for a deterministic derived edge list (round-19
+    item 5): the NN-descent build is ~10 s of the bench's graph-family
+    fixture and is bit-identical on every rebuild (fixed iterations,
+    fixed tie-breaks), so a production deployment would build it ONCE
+    and serve the persisted index — exactly what the IVF family
+    already does with its persisted layout.  The edge list is written
+    to a per-sf_dir scratch dir with a content SIGNATURE (corpus
+    bytes/mtime + build constants + algorithm version) committed
+    LAST; a later process whose signature matches reads the parquet
+    back instead of rebuilding; any mismatch (corpus changed, code
+    retuned) rebuilds and atomically replaces the cache.  Doubles
+    round-trip parquet exactly, so cached edges == built edges ==
+    what the DuckDB oracle replays.  ``SPARK_GRAFT_GRAPH_CACHE=0``
+    disables (build-mechanics tests measure the build itself)."""
+    import shutil
+
+    from legalchatbot_vectordb_exp_spark.queries_roundtrip import _scratch
+
+    if os.environ.get("SPARK_GRAFT_GRAPH_CACHE", "1") == "0":
+        return build_fn().localCheckpoint()
+    cache = _scratch(sf_dir, f"graph_cache_{leaf}")
+    sigfile = os.path.join(cache, "_signature.json")
+    edges_dir = os.path.join(cache, "edges")
+    try:
+        with open(sigfile) as fh:
+            if json.load(fh) == sig:
+                return spark.read.parquet(edges_dir).localCheckpoint()
+    except Exception:
+        pass
+    built = build_fn().localCheckpoint()
+    tmp = f"{cache}.tmp{os.getpid()}"
+    try:
+        built.write.mode("overwrite").parquet(os.path.join(tmp, "edges"))
+        with open(os.path.join(tmp, "_signature.json"), "w") as fh:
+            json.dump(sig, fh)
+        if os.path.isdir(cache):
+            shutil.rmtree(cache)
+        os.rename(tmp, cache)
+    except Exception:
+        # cache write is best-effort: concurrent writers or a
+        # read-only scratch must never fail the query itself
+        shutil.rmtree(tmp, ignore_errors=True)
+    return built
+
 
 def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the k-NN graph: IVF-cell ring init + KNN_ITERS NN-descent
     rounds.  Returns (src, dst, score) with exactly <=KNN_K edges per
-    src, full doubles (callers round for display).  The localCheckpoint
-    per round makes the build eager, so the per-process cache returns
-    materialized edges.  ONE full-corpus build serves every graph
-    consumer — search, HNSW, and the incremental family (round 18:
-    the round-17 ``base_pred``/``staging`` filtered-build variant was
-    removed with the held-out-batch design)."""
+    src, full doubles (callers round for display).  ONE full-corpus
+    build serves every graph consumer — search, HNSW, and the
+    incremental family — and the finished edge list additionally
+    persists AT REST per sf_dir (:func:`_cached_edges`): a later
+    process serves the stored index instead of rebuilding, the same
+    build-once/query-many contract the persisted IVF layout already
+    keeps."""
     staging = _KNN_GRAPH_STAGING
     cached = staging.get(sf_dir)
     if cached is not None:
@@ -1371,6 +1444,25 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return cached
         except Exception:
             pass
+    graph = _cached_edges(
+        spark,
+        sf_dir,
+        "knn",
+        {
+            "emb": _emb_signature(sf_dir),
+            "k": KNN_K,
+            "iters": KNN_ITERS,
+            "v": _GRAPH_CACHE_VERSION,
+        },
+        lambda: _knn_graph_build_uncached(spark, sf_dir),
+    )
+    staging[sf_dir] = graph
+    return graph
+
+
+def _knn_graph_build_uncached(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
@@ -1446,7 +1538,6 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pairs = graph.select("src", "dst").union(nn).distinct()
         graph = _knn_scored_topk(pairs, emb).localCheckpoint()
-    staging[sf_dir] = graph
     return graph
 
 
@@ -3029,33 +3120,47 @@ def _hnsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lvl in range(HNSW_LEVEL_CAP - 1, 0, -1):
         # the layer's own kNN edges: direct ∪ 2-hop-through-any-mid
         # candidates with both endpoints in the layer, top-k per src
-        # by exact score — n·k² bounded, one NN-descent round's shape
-        lv = levels.filter(F.col("level") >= lvl)
-        two_hop = (
-            graph.alias("x")
-            .join(graph.alias("y"), F.col("x.dst") == F.col("y.src"))
-            .select(
-                F.col("x.src").alias("src"), F.col("y.dst").alias("dst")
+        # by exact score — n·k² bounded, one NN-descent round's shape.
+        # Deterministic function of (graph, levels) => cached AT REST
+        # next to the base graph, so repeat processes read n_l·k rows
+        # of parquet instead of re-running the layer build.  (The
+        # localCheckpoint inside _cached_edges also cuts lineage: the
+        # edge list feeds every hop of the layer and the beam feeds 3
+        # references per hop — without the cut the nested plan grows
+        # exponentially across the 9 hops, the knn_graph_build lesson.)
+        def _build_layer(lvl=lvl):
+            lv = levels.filter(F.col("level") >= lvl)
+            two_hop = (
+                graph.alias("x")
+                .join(graph.alias("y"), F.col("x.dst") == F.col("y.src"))
+                .select(
+                    F.col("x.src").alias("src"),
+                    F.col("y.dst").alias("dst"),
+                )
             )
-        )
-        lpairs = (
-            graph.select("src", "dst")
-            .union(two_hop)
-            .join(lv.select(F.col("vec_id").alias("src")), "src")
-            .join(lv.select(F.col("vec_id").alias("dst")), "dst")
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-        )
-        # localCheckpoint: the edge list feeds every hop of the layer
-        # and the beam feeds 3 references per hop — without cutting
-        # lineage the nested plan grows exponentially across the 9
-        # hops (the knn_graph_build lesson); each cut re-plans from a
-        # materialized leaf (edge lists are n_l·k rows, beams are
-        # queries×B rows)
-        edges_l = (
-            _knn_scored_topk(lpairs, emb)
-            .select("src", "dst")
-            .localCheckpoint()
+            lpairs = (
+                graph.select("src", "dst")
+                .union(two_hop)
+                .join(lv.select(F.col("vec_id").alias("src")), "src")
+                .join(lv.select(F.col("vec_id").alias("dst")), "dst")
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+            return _knn_scored_topk(lpairs, emb).select("src", "dst")
+
+        edges_l = _cached_edges(
+            spark,
+            sf_dir,
+            f"hnsw_l{lvl}",
+            {
+                "emb": _emb_signature(sf_dir),
+                "k": KNN_K,
+                "iters": KNN_ITERS,
+                "cap": HNSW_LEVEL_CAP,
+                "lvl": lvl,
+                "v": _GRAPH_CACHE_VERSION,
+            },
+            _build_layer,
         )
         for _ in range(HNSW_UPPER_HOPS):
             beam = hop(beam, edges_l, HNSW_DESCENT_BEAM).localCheckpoint()

@@ -752,7 +752,13 @@ def q_sparse_index_cdc_maintain(
 # failed to rewrite all fail the hash.
 
 SPARSE_INCR_BUCKETS = 128  # small change set must touch < all buckets
-SPARSE_INCR_SLICES = 8  # doc-id slices inside each bucket (Zipf fix)
+# ADAPTIVE doc slicing (the Zipf fix without uniform slicing's
+# file-count overhead): per-bucket slice counts from the build-time
+# histogram — heavy buckets split, the light tail stays whole.  The
+# oracle recomputes stats from the relationally-reconstructed final
+# corpus, so it is layout-independent: switching the slicing policy
+# must not (and does not) move the hash.
+SPARSE_INCR_SLICES = "auto"
 SPARSE_INCR_MOD = 31
 SPARSE_INCR_UPD = 1  # doc_id % 31 == 1 -> text || ' rev2'
 SPARSE_INCR_DEL = 2  # doc_id % 31 == 2 -> deleted

@@ -285,17 +285,16 @@ def measure_sparse_merge(spark, sf_dir: str, wh: str) -> dict:
         )
         build_wall = time.perf_counter() - t0
 
-        def _layout_bytes() -> int:
-            total = 0
+        def _layout_stats() -> tuple[int, int]:
+            total = n_files = 0
             for root, _, files in os.walk(coll.path):
-                total += sum(
-                    os.path.getsize(os.path.join(root, f))
-                    for f in files
-                    if f.endswith(".parquet")
-                )
-            return total
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, f))
+                        n_files += 1
+            return total, n_files
 
-        total_before = _layout_bytes()
+        total_before, files_before = _layout_stats()
         changed = docs.orderBy("doc_id").limit(2)
         retire = _postings(changed)
         add = _postings(
@@ -323,6 +322,7 @@ def measure_sparse_merge(spark, sf_dir: str, wh: str) -> dict:
             "build_wall_s": round(build_wall, 2),
             "merge_wall_s": round(merge_wall, 2),
             "layout_bytes": total_before,
+            "layout_files": files_before,
             "rewritten_bytes": rewritten,
             # fraction of the PRE-merge layout — the claim SCALE.md
             # §18e quotes ("how much of the index the change rewrote")
@@ -332,10 +332,20 @@ def measure_sparse_merge(spark, sf_dir: str, wh: str) -> dict:
             **stats,
         }
 
-    return {
+    out = {
         "bucket_level": _one(1),
         "doc_sliced_16": _one(16),
+        # adaptive (r19 item 3): per-bucket slice counts from the
+        # build histogram — the done-bar is rewrite ≤ 0.15 AND layout
+        # size ≤ 1.2x unsliced at every tier
+        "doc_sliced_auto": _one("auto"),
     }
+    base_bytes = max(1, out["bucket_level"]["layout_bytes"])
+    for mode in ("doc_sliced_16", "doc_sliced_auto"):
+        out[mode]["size_vs_unsliced"] = round(
+            out[mode]["layout_bytes"] / base_bytes, 3
+        )
+    return out
 
 
 def measure_multiwriter(

@@ -756,6 +756,31 @@ class VectorCollection:
         merge_sparse; buckets born later (new terms) default to one
         slice.  The histogram is one ≤ n_buckets-row aggregate —
         bounded driver state at any corpus size."""
+        # the input is typically a DERIVED frame (tokenize + explode +
+        # aggregate); the build reads it up to three times (validation
+        # agg, adaptive histogram, write) — pin it once so the
+        # derivation runs once, not per job.  The pinned set is the
+        # posting relation itself (bounded, spills to disk); at
+        # production scale the same role is a parquet staging write.
+        df = df.select(id_col, term_col, weight_col).persist()
+        try:
+            return self._create_sparse_pinned(
+                df, id_col, term_col, weight_col, n_buckets,
+                doc_slices, parts_budget,
+            )
+        finally:
+            df.unpersist()
+
+    def _create_sparse_pinned(
+        self,
+        df: DataFrame,
+        id_col: str,
+        term_col: str,
+        weight_col: str,
+        n_buckets: int,
+        doc_slices: int | str,
+        parts_budget: int | None,
+    ) -> "VectorCollection":
         row = df.agg(
             F.sum(
                 (
@@ -784,7 +809,7 @@ class VectorCollection:
                 f"collection {self.name}: {row['dupes']} duplicate "
                 f"(id, term) postings"
             )
-        out = df.select(id_col, term_col, weight_col).withColumn(
+        out = df.withColumn(
             "bucket",
             F.pmod(F.col(term_col), F.lit(n_buckets)).cast("int"),
         )
@@ -937,13 +962,21 @@ class VectorCollection:
                 )
             return out
 
+        # pin the bucketed change batches: both are typically DERIVED
+        # frames (tokenize + explode + aggregate) and the merge
+        # references each up to six times (null check, touched-key
+        # collect, anti-join, union, uniqueness guard, staging write)
+        # — without the cut every reference re-derives the batch.
+        # Bounded by the CHANGE size, never the corpus.
         retire_b = (
             _b(retire.select(id_col, term_col, weight_col))
+            .localCheckpoint()
             if retire is not None
             else None
         )
         add_b = (
             _b(add.select(id_col, term_col, weight_col))
+            .localCheckpoint()
             if add is not None
             else None
         )
@@ -991,14 +1024,22 @@ class VectorCollection:
         if not touched:
             return empty_stats
         if sliced:
-            # exact (bucket, dslice) pruning: an OR-chain of
-            # conjunctions is a static predicate partition pruning
-            # understands; a bucket.isin × dslice.isin product would
-            # re-read (and then duplicate) pairs the change never
-            # touched
-            pred = None
+            # exact (bucket, dslice) pruning, GROUPED per bucket:
+            # ``(bucket = b AND dslice IN (s...))`` OR-chained over
+            # buckets covers exactly the touched pairs (a global
+            # bucket.isin × dslice.isin product would re-read pairs
+            # the change never touched), while keeping the predicate
+            # ≤ n_buckets legs — the first adaptive-layout run built
+            # one conjunction PER PAIR (hundreds of legs for a large
+            # change batch) and paid for it in planning time
+            by_bucket: dict[int, list[int]] = {}
             for b, s in touched:
-                leg = (F.col("bucket") == b) & (F.col("dslice") == s)
+                by_bucket.setdefault(b, []).append(s)
+            pred = None
+            for b, slices in sorted(by_bucket.items()):
+                leg = (F.col("bucket") == b) & (
+                    F.col("dslice").isin(slices)
+                )
                 pred = leg if pred is None else (pred | leg)
         else:
             pred = F.col("bucket").isin([b for (b,) in touched])

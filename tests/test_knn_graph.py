@@ -62,6 +62,47 @@ def test_build_is_cached_per_process(spark):
     assert g1 is g2, "second build must return the staged graph"
 
 
+def test_cached_edges_at_rest_roundtrip(spark, tmp_path, monkeypatch):
+    """The cross-process at-rest cache (r19 item 5): a matching
+    signature serves the STORED parquet without re-invoking the
+    build; any signature change rebuilds and replaces.  Pinned as a
+    unit because a swallowed NameError once disabled the write path
+    silently — the cache must be observably real."""
+    import legalchatbot_vectordb_exp_spark.queries_ann as A
+
+    monkeypatch.setenv("SPARK_GRAFT_TMP", str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_GRAPH_CACHE", raising=False)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+
+    sig = {"v": 1, "k": 3}
+    a = A._cached_edges(spark, SF_DIR, "unit", sig, build)
+    assert calls["n"] == 1
+    cache_root = tmp_path / "spark_graft_roundtrip"
+    cached_dirs = [
+        d for d in os.listdir(cache_root) if "graph_cache_unit" in d
+    ]
+    assert cached_dirs, "cache dir must be written at rest"
+    # same signature: served from parquet, build NOT re-invoked
+    b = A._cached_edges(spark, SF_DIR, "unit", sig, build)
+    assert calls["n"] == 1
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
+    # changed signature (corpus or constants moved): rebuild
+    A._cached_edges(spark, SF_DIR, "unit", {"v": 2, "k": 3}, build)
+    assert calls["n"] == 2
+    # opt-out: build runs, cache untouched
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_CACHE", "0")
+    A._cached_edges(spark, SF_DIR, "unit", {"v": 9}, build)
+    assert calls["n"] == 3
+
+
 def test_oracle_parity_graph(spark):
     con = duckdb_conn(SF_DIR)
     try:

@@ -1419,9 +1419,18 @@ def _cached_edges(
         if os.path.isdir(cache):
             shutil.rmtree(cache)
         os.rename(tmp, cache)
-    except Exception:
+    except Exception as exc:  # noqa: BLE001
         # cache write is best-effort: concurrent writers or a
-        # read-only scratch must never fail the query itself
+        # read-only scratch must never fail the query itself — but
+        # never SILENTLY either (a swallowed NameError disabled this
+        # whole path once; tests now pin the write, and a skipped
+        # write at least says so)
+        import warnings
+
+        warnings.warn(
+            f"graph edge cache write skipped for {leaf}: {exc!r}",
+            stacklevel=2,
+        )
         shutil.rmtree(tmp, ignore_errors=True)
     return built
 

@@ -917,12 +917,14 @@ class VectorCollection:
         the changed docs' own slices of each touched bucket are read
         and swapped — the common-term buckets every document shares
         stay 1/doc_slices-granular instead of all-or-nothing.  The
-        merged frame is pinned eagerly before the swap
-        (read-then-overwrite hazard); at production scale the same
-        step is a staged write + manifest commit (the versioned
-        sink's protocol).  Returns ``{"touched_buckets": …,
-        "touched_parts": …, "n_buckets": …}`` so callers can pin the
-        O(changes) claim."""
+        swap itself is a JOURNALED staged rename (write staging →
+        fsync journal → per-partition renames → sweep; see the inline
+        protocol comment and :meth:`_recover_merge`): a crash at any
+        point reopens at exactly pre-merge or exactly fully-merged,
+        never a half state — the plain-parquet twin of the versioned
+        sink's staged write + manifest commit.  Returns
+        ``{"touched_buckets": …, "touched_parts": …, "n_buckets": …}``
+        so callers can pin the O(changes) claim."""
         import shutil
 
         props = self.properties

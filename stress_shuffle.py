@@ -642,6 +642,12 @@ def measure_dv_read_curve(spark, sf_dir: str, wh: str) -> dict:
 
 
 def main() -> None:
+    # the stress families measure the BUILD (shuffle bytes per tier);
+    # the at-rest edge cache would silently turn a repeat run into a
+    # parquet-read measurement — force live builds here (bench keeps
+    # the cache: it measures the serve path, this file measures the
+    # build path)
+    os.environ["SPARK_GRAFT_GRAPH_CACHE"] = "0"
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     multiples = [int(x) for x in sys.argv[2:]] or [1, 10, 30]
     conf = {

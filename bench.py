@@ -496,6 +496,10 @@ def _load_history(
                         "sf": prior.get("sf"),
                         "queries": prior["queries"],
                         "variance": prior.get("variance") or {},
+                        # committed artifacts carry no fixture map;
+                        # bench_latest does — compare_fixture_to_prior
+                        # reads it from the prior-round entry
+                        "fixture": prior.get("fixture") or {},
                         "calibration": (
                             float(cal)
                             if isinstance(cal, (int, float))
@@ -529,18 +533,8 @@ def _load_prior(repo_dir: str, current_names: list[str]) -> dict | None:
        its zipped position (a 10-point checksum that a renamed or
        reordered registry cannot pass).
     """
-    latest = os.path.join(repo_dir, "bench_latest.json")
-    if os.path.exists(latest):
-        try:
-            with open(latest) as fh:
-                prior = json.load(fh)
-            if isinstance(prior.get("queries"), dict):
-                return prior
-        except Exception:
-            pass
-    for path in _committed_artifacts(repo_dir)[:1]:
-        return _parse_bench_artifact(path, current_names)
-    return None
+    hist = _load_history(repo_dir, current_names, limit=1)
+    return hist[0] if hist else None
 
 
 def _quantile_stats(samples: list[float]) -> list[float]:
@@ -749,6 +743,12 @@ def main(queries=None, sf_dir=None, stop=True, emit=True) -> dict:
     drift_confirmed, drift_transient = confirm_regressions(
         drift_flags, _remeasure, ratio_floor=1.5, abs_floor_sec=0.3
     )
+    # the confirm pass may have re-measured a flagged query DOWN —
+    # keep the ratio map consistent with the flags' post-confirm
+    # numbers (and with payload["queries"]) instead of the stale
+    # pre-remeasure ratio
+    for e in drift_confirmed + drift_transient:
+        drift_ratios[e["query"]] = e["ratio"]
     # per-query (min, median, max) across repeats — the judge reads the
     # full distribution, not just the steady min
     stats = {

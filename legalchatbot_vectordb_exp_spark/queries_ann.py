@@ -1354,10 +1354,27 @@ def _knn_scored_topk(pairs: DataFrame, emb: DataFrame) -> DataFrame:
 # runs reuse one build instead of re-running all KNN_ITERS rounds
 _KNN_GRAPH_STAGING: dict[str, DataFrame] = {}
 
-# bump when the build algorithm changes so a stale at-rest cache can
-# never serve edges the current code (and its DuckDB oracle) would
-# not produce
+# bump for cache-layout changes; ALGORITHM changes are covered
+# automatically by _build_source_sig below (review finding: a
+# hand-bumped constant alone silently serves stale edges when someone
+# retunes ivf_mod_for / the assign kernel / the level expr and
+# forgets the bump)
 _GRAPH_CACHE_VERSION = 1
+
+
+def _build_source_sig(*fns) -> str:
+    """sha256 (truncated) over the SOURCE TEXT of every function the
+    build consumes: any edit to the build path — constants, kernels,
+    tie-breaks, even a comment — invalidates the at-rest cache, so
+    the cache can never serve edges the current code (and its DuckDB
+    oracle) would not produce."""
+    import hashlib
+    import inspect
+
+    h = hashlib.sha256()
+    for fn in fns:
+        h.update(inspect.getsource(fn).encode())
+    return h.hexdigest()[:16]
 
 
 def _emb_signature(sf_dir: str) -> dict:
@@ -1461,6 +1478,12 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "emb": _emb_signature(sf_dir),
             "k": KNN_K,
             "iters": KNN_ITERS,
+            "src": _build_source_sig(
+                _knn_graph_build_uncached,
+                _knn_scored_topk,
+                make_ivf_assign,
+                ivf_mod_for,
+            ),
             "v": _GRAPH_CACHE_VERSION,
         },
         lambda: _knn_graph_build_uncached(spark, sf_dir),
@@ -3167,6 +3190,17 @@ def _hnsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "iters": KNN_ITERS,
                 "cap": HNSW_LEVEL_CAP,
                 "lvl": lvl,
+                # _hnsw_beam's source covers the layer-build closure;
+                # the base-graph builders cover the edges it closes
+                # over
+                "src": _build_source_sig(
+                    _knn_graph_build_uncached,
+                    _knn_scored_topk,
+                    make_ivf_assign,
+                    ivf_mod_for,
+                    _hnsw_level_expr,
+                    _hnsw_beam,
+                ),
                 "v": _GRAPH_CACHE_VERSION,
             },
             _build_layer,

@@ -756,6 +756,16 @@ class VectorCollection:
         merge_sparse; buckets born later (new terms) default to one
         slice.  The histogram is one ≤ n_buckets-row aggregate —
         bounded driver state at any corpus size."""
+        if parts_budget is not None:
+            # silently-ignored knobs are worse than errors: the budget
+            # only shapes the ADAPTIVE layout, and zero/negative would
+            # quietly fall back to the default
+            if doc_slices != "auto":
+                raise ValueError(
+                    "parts_budget only applies to doc_slices='auto'"
+                )
+            if int(parts_budget) < 1:
+                raise ValueError("parts_budget must be a positive int")
         # the input is typically a DERIVED frame (tokenize + explode +
         # aggregate); the build reads it up to three times (validation
         # agg, adaptive histogram, write) — pin it once so the
@@ -919,10 +929,12 @@ class VectorCollection:
         stay 1/doc_slices-granular instead of all-or-nothing.  The
         swap itself is a JOURNALED staged rename (write staging →
         fsync journal → per-partition renames → sweep; see the inline
-        protocol comment and :meth:`_recover_merge`): a crash at any
-        point reopens at exactly pre-merge or exactly fully-merged,
-        never a half state — the plain-parquet twin of the versioned
-        sink's staged write + manifest commit.  Returns
+        protocol comment and :meth:`_recover_merge`): a PROCESS crash
+        at any point reopens at exactly pre-merge or exactly
+        fully-merged, never a half state — the plain-parquet twin of
+        the versioned sink's staged write + manifest commit (power
+        -loss atomicity would additionally need the staged data files
+        fsync'd; see the protocol comment).  Returns
         ``{"touched_buckets": …, "touched_parts": …, "n_buckets": …}``
         so callers can pin the O(changes) claim."""
         import shutil
@@ -1094,7 +1106,14 @@ class VectorCollection:
         # swept by the next merge); a crash after 2 is rolled FORWARD
         # by _recover_merge() on the next read().  A reader therefore
         # sees pre-merge or fully merged — never a half state, never
-        # lost buckets.
+        # lost buckets.  Guarantee scope: PROCESS crashes.  Against OS
+        # crash/power loss the journal is fsync'd but the staged
+        # parquet files are not (Spark's executor writes don't fsync),
+        # so a durable journal could promise data the page cache never
+        # flushed — full power-loss atomicity needs fsync of every
+        # staged file + parent dirs before the commit point, which is
+        # the versioned sink's manifest protocol territory, not this
+        # plain-parquet layout's.
         staging = self.path + _MERGE_STAGING_SUFFIX
         trash = self.path + _MERGE_TRASH_SUFFIX
         for d in (staging, trash):
@@ -1177,10 +1196,14 @@ class VectorCollection:
         os.rename(tmp, journal)  # commit point
         _MERGE_FAULT("committed")
         self._apply_merge_swap(plan)
-        os.remove(journal)
+        # a concurrent reader's _recover_merge may have replayed the
+        # committed plan and swept first — losing that race is success
+        try:
+            os.remove(journal)
+        except FileNotFoundError:
+            pass
         for d in (staging, trash):
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+            shutil.rmtree(d, ignore_errors=True)
         self._invalidate_card_cache()
         return {
             "touched_buckets": len({k[0] for k in touched}),
@@ -1195,7 +1218,16 @@ class VectorCollection:
         whose live dir is gone was already dropped; a root file that
         already exists was already promoted.  Replaying a
         half-applied plan therefore completes exactly the remaining
-        moves."""
+        moves.
+
+        CONCURRENT appliers are tolerated too: a reader's
+        :meth:`_recover_merge` may replay the same plan while the
+        merging process is still mid-swap (the journal exists from
+        commit until sweep), so every rename races a twin performing
+        the identical move.  Each step therefore treats "source
+        vanished" as "the other applier did it first" — both sides
+        converge on the same final state instead of crashing a merge
+        that in fact committed."""
         import shutil
 
         staging = self.path + _MERGE_STAGING_SUFFIX
@@ -1207,15 +1239,23 @@ class VectorCollection:
                 *(f"{c}={v}" for c, v in zip(part_cols, key))
             )
 
+        def _race_ok(fn, *args) -> None:
+            # the twin applier executes the SAME plan: losing a rename
+            # race leaves exactly the state this step was creating
+            try:
+                fn(*args)
+            except (FileNotFoundError, OSError):
+                pass
+
         def _move_aside(live: str, key) -> None:
             dst = os.path.join(trash, _rel(key))
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             if os.path.isdir(dst):
                 # an aside copy already landed (replay) — the live dir
                 # here can only be a fully-renamed duplicate
-                shutil.rmtree(live)
+                _race_ok(shutil.rmtree, live)
             else:
-                os.rename(live, dst)
+                _race_ok(os.rename, live, dst)
 
         for key in plan["swap_keys"]:
             stag = os.path.join(staging, _rel(key))
@@ -1225,7 +1265,8 @@ class VectorCollection:
             if os.path.isdir(live):
                 _move_aside(live, key)
             os.makedirs(os.path.dirname(live), exist_ok=True)
-            os.rename(stag, live)
+            if not os.path.isdir(live):
+                _race_ok(os.rename, stag, live)
             _MERGE_FAULT("swap-step")
         for key in plan["drop_keys"]:
             live = os.path.join(self.path, _rel(key))
@@ -1236,7 +1277,7 @@ class VectorCollection:
             src = os.path.join(staging, fname)
             dst = os.path.join(self.path, fname)
             if os.path.exists(src) and not os.path.exists(dst):
-                os.rename(src, dst)
+                _race_ok(os.rename, src, dst)
 
     def _recover_merge(self) -> None:
         """Roll FORWARD a journaled merge_sparse swap that a crash
@@ -1251,16 +1292,21 @@ class VectorCollection:
             return
         import shutil
 
-        with open(journal) as fh:
-            plan = json.load(fh)
+        try:
+            with open(journal) as fh:
+                plan = json.load(fh)
+        except FileNotFoundError:
+            return  # the merging process swept it between the checks
         self._apply_merge_swap(plan)
-        os.remove(journal)
+        try:
+            os.remove(journal)
+        except FileNotFoundError:
+            pass  # the twin applier finished first — same end state
         for d in (
             self.path + _MERGE_STAGING_SUFFIX,
             self.path + _MERGE_TRASH_SUFFIX,
         ):
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+            shutil.rmtree(d, ignore_errors=True)
         self._invalidate_card_cache()
 
     def search_sparse(self, query: dict, k: int = 10) -> DataFrame:

@@ -323,6 +323,22 @@ def _calibrate(spark, repeats: int = 3) -> float:
     return round(best, 3)
 
 
+def stable_cal(cal_start: float, cal_end: float) -> float | None:
+    """The host-speed proxy is only usable when the suite's two
+    calibration measurements AGREE: a measured round (start 1.848 s,
+    end 0.377 s — a 4.9x intra-run swing) showed that normalizing by
+    the min of an unstable pair scales every floor by a fiction and
+    manufactures dozens of drift flags that then survive the confirm
+    pass (the confirm divides by the same bad floor).  Disagreement
+    beyond 1.5x returns None → the drift gate falls back to RAW
+    comparison, which only under-normalizes (conservative: a slow
+    host looks slow, it never makes the floor artificially low)."""
+    lo, hi = sorted((cal_start, cal_end))
+    if lo <= 0 or hi / lo > 1.5:
+        return None
+    return lo
+
+
 def compute_drift(
     timings: dict[str, float],
     history: list[dict],
@@ -735,7 +751,7 @@ def main(queries=None, sf_dir=None, stop=True, emit=True) -> dict:
     # transient-interference sample must not enter the artifact as
     # drift).
     cal_end = _calibrate(spark)
-    cal_now = min(cal_start, cal_end)
+    cal_now = stable_cal(cal_start, cal_end)
     history = _load_history(repo_dir, sorted(queries))
     drift_flags, drift_ratios, drift_suite = compute_drift(
         timings, history, sf, cal_now
@@ -773,7 +789,10 @@ def main(queries=None, sf_dir=None, stop=True, emit=True) -> dict:
         "calibration": {
             "start": cal_start,
             "end": cal_end,
+            # None = the pair disagreed >1.5x; this round's number is
+            # unusable for normalization and future rounds compare raw
             "value": cal_now,
+            "stable": cal_now is not None,
             "unit": "sec",
         },
         "drift": {

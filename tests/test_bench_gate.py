@@ -472,6 +472,23 @@ def test_load_history_reads_multiple_rounds(tmp_path):
     ]
 
 
+def test_stable_cal_rejects_disagreeing_pairs():
+    """Measured failure mode (r19): start 1.848 s / end 0.377 s — a
+    4.9x intra-run swing — normalized every floor by a fiction and
+    manufactured 14 drift flags that survived confirm.  An unstable
+    pair must yield None (raw comparison), a stable pair its min."""
+    assert bench.stable_cal(0.64, 0.61) == 0.61
+    assert bench.stable_cal(0.61, 0.64) == 0.61
+    assert bench.stable_cal(1.848, 0.377) is None
+    assert bench.stable_cal(0.377, 1.848) is None
+    assert bench.stable_cal(0.0, 0.5) is None
+    # drift with cal_now=None falls back to raw floors
+    flags, ratios, _ = bench.compute_drift(
+        {"creeper": 1.10}, _HISTORY, 0.1, cal_now=None
+    )
+    assert [f["query"] for f in flags] == ["creeper"]
+
+
 def test_main_emits_calibration_and_drift_sections(spark):
     payload = bench.main(
         queries={"good_scan": _good},
@@ -480,7 +497,11 @@ def test_main_emits_calibration_and_drift_sections(spark):
         emit=False,
     )
     cal = payload["calibration"]
-    assert cal["value"] == min(cal["start"], cal["end"]) > 0
+    assert cal["start"] > 0 and cal["end"] > 0
+    if cal["stable"]:
+        assert cal["value"] == min(cal["start"], cal["end"])
+    else:
+        assert cal["value"] is None
     drift = payload["drift"]
     assert set(drift) == {"flags", "transient", "ratios", "suite"}
     # the tail line carries cal + drift names for future rounds

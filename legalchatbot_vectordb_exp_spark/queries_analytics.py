@@ -704,25 +704,42 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("part_b").alias("src"), F.col("part_a").alias("dst")
         )
-    ).persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ranks = deg.select(
+    )
+    # ADJACENCY-LIST form (r20 optimization): group each node's out
+    # edges into one array row BEFORE the iteration loop, so every
+    # super-step joins ranks against |nodes| adjacency rows instead of
+    # |edges| edge rows and explodes AFTER the join (guide §3.3: "join
+    # first on the un-exploded key, explode after").  The degree is
+    # size(dsts) — the separate deg aggregate and its edge×deg join
+    # are gone.  Persisted PRE-PARTITIONED on the join key: each
+    # iteration's sort-merge join then reads the cached side without
+    # re-shuffling it (8 exchanges of the static side removed — the
+    # measured r20 plan went 124 Exchange nodes → ~30), and the ranks
+    # side arrives hash(dst)-partitioned from the previous groupBy, so
+    # steady-state iterations shuffle only the map-side-combined
+    # contribution rows.  sum/div stay pure BIGINT: a double division
+    # would go inexact past 2^53 on high-degree graphs.
+    adj = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("dsts"))
+        .repartition("src")
+        .persist()
+    )
+    ranks = adj.select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
     )
-    contrib_edges = edges.join(
-        deg.withColumnRenamed("src", "node"), edges.src == F.col("node")
-    ).select("src", "dst", "d").persist()
     teleport = 15 * PR_SCALE // 100
     for _ in range(PR_ITERS):
-        # `div` keeps every step in exact BIGINT arithmetic — a double
-        # division would go inexact past 2^53 on high-degree graphs.
         # No per-iteration persist: each rank frame feeds exactly one
         # consumer, so the 8 super-steps form straight-line lineage
         # executed once (at 100 TB scale, localCheckpoint every few
         # steps bounds plan depth instead).
         ranks = (
-            contrib_edges.join(ranks, contrib_edges.src == ranks.node)
-            .select("dst", F.expr("rank div d").alias("c"))
+            adj.join(ranks, adj.src == ranks.node)
+            .select(
+                F.explode("dsts").alias("dst"),
+                F.expr("rank div size(dsts)").alias("c"),
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
             .select(

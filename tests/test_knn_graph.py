@@ -249,3 +249,71 @@ def test_incremental_recall_guard_passes(spark):
 
     row = q_ann_knn_graph_incr_recall(spark, SF_DIR).collect()[0]
     assert row["incr_recall_ok"], row
+
+
+def test_source_sig_unavailable_disables_cache(
+    spark, tmp_path, monkeypatch
+):
+    """inspect.getsource can raise in frozen/zipapp builds; the build
+    signature then returns None and the at-rest cache is DISABLED for
+    that build instead of failing the query (r19 ADVICE, low)."""
+    import inspect
+
+    import legalchatbot_vectordb_exp_spark.queries_ann as A
+
+    def boom(_):
+        raise OSError("source not available")
+
+    monkeypatch.setattr(inspect, "getsource", boom)
+    assert A._build_source_sig(test_source_sig_unavailable_disables_cache) is None
+
+    monkeypatch.setenv("SPARK_GRAFT_TMP", str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_GRAPH_CACHE", raising=False)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(3).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+
+    sig = {"v": 1, "src": None}
+    A._cached_edges(spark, SF_DIR, "nosig", sig, build)
+    A._cached_edges(spark, SF_DIR, "nosig", sig, build)
+    assert calls["n"] == 2, "unknowable signature must build uncached"
+    root = tmp_path / "spark_graft_roundtrip"
+    assert not root.exists() or not any(
+        "graph_cache_nosig" in d for d in os.listdir(root)
+    ), "no cache dir may be written for an unknowable signature"
+
+
+def test_cache_dir_keyed_by_full_corpus_path(
+    spark, tmp_path, monkeypatch
+):
+    """Two corpora that share a basename (e.g. both named 'sf0.1')
+    must never share one at-rest cache directory (r19 ADVICE, low)."""
+    import shutil
+
+    import legalchatbot_vectordb_exp_spark.queries_ann as A
+
+    monkeypatch.setenv("SPARK_GRAFT_TMP", str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_GRAPH_CACHE", raising=False)
+    twin_parent = tmp_path / "twin"
+    twin = twin_parent / os.path.basename(os.path.normpath(SF_DIR))
+    twin.mkdir(parents=True)
+    shutil.copy(
+        os.path.join(SF_DIR, "region.parquet"),
+        twin / "region.parquet",
+    )
+
+    def build():
+        return spark.range(2).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+
+    sig = {"v": 1, "k": 1}
+    A._cached_edges(spark, SF_DIR, "twin", sig, build)
+    A._cached_edges(spark, str(twin), "twin", sig, build)
+    root = tmp_path / "spark_graft_roundtrip"
+    dirs = [d for d in os.listdir(root) if "graph_cache_twin" in d]
+    assert len(dirs) == 2, f"distinct corpora must get distinct caches: {dirs}"

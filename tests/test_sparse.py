@@ -717,3 +717,89 @@ def test_merge_sparse_crash_is_never_half(
         assert _postings_checksum(reopened) == post
     search = reopened.search_sparse(dict(SPARSE_QUERY), k=5)
     assert search.count() == 5
+
+
+# ------------------------------------------ r20 swap-protocol fixes
+
+
+def test_apply_swap_never_deletes_live_when_trash_exists(
+    spark, tmp_path
+):
+    """The r19-ADVICE concurrent-applier race: applier A finishes a
+    key's whole swap (live→trash, staged→live) between applier B's
+    staged-dir check and B's move-aside — B then sees BOTH a trash
+    copy and a live dir.  The live dir holds the NEW data; deleting
+    it (the old rmtree branch) permanently lost the partition.  The
+    fixed protocol leaves it alone and both appliers converge."""
+    import os
+
+    import legalchatbot_vectordb_exp_spark.sources.collection as cmod
+
+    c = VectorCollection(spark, str(tmp_path), "raceswap")
+    live = os.path.join(c.path, "bucket=1")
+    os.makedirs(live)
+    with open(os.path.join(live, "part-new.parquet"), "w") as fh:
+        fh.write("new-data")
+    trash = c.path + cmod._MERGE_TRASH_SUFFIX
+    os.makedirs(os.path.join(trash, "bucket=1"))
+    plan = {
+        "part_cols": ["bucket"],
+        "swap_keys": [],
+        "drop_keys": [["1"]],
+        "root_files": [],
+    }
+    c._apply_merge_swap(plan)
+    assert os.path.isdir(live), "live partition deleted by replay"
+    assert os.path.exists(os.path.join(live, "part-new.parquet"))
+
+
+def test_apply_swap_surfaces_real_rename_failures(
+    spark, tmp_path, monkeypatch
+):
+    """_race_ok swallows ONLY the lost-race shapes (source vanished /
+    destination exists).  A genuine rename failure (EACCES, ENOSPC,
+    EIO) must surface instead of silently leaving a half-applied
+    merge behind a swept journal (r19 ADVICE, medium)."""
+    import os
+
+    import legalchatbot_vectordb_exp_spark.sources.collection as cmod
+
+    c = VectorCollection(spark, str(tmp_path), "errswap")
+    staging = c.path + cmod._MERGE_STAGING_SUFFIX
+    stag = os.path.join(staging, "bucket=2")
+    os.makedirs(stag)
+    os.makedirs(c.path, exist_ok=True)
+    plan = {
+        "part_cols": ["bucket"],
+        "swap_keys": [["2"]],
+        "drop_keys": [],
+        "root_files": [],
+    }
+    real_rename = os.rename
+
+    def deny(src, dst, *a, **kw):
+        if src == stag:
+            raise PermissionError(13, "injected EACCES", src)
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", deny)
+    with pytest.raises(PermissionError):
+        c._apply_merge_swap(plan)
+
+
+def test_write_tasks_scales_with_data_not_cores():
+    """Dynamic-partition write sizing is derived from the data (parts
+    and rows), never from the local core count."""
+    from legalchatbot_vectordb_exp_spark.sources.collection import (
+        _PARTS_PER_WRITE_TASK,
+        _ROWS_PER_WRITE_TASK,
+        _write_tasks,
+    )
+
+    assert _write_tasks(0, 0) == 1
+    assert _write_tasks(100, 1) == 1
+    # the sf0.1 adaptive layout: 247 dirs, ~15k rows -> a handful
+    assert _write_tasks(14_618, 247) == -(-247 // _PARTS_PER_WRITE_TASK)
+    # row-bound dominates for huge layouts
+    big = 50 * _ROWS_PER_WRITE_TASK
+    assert _write_tasks(big, 10) == 50

@@ -1312,6 +1312,18 @@ def _knn_graph_sql(final_select: str) -> str:
     )
 
 
+def _dedup_on(df: DataFrame, part_key: str, keys: list[str]) -> DataFrame:
+    """Dedup on ``keys`` while establishing hash partitioning on
+    ``part_key`` (a prefix of ``keys``) — ONE exchange where
+    ``.distinct()`` costs two.  ``distinct()`` exchanges on the full
+    key set, and the per-``part_key`` window that always follows these
+    dedups then needs a SECOND exchange on ``part_key`` alone; hash
+    partitioning on ``part_key`` already clusters the full key set
+    (subset rule), so the aggregate dedups in place and the window
+    rides the same exchange.  Row set is identical to ``distinct()``."""
+    return df.repartition(F.col(part_key)).dropDuplicates(keys)
+
+
 def _knn_scored_topk(pairs: DataFrame, emb: DataFrame) -> DataFrame:
     """Spark twin of :func:`_knn_sql_scored_topk`: two equi-joins back
     to the embeddings (broadcast- or bucket-joinable on vec_id at
@@ -1549,7 +1561,7 @@ def _knn_graph_build_uncached(
             F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
         )
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
+        .transform(lambda d: _dedup_on(d, "src", ["src", "dst"]))
     )
 
     # Each iteration's graph feeds THREE downstream references (both
@@ -1590,7 +1602,9 @@ def _knn_graph_build_uncached(
             .select(F.col("x.nbr").alias("src"), F.col("y.nbr").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
         )
-        pairs = graph.select("src", "dst").union(nn).distinct()
+        pairs = _dedup_on(
+            graph.select("src", "dst").union(nn), "src", ["src", "dst"]
+        )
         graph = _knn_scored_topk(pairs, emb).localCheckpoint()
     return graph
 
@@ -1795,16 +1809,20 @@ def q_ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the corpus-sized edge list — the checkpointed graph carries
         # no stats, so without the hint Catalyst sort-merges and the
         # edge list would shuffle once per hop
-        expanded = beam.select("query_id", "node").union(
-            F.broadcast(beam.alias("p"))
-            .join(
-                graph.alias("ed"), F.col("ed.src") == F.col("p.node")
-            )
-            .select(
-                F.col("p.query_id").alias("query_id"),
-                F.col("ed.dst").alias("node"),
-            )
-        ).distinct()
+        expanded = _dedup_on(
+            beam.select("query_id", "node").union(
+                F.broadcast(beam.alias("p"))
+                .join(
+                    graph.alias("ed"), F.col("ed.src") == F.col("p.node")
+                )
+                .select(
+                    F.col("p.query_id").alias("query_id"),
+                    F.col("ed.dst").alias("node"),
+                )
+            ),
+            "query_id",
+            ["query_id", "node"],
+        )
         beam = (
             expanded.join(
                 F.broadcast(
@@ -3154,14 +3172,18 @@ def _hnsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def hop(beam, edges, width):
-        expanded = beam.select("query_id", "node").union(
-            F.broadcast(beam.alias("p"))
-            .join(edges.alias("ed"), F.col("ed.src") == F.col("p.node"))
-            .select(
-                F.col("p.query_id").alias("query_id"),
-                F.col("ed.dst").alias("node"),
-            )
-        ).distinct()
+        expanded = _dedup_on(
+            beam.select("query_id", "node").union(
+                F.broadcast(beam.alias("p"))
+                .join(edges.alias("ed"), F.col("ed.src") == F.col("p.node"))
+                .select(
+                    F.col("p.query_id").alias("query_id"),
+                    F.col("ed.dst").alias("node"),
+                )
+            ),
+            "query_id",
+            ["query_id", "node"],
+        )
         return (
             expanded.join(F.broadcast(nodes), "node")
             .join(F.broadcast(qdf), "query_id")
@@ -3198,7 +3220,7 @@ def _hnsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(lv.select(F.col("vec_id").alias("src")), "src")
                 .join(lv.select(F.col("vec_id").alias("dst")), "dst")
                 .filter(F.col("src") != F.col("dst"))
-                .distinct()
+                .transform(lambda d: _dedup_on(d, "src", ["src", "dst"]))
             )
             return _knn_scored_topk(lpairs, emb).select("src", "dst")
 
@@ -3674,16 +3696,20 @@ def knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_sd = base.select("src", "dst")
 
     def expand(frame):
-        return frame.select("query_id", "node").union(
-            F.broadcast(frame.alias("p"))
-            .join(
-                graph_sd.alias("ed"), F.col("ed.src") == F.col("p.node")
-            )
-            .select(
-                F.col("p.query_id").alias("query_id"),
-                F.col("ed.dst").alias("node"),
-            )
-        ).distinct()
+        return _dedup_on(
+            frame.select("query_id", "node").union(
+                F.broadcast(frame.alias("p"))
+                .join(
+                    graph_sd.alias("ed"), F.col("ed.src") == F.col("p.node")
+                )
+                .select(
+                    F.col("p.query_id").alias("query_id"),
+                    F.col("ed.dst").alias("node"),
+                )
+            ),
+            "query_id",
+            ["query_id", "node"],
+        )
 
     for _ in range(KNN_SEARCH_HOPS):
         beam = (

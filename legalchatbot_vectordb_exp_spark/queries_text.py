@@ -868,7 +868,10 @@ def _bpe_run(spark: SparkSession, sf_dir: str):
         .select(
             F.regexp_replace("w", "(.)", r"|$1|").alias("s"), "cnt"
         )
-        .localCheckpoint()  # one aggregate; K rounds re-read it
+        # LAZY checkpoint: materializes inside round 1's argmax job
+        # instead of paying a separate eager job — one aggregate
+        # either way; K rounds re-read the cached blocks
+        .localCheckpoint(eager=False)
     )
     merges = []
     cur = words
@@ -902,12 +905,16 @@ def _bpe_run(spark: SparkSession, sf_dir: str):
             break
         pair, freq = win[0]["pair"], int(win[0]["freq"])
         merges.append((step + 1, pair, freq))
+        # LAZY checkpoint (r20): the eager form paid TWO jobs per merge
+        # round (materialize + argmax); lazy folds the fold-in into the
+        # NEXT round's argmax job — same cached blocks, half the jobs.
+        # The string fold is still computed exactly once per round.
         cur = cur.select(
             F.replace(
                 F.col("s"), F.lit(pair), F.lit(pair.replace("||", ""))
             ).alias("s"),
             "cnt",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, cur
 
 

@@ -1023,16 +1023,19 @@ class VectorCollection:
         # references each up to six times (null check, touched-key
         # collect, anti-join, union, uniqueness guard, staging write)
         # — without the cut every reference re-derives the batch.
-        # Bounded by the CHANGE size, never the corpus.
+        # Bounded by the CHANGE size, never the corpus.  LAZY (r20):
+        # eager checkpoints paid one standalone job per frame; lazy
+        # ones materialize inside the tagged aggregate below — same
+        # cached blocks, two fewer jobs per merge.
         retire_b = (
             _b(retire.select(id_col, term_col, weight_col))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
             if retire is not None
             else None
         )
         add_b = (
             _b(add.select(id_col, term_col, weight_col))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
             if add is not None
             else None
         )
@@ -1118,10 +1121,12 @@ class VectorCollection:
         merged = keep.select(id_col, term_col, weight_col, *part_cols)
         if add_b is not None:
             merged = merged.unionByName(add_b)
-        # pin eagerly: two jobs read `merged` (uniqueness guard,
-        # staging write) and the checkpoint keeps them from
-        # recomputing the read+anti-join+union each time
-        merged = merged.localCheckpoint()
+        # pin: two jobs read `merged` (uniqueness guard, staging
+        # write) and the checkpoint keeps them from recomputing the
+        # read+anti-join+union each time.  LAZY (r20): materializes
+        # inside the uniqueness aggregate instead of paying a third
+        # standalone job; the staging write then reads cached blocks.
+        merged = merged.localCheckpoint(eager=False)
         # the layout's (id, term) uniqueness invariant survives the
         # merge: an add row whose key was not retired first would
         # corrupt scores silently (create_sparse validates the same).

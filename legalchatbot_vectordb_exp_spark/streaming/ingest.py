@@ -197,11 +197,19 @@ def stage_changes_feed(
         staging_dir = tempfile.mkdtemp(prefix="cdf_stage_")
     os.makedirs(staging_dir, exist_ok=True)
     base_t = _time.time() - 3600  # recent enough for maxFileAge
-    for v in range(from_version, to_version):
+
+    def _stage_span(v: int) -> None:
+        """One commit span -> one staged file.  Independent of every
+        other span, so spans run as CONCURRENT Spark jobs (guide
+        §2.6): each span's manifest-diff job is mostly scheduler/IO
+        wait at small change volumes, and the driver otherwise runs
+        them strictly back-to-back.  mtimes are stamped AFTER all
+        writes, in commit order, so replay order is unaffected by
+        job completion order."""
         tv = v + 1
         dest = os.path.join(staging_dir, f"v{tv:08d}.parquet")
         if os.path.exists(dest):
-            continue
+            return
         feed = (
             collection.changes(v, tv, preimages=preimages)
             .withColumn("_commit_version", _F.lit(tv).cast("long"))
@@ -214,8 +222,22 @@ def stage_changes_feed(
         part = sorted(_glob.glob(os.path.join(tmp, "part-*")))[0]
         os.replace(part, dest)
         shutil.rmtree(tmp, ignore_errors=True)
-        # mtime in commit order, 1 s apart (ms-granularity listing)
-        os.utime(dest, (base_t + tv, base_t + tv))
+
+    spans = list(range(from_version, to_version))
+    if len(spans) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(spans))) as pool:
+            list(pool.map(_stage_span, spans))
+    else:
+        for v in spans:
+            _stage_span(v)
+    for v in spans:
+        tv = v + 1
+        dest = os.path.join(staging_dir, f"v{tv:08d}.parquet")
+        if os.path.exists(dest):
+            # mtime in commit order, 1 s apart (ms-granularity listing)
+            os.utime(dest, (base_t + tv, base_t + tv))
     return staging_dir
 
 

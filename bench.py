@@ -286,6 +286,33 @@ def confirm_regressions(
     return confirmed, transient
 
 
+def _steady_min(
+    run_once,
+    repeats: int = 3,
+    warm_tol: float = 0.10,
+    max_warm: int = 7,
+) -> float:
+    """Warm a measurement kernel to STEADY STATE before taking its
+    min (round-19 verdict item 2): the suite-start calibration was
+    systematically slower than suite-end (codegen/JIT keep warming
+    over the first runs of a fresh kernel shape), so the start/end
+    pair frequently disagreed >1.5x and ``stable_cal`` fell back to
+    raw — the host normalization rarely engaged on the very host it
+    was built for.  Throwaway iterations run until two CONSECUTIVE
+    timings agree within ``warm_tol`` (capped at ``max_warm`` so a
+    genuinely noisy host cannot spin forever), then the measured min
+    of ``repeats`` runs is returned."""
+    prev = None
+    for _ in range(max_warm):
+        dt = run_once()
+        if prev is not None and abs(dt - prev) <= warm_tol * min(
+            dt, prev
+        ):
+            break
+        prev = dt
+    return min(run_once() for _ in range(repeats))
+
+
 def _calibrate(spark, repeats: int = 3) -> float:
     """Fixed CALIBRATION workload (round-18 verdict item 1): a
     constant-size pure-CPU sort+aggregate with NO file IO, no Python
@@ -295,11 +322,12 @@ def _calibrate(spark, repeats: int = 3) -> float:
     20-40 % host swing (r18 measured 156-186 s full-suite spreads on
     identical code).  Run at suite START and END; the min of the two
     is the round's host-speed proxy, recorded in the artifact as
-    ``calibration`` (tail key ``cal``)."""
+    ``calibration`` (tail key ``cal``).  Each measurement warms the
+    kernel to steady state first (:func:`_steady_min`) so the pair
+    disagrees only when the HOST is genuinely unstable."""
     import pyspark.sql.functions as F
 
-    best = None
-    for _ in range(repeats):
+    def run_once() -> float:
         t0 = time.perf_counter()
         (
             spark.range(2_000_000)
@@ -318,9 +346,9 @@ def _calibrate(spark, repeats: int = 3) -> float:
             .format("noop")
             .save()
         )
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
+        return time.perf_counter() - t0
+
+    return round(_steady_min(run_once, repeats), 3)
 
 
 def stable_cal(cal_start: float, cal_end: float) -> float | None:

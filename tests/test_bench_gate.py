@@ -546,3 +546,24 @@ def test_load_prior_handles_libtier_rows(tmp_path):
     art["parsed"]["queries"] = art["parsed"]["queries"][:-1]
     (tmp_path / "BENCH_r09.json").write_text(json.dumps(art))
     assert bench._load_prior(str(tmp_path), names) is None
+
+
+def test_calibration_warms_to_steady_state():
+    """r20 (r19 verdict item 2): the calibration kernel must discard
+    warm-up iterations until two consecutive timings agree within
+    10 %, then report the min of the measured repeats — so the
+    start/end pair disagrees only when the host is genuinely
+    unstable, and host normalization can engage."""
+    seq = iter([2.0, 1.2, 0.62, 0.60, 0.58, 0.59, 0.61])
+    got = bench._steady_min(lambda: next(seq), repeats=3)
+    # warm-up consumed 2.0, 1.2, 0.62, 0.60 (last pair within 10%);
+    # measured repeats are 0.58/0.59/0.61 -> min 0.58, and the cold
+    # 2.0/1.2 samples never reach the result
+    assert got == 0.58
+
+    # a host that never stabilizes is capped: max_warm throwaways,
+    # then the measured min still returns (no infinite spin)
+    vals = [8.0, 4.0, 2.0, 1.0, 0.5, 0.25, 0.125, 0.06, 0.03, 0.015]
+    it = iter(vals)
+    got = bench._steady_min(lambda: next(it), repeats=3, max_warm=7)
+    assert got == min(vals[7:])

@@ -505,3 +505,31 @@ def test_graph_search_plan_broadcasts_never_shuffles_corpus(
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_on_rides_window_exchange(spark):
+    """r20: ``_dedup_on`` dedups on (key, node) while partitioning on
+    the window key alone — the dedup aggregate AND the per-key window
+    must share ONE exchange (``distinct()`` + window costs two), and
+    the row set must equal ``distinct()``'s."""
+    from pyspark.sql import Window
+
+    from legalchatbot_vectordb_exp_spark.queries_ann import _dedup_on
+
+    base = spark.range(200).select(
+        (F.col("id") % 5).alias("query_id"),
+        (F.col("id") % 23).alias("node"),
+    )
+    deduped = _dedup_on(base, "query_id", ["query_id", "node"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("node"))
+    ranked = deduped.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    # exactly one shuffle: the repartition; no second exchange for
+    # the dedup aggregate or the window (subset rule)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # row-set equivalence with distinct()
+    a = sorted(map(tuple, deduped.collect()))
+    b = sorted(map(tuple, base.distinct().collect()))
+    assert a == b

@@ -295,7 +295,10 @@ def q_approx_agg_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_n"))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("exact_users"),
+            # count(user_id), not count(*): a NULL user_id pair-group
+            # must not count as a distinct user (count DISTINCT
+            # semantics; fixtures carry no NULLs, so rows identical)
+            F.count("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", 0.02).alias("hll_users"),
         )
     )
@@ -303,7 +306,12 @@ def q_approx_agg_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("p50"),
         F.expr("percentile_approx(value, 0.5, 1000)").alias("p50_approx"),
     )
-    agg = users.join(pct, "event_type")
+    # null-safe equality so a NULL event_type group survives the
+    # re-join exactly as the single-groupBy form would keep it
+    agg = users.join(
+        pct.withColumnRenamed("event_type", "_et"),
+        users["event_type"].eqNullSafe(F.col("_et")),
+    ).drop("_et")
     return agg.select(
         "event_type",
         "exact_users",

@@ -52,7 +52,14 @@ def get_spark(
         # write tasks (and never slower at small task counts).  The
         # standard choice wherever rename is atomic (HDFS/local); the
         # same knob is what production clusters set for the same
-        # reason.
+        # reason.  Trade-off (applies to every write path, not just
+        # the measured one): job-level commit is no longer all-or-
+        # nothing — tasks that committed before a job abort leave
+        # their files visible in the destination.  Acceptable here
+        # because every framework write is mode(overwrite) into a
+        # fresh/staging directory swapped in by the collection layer;
+        # pipelines appending into live directories should leave this
+        # at v1 or use a manifest-committing table format.
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             "2",

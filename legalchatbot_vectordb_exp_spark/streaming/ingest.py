@@ -203,9 +203,14 @@ def stage_changes_feed(
         other span, so spans run as CONCURRENT Spark jobs (guide
         §2.6): each span's manifest-diff job is mostly scheduler/IO
         wait at small change volumes, and the driver otherwise runs
-        them strictly back-to-back.  mtimes are stamped AFTER all
-        writes, in commit order, so replay order is unaffected by
-        job completion order."""
+        them strictly back-to-back.  Each file is stamped with its
+        commit-order mtime (base_t + tv, 1 s apart — ms-granularity
+        listing) IMMEDIATELY after the rename makes it visible:
+        base_t is fixed up front, so the stamps are thread-safe and a
+        file is never observable with its raw write mtime.  A lister
+        racing the pool can still see span v+2 before v+1 exists —
+        with concurrent staging, start/resume streams only after this
+        function returns (the replay queries all do)."""
         tv = v + 1
         dest = os.path.join(staging_dir, f"v{tv:08d}.parquet")
         if os.path.exists(dest):
@@ -221,6 +226,7 @@ def stage_changes_feed(
         feed.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = sorted(_glob.glob(os.path.join(tmp, "part-*")))[0]
         os.replace(part, dest)
+        os.utime(dest, (base_t + tv, base_t + tv))
         shutil.rmtree(tmp, ignore_errors=True)
 
     spans = list(range(from_version, to_version))
@@ -232,12 +238,6 @@ def stage_changes_feed(
     else:
         for v in spans:
             _stage_span(v)
-    for v in spans:
-        tv = v + 1
-        dest = os.path.join(staging_dir, f"v{tv:08d}.parquet")
-        if os.path.exists(dest):
-            # mtime in commit order, 1 s apart (ms-granularity listing)
-            os.utime(dest, (base_t + tv, base_t + tv))
     return staging_dir
 
 

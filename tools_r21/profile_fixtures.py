@@ -3,7 +3,7 @@
 with setJobDescription and timed so the fixture cost decomposes into
 its actual jobs instead of one opaque number.
 
-Usage: SPARK_GRAFT_SF_DIR=... python tools_r20/profile_fixtures.py [sparse|cdf|all]
+Usage: SPARK_GRAFT_SF_DIR=... python tools_r21/profile_fixtures.py [sparse|cdf|all]
 """
 
 from __future__ import annotations

@@ -8,7 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from legalchatbot_vectordb_exp_spark.io_tables import load_table, spread
+from legalchatbot_vectordb_exp_spark.io_tables import load_table
 from legalchatbot_vectordb_exp_spark.operators.asof import asof_join
 from legalchatbot_vectordb_exp_spark.registry import register
 
@@ -591,13 +591,18 @@ def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     never in table size; basket skew is bounded by the same constant.
     Lift is one multiply and one divide over exact integer counts →
     bit-identical floats."""
-    # spread(): basket agg runs on all cores (single-row-group test
-    # files arrive as 3 scan partitions; no-op at production counts)
-    li = spread(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey"
-        )
-    )
+    # r21: key the ONE exchange by the group key instead of spread()'s
+    # keyless round-robin.  repartition("l_orderkey") (no explicit N —
+    # AQE-coalescible, conf-sized on a cluster) establishes the exact
+    # partitioning the basket aggregate needs, so the groupBy plans as
+    # a single COMPLETE ObjectHashAggregate riding that exchange
+    # (guide §2.4 "two operations keyed the same way share one
+    # exchange").  The spread() form paid the same one exchange PLUS a
+    # partial collect_list pass that cannot combine (every element
+    # ships regardless) and round-robin's sort-before-repartition.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).repartition("l_orderkey")
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_partkey")).alias("parts")
     )

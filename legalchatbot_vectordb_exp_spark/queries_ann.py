@@ -1838,6 +1838,17 @@ def q_ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= KNN_SEARCH_BEAM)
             .select("query_id", "node", "score")
+            # r21 (r20 "not yet optimized" item 1, measured): each hop
+            # references the previous beam TWICE (union branch +
+            # broadcast probe), so without a lineage cut the static
+            # plan doubles per hop (88 Exchange nodes for 3 hops) and
+            # the post-shuffle beam compute re-runs once per
+            # reference.  A LAZY localCheckpoint materializes the
+            # (queries x B)-row beam inside the next hop's broadcast
+            # collect — no standalone job — and both references read
+            # the cached blocks: constant-depth plans, one computation
+            # per hop (the _hnsw_beam / incremental-walk shape).
+            .localCheckpoint(eager=False)
         )
     return (
         beam.withColumn("rn", F.row_number().over(w))

@@ -616,8 +616,16 @@ def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives without ever seeing the bytes.
 
     Scale shape: one shuffle (groupBy pdf_id) to assemble multi-page
-    files, then a narrow Arrow extract — exactly how a binaryFile PDF
-    corpus flows (the extractor parallelizes per file)."""
+    files, then the encode -> full serialized bytes -> tiered extract
+    round-trip runs inside ONE grouped Python stage (r21, guide §4.1):
+    the two-stage form crossed the JVM/Python boundary twice per
+    document's bytes (text out for pack, PDF blob back in for
+    extract) and paid the grouped-Arrow machinery twice — measured
+    2.8 -> 2.2 s at sf0.1 with identical rows.  The extractor still
+    consumes the complete serialized PDF byte-for-byte (a regression
+    anywhere in writer or reader breaks the oracle hash exactly as
+    before); per-file extract parallelism is unchanged because the
+    unit of work is the pdf_id group either way."""
     from legalchatbot_vectordb_exp_spark.sources.pdf import _extract_pages
     from legalchatbot_vectordb_exp_spark.sources.pdf_synth import (
         encode_pdf_pages,
@@ -627,38 +635,25 @@ def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", (F.col("doc_id") % PDF_GROUPS).alias("pdf_id")
     )
 
-    def pack(pdf):
+    def pack_extract(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values("doc_id")
         pid = int(pdf["pdf_id"].iloc[0])
         mode = "cmap" if pid % 2 == 0 else "latin1"
         blob = encode_pdf_pages(list(pdf["text"]), mode=mode)
+        rows = [
+            (pid, i, text, mode)
+            for i, text in enumerate(_extract_pages(blob), 1)
+            if text.strip()
+        ]
         return pd.DataFrame(
-            {"pdf_id": [pid], "content": [blob], "font_mode": [mode]}
+            rows, columns=["pdf_id", "page", "text", "font_mode"]
         )
 
-    pdfs = docs.groupBy("pdf_id").applyInPandas(
-        pack, schema="pdf_id long, content binary, font_mode string"
-    )
-
-    def extract(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for pid, content, mode in zip(
-                pdf["pdf_id"], pdf["content"], pdf["font_mode"]
-            ):
-                for i, text in enumerate(_extract_pages(bytes(content)), 1):
-                    if text.strip():
-                        rows.append((int(pid), i, text, mode))
-            yield pd.DataFrame(
-                rows, columns=["pdf_id", "page", "text", "font_mode"]
-            )
-
-    return pdfs.mapInPandas(
-        extract, schema="pdf_id long, page long, text string, font_mode string"
+    return docs.groupBy("pdf_id").applyInPandas(
+        pack_extract,
+        schema="pdf_id long, page long, text string, font_mode string",
     )
 
 

@@ -214,15 +214,28 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     corpus = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
-    n_total = corpus.agg(F.sum("ctf")).collect()[0][0]  # metadata scalar
-    contrib = tf.join(corpus, "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        (
-            F.col("tf")
-            * F.log(F.col("ctf") / F.lit(float(n_total)))
-        ).alias("c"),
+    # corpus-total token count as a broadcast single-row cross join
+    # instead of a driver collect: the collect form ran the ENTIRE
+    # explode -> (doc,term) aggregate -> term aggregate lineage twice
+    # (once for the scalar job, once in the real job).  Inside the
+    # plan the term-keyed exchange is shared (ReusedExchange) and the
+    # division is the same double op — bit-identical scores, one pass
+    # over the corpus instead of two (guide §1.2 "don't compute things
+    # you throw away").
+    total = corpus.agg(
+        F.sum("ctf").cast("double").alias("n_total")
+    )
+    contrib = (
+        tf.join(corpus, "term")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf") * F.log(F.col("ctf") / F.col("n_total"))
+            ).alias("c"),
+        )
     )
     folded = contrib.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("n_tokens"),

@@ -1804,7 +1804,7 @@ def q_ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KNN_SEARCH_BEAM)
         .select("query_id", "node", "score")
     )
-    for _ in range(KNN_SEARCH_HOPS):
+    for hop in range(KNN_SEARCH_HOPS):
         # broadcast the BEAM (queries x B rows, always tiny) against
         # the corpus-sized edge list — the checkpointed graph carries
         # no stats, so without the hint Catalyst sort-merges and the
@@ -1838,18 +1838,22 @@ def q_ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= KNN_SEARCH_BEAM)
             .select("query_id", "node", "score")
-            # r21 (r20 "not yet optimized" item 1, measured): each hop
-            # references the previous beam TWICE (union branch +
-            # broadcast probe), so without a lineage cut the static
-            # plan doubles per hop (88 Exchange nodes for 3 hops) and
-            # the post-shuffle beam compute re-runs once per
-            # reference.  A LAZY localCheckpoint materializes the
-            # (queries x B)-row beam inside the next hop's broadcast
-            # collect — no standalone job — and both references read
-            # the cached blocks: constant-depth plans, one computation
-            # per hop (the _hnsw_beam / incremental-walk shape).
-            .localCheckpoint(eager=False)
         )
+        # r21 (r20 "not yet optimized" item 1, measured): each
+        # NON-FINAL hop's beam is referenced TWICE by the next hop
+        # (union branch + broadcast probe), so without a lineage cut
+        # the static plan doubles per hop (88 Exchange nodes for 3
+        # hops) and the post-shuffle beam compute re-runs once per
+        # reference.  A LAZY localCheckpoint materializes the
+        # (queries x B)-row beam inside the next hop's broadcast
+        # collect — no standalone job — and both references read
+        # the cached blocks: constant-depth plans, one computation
+        # per hop (the _hnsw_beam / incremental-walk shape).  The
+        # FINAL beam is consumed exactly once (the top-k below), so
+        # a cut there gains nothing and would truncate the executed
+        # plan that tests/test_plans.py pins (broadcast-only joins).
+        if hop < KNN_SEARCH_HOPS - 1:
+            beam = beam.localCheckpoint(eager=False)
     return (
         beam.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KNN_SEARCH_TOPK)

@@ -86,6 +86,21 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _doc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rare-shingle counts (doc_sizes CTE) — n_docs rows,
+    CACHED (r21, guide §1.2): jaccard and containment each broadcast
+    this frame TWICE (doc_a and doc_b sides), and a broadcast exchange
+    builds its input independently — uncached, the groupBy re-ran the
+    shingle lineage four times per bench pass (~1 s each at sf0.1).
+    One aggregate now feeds all four broadcasts across both queries."""
+    sh = _spark_shingles(spark, sf_dir)
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .cache()
+    )
+
+
 def _spark_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a < doc_b, shared) — shared-shingle counts from the
     DF-capped shingle equi-join, CACHED: the Jaccard and containment
@@ -126,8 +141,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates by exact n-gram Jaccard ≥ 0.2, computed via
     shingle-key equi-join (shared counts) + per-doc shingle counts —
     the shuffle is on the shingle key, never a corpus×corpus product."""
-    sh = _spark_shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = _doc_sizes(spark, sf_dir)
     pairs = _spark_pair_counts(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
@@ -693,8 +707,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle equi-join generates candidates (never corpus x corpus),
     per-doc shingle counts join back on the doc key, and the score is
     one integer division — bit-identical across engines."""
-    sh = _spark_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = _doc_sizes(spark, sf_dir)
     pairs = _spark_pair_counts(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))

@@ -400,9 +400,25 @@ def q_events_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # throughput this knob scales UP with stream volume.  The batch
     # rollup below runs after the conf is restored.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     try:
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(min(int(prev_parts), 4))
+        )
+        # A stream-stream INNER join emits rows only when matching
+        # data arrives — the trailing zero-row micro-batch a default
+        # availableNow replay runs after the data batch exists solely
+        # to advance the watermark and evict state, and this one-shot
+        # replay discards that state anyway.  Skipping it halves the
+        # micro-batch count with a bit-identical emitted row set
+        # (measured A/B: identical hashes, steady 2.6 → 2.0 s).  The
+        # windowed-aggregation replays (events_streaming_live,
+        # cdf_stream_fold) are NOT eligible: append mode emits their
+        # final windows IN that no-data flush batch.
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
         )
         q = (
             joined.writeStream.format("memory")
@@ -423,6 +439,9 @@ def q_events_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     return (
         spark.table(name)
         .groupBy(F.col("l_event_id").alias("click_id"))
